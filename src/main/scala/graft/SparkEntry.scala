@@ -1,13 +1,188 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.meta.MetadataExtractor
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every entry in `queries` has an exactly-mirrored DuckDB oracle in
+  * `oracleSql` (identical column aliases, identical rounding, identical
+  * md5-based hashing), so the driver's hash-compare is deterministic.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational
+    "q1_pricing_summary"  -> Relational.q1PricingSummary _,
+    "q3_top_unshipped"    -> Relational.q3TopUnshipped _,
+    "q5_local_volume"     -> Relational.q5LocalVolume _,
+    "q_group_topk_window" -> Relational.qGroupTopkWindow _,
+    "q_running_total"     -> Relational.qRunningTotal _,
+    "q_semi_join"         -> Relational.qSemiJoin _,
+    "q_anti_join"         -> Relational.qAntiJoin _,
+    "q_distinct_agg"      -> Relational.qDistinctAgg _,
+    "q_conditional_pivot" -> Relational.qConditionalPivot _,
+    "q_rollup"            -> Relational.qRollup _,
+    "q_percentiles"       -> Relational.qPercentiles _,
+    // §2.2 events
+    "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
+    "q_events_sessionize" -> EventOps.qEventsSessionize _,
+    "q_asof_join"         -> EventOps.qAsofJoin _,
+    // §2.3 dedup
+    "q_dedup_exact"         -> Dedup.qDedupExact _,
+    "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
+    "q_dedup_ngram_jaccard" -> Dedup.qDedupNgramJaccard _,
+    "q_dedup_minhash_lsh"   -> Dedup.qDedupMinhashLsh _,
+    "q_dedup_simhash"       -> Dedup.qDedupSimhash _,
+    "q_dedup_simhash_pairs" -> Dedup.qDedupSimhashPairs _,
+    "q_dedup_embedding"     -> Dedup.qDedupEmbedding _,
+    // §2.4 similarity
+    "q_knn_brute"    -> Similarity.qKnnBrute _,
+    "q_knn_lsh"      -> Similarity.qKnnLsh _,
+    "q_knn_centroid" -> Similarity.qKnnCentroid _,
+    // §2.5 text analysis
+    "q_text_tokens"  -> TextAnalysis.qTextTokens _,
+    "q_text_quality" -> TextAnalysis.qTextQuality _,
+    "q_text_langid"  -> TextAnalysis.qTextLangid _,
+    "q_text_ngrams"  -> TextAnalysis.qTextNgrams _,
+    // §2.6 multimodal + §2.1 metadata
+    "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
+    "q_meta_profile"    -> ((s, d) => MetadataExtractor.qMetaProfile(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_unshipped" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_group_topk_window" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_conditional_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS open_value
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_window_agg" ->
+      """SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS hour_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |x AS (SELECT user_id, event_id, value, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, value, ts,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM x)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        | round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec,
+        | round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |v AS (SELECT user_id, ts, event_id AS view_id FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id FROM e WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, v.view_id,
+        | round(epoch(p.ts) - epoch(v.ts), 6) AS lag_sec
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_dedup_exact"         -> Dedup.oracleExact,
+    "q_dedup_fingerprint"   -> Dedup.oracleFingerprint,
+    "q_dedup_ngram_jaccard" -> Dedup.oracleNgramJaccard,
+    "q_dedup_minhash_lsh"   -> Dedup.oracleMinhashLsh,
+    "q_dedup_simhash"       -> Dedup.oracleSimhash,
+    "q_dedup_simhash_pairs" -> Dedup.oracleSimhashPairs,
+    "q_dedup_embedding"     -> Dedup.oracleEmbedding,
+
+    "q_knn_brute"    -> Similarity.oracleKnnBrute,
+    "q_knn_lsh"      -> Similarity.oracleKnnLsh,
+    "q_knn_centroid" -> Similarity.oracleKnnCentroid,
+
+    "q_text_tokens"  -> TextAnalysis.oracleTokens,
+    "q_text_quality" -> TextAnalysis.oracleQuality,
+    "q_text_langid"  -> TextAnalysis.oracleLangid,
+    "q_text_ngrams"  -> TextAnalysis.oracleNgrams,
+
+    "q_multimodal_meta" -> Multimodal.oracleMultimodalMeta,
+    "q_meta_profile"    -> MetadataExtractor.oracleMetaProfile
+  )
 }

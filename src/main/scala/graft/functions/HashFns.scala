@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic hashing.
+  *
+  * Everything dedup/LSH-shaped needs a hash that Spark and the DuckDB
+  * oracle compute IDENTICALLY. md5 is the one digest both engines share
+  * bit-for-bit, so the primitive is:
+  *
+  *   h60(s) = first 15 hex chars of md5(s), parsed as an unsigned int
+  *
+  * 60 bits fits a signed 64-bit long in both engines
+  * (Spark: conv(substr(md5(s),1,15),16,10)::long;
+  *  DuckDB: CAST(('0x' || substr(md5(s),1,15)) AS UBIGINT)::BIGINT).
+  */
+object HashFns {
+
+  /** 60-bit md5-derived hash of a string column (Spark side). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL fragment computing the identical h60 of `expr`. */
+  def h60Sql(expr: String): String =
+    s"CAST(CAST(('0x' || substr(md5($expr), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+  /** Driver-side (Scala) h60 — same digest, for precomputing literal
+    * weights that appear verbatim in both the Spark plan and oracle SQL. */
+  def h60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Distinct 3-word shingles of a whitespace-tokenized text column.
+    * Docs with fewer than 3 words produce no shingles (mirrored by the
+    * oracle's len(words) >= 3 guard).
+    */
+  def wordShingles(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      when(size(words) >= 3,
+        transform(sequence(lit(0), size(words) - 3),
+          i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB fragment: distinct 3-word shingles as a list (1-indexed). */
+  def wordShinglesSql(textExpr: String): String =
+    s"""list_distinct(CASE WHEN len(string_split($textExpr, ' ')) >= 3
+       | THEN list_transform(generate_series(1, len(string_split($textExpr, ' ')) - 2),
+       |   i -> string_split($textExpr, ' ')[i] || ' ' || string_split($textExpr, ' ')[i+1] || ' ' || string_split($textExpr, ' ')[i+2])
+       | ELSE [] END)""".stripMargin.replace("\n", " ")
+}

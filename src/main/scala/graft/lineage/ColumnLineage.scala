@@ -1,0 +1,68 @@
+package graft.lineage
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Column-level lineage: resolve each output attribute of an analyzed plan
+  * down to the set of source-table columns it derives from, following
+  * ExprId chains through Project/Aggregate/Window/Generate/Union/joins.
+  */
+object ColumnLineage {
+
+  /** Lineage for every output column of `plan` (analyzed). */
+  def forPlan(plan: LogicalPlan): Seq[ColumnMapping] = {
+    val body = PlanExtractor.queryBody(plan)
+    body.output.map { attr =>
+      ColumnMapping(attr.name, resolve(attr, body).toSeq.sorted)
+    }
+  }
+
+  /** Source columns (as "source.column") feeding `attr` within `plan`. */
+  def resolve(attr: Attribute, plan: LogicalPlan): Set[String] = plan match {
+    case leaf if leaf.children.isEmpty =>
+      if (leaf.outputSet.contains(attr))
+        Set(s"${PlanExtractor.leafName(leaf)}.${attr.name}")
+      else Set.empty
+
+    case p: Project =>
+      resolveNamed(attr, p.projectList, p.child)
+
+    case a: Aggregate =>
+      resolveNamed(attr, a.aggregateExpressions, a.child)
+
+    case w: Window =>
+      w.windowExpressions.find(_.toAttribute.exprId == attr.exprId) match {
+        case Some(ne) => resolveRefs(ne, w.child)
+        case None     => resolve(attr, w.child)
+      }
+
+    case g: Generate =>
+      if (g.generatorOutput.exists(_.exprId == attr.exprId))
+        g.generator.references.toSeq.flatMap(a => resolve(a, g.child)).toSet
+      else resolve(attr, g.child)
+
+    case u: Union =>
+      val idx = u.output.indexWhere(_.exprId == attr.exprId)
+      if (idx >= 0) u.children.flatMap(c => resolve(c.output(idx), c)).toSet
+      else u.children.flatMap(c => resolve(attr, c)).toSet
+
+    case other =>
+      // pass-through nodes (Filter, Join, Sort, SubqueryAlias, Limit, ...):
+      // descend into whichever children can produce the attribute
+      val owning = other.children.filter(_.outputSet.contains(attr))
+      val targets = if (owning.nonEmpty) owning else other.children
+      targets.flatMap(c => resolve(attr, c)).toSet
+  }
+
+  private def resolveNamed(
+      attr: Attribute,
+      exprs: Seq[NamedExpression],
+      child: LogicalPlan): Set[String] =
+    exprs.find(_.toAttribute.exprId == attr.exprId) match {
+      case Some(ne) => resolveRefs(ne, child)
+      case None     => resolve(attr, child)
+    }
+
+  private def resolveRefs(ne: NamedExpression, child: LogicalPlan): Set[String] =
+    ne.references.toSeq.flatMap(a => resolve(a, child)).toSet
+}

@@ -1,0 +1,67 @@
+package graft.lineage
+
+/** Structured lineage/metadata record emitted once per Spark SQL action —
+  * the engine's equivalent of the reference listener's report payload.
+  */
+final case class InputEntity(
+    kind: String,            // "path" | "table" | "v2" | "inline"
+    name: String,            // path(s) or catalog identifier
+    format: Option[String],  // parquet/csv/... when known
+    columnsRead: Seq[String] // pruned column set actually referenced
+)
+
+final case class OutputEntity(
+    kind: String,           // "path" | "table" | "v2"
+    name: String,
+    format: Option[String],
+    mode: Option[String]    // append/overwrite/... when known
+)
+
+final case class ColumnMapping(
+    output: String,
+    sources: Seq[String] // "table_or_path.column"
+)
+
+final case class LineageRecord(
+    appId: String,
+    appName: String,
+    user: String,
+    funcName: String,          // collect/save/count/... (the triggering action)
+    status: String,            // "success" | "failure"
+    error: Option[String],
+    durationNs: Long,
+    timestampMs: Long,
+    inputs: Seq[InputEntity],
+    output: Option[OutputEntity],
+    outputColumns: Seq[String],
+    columnLineage: Seq[ColumnMapping],
+    schemaFingerprint: String,
+    rowsWritten: Option[Long]
+) {
+
+  /** Dependency-free JSON rendering (newline-safe, driver-parsable). */
+  def toJson: String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+    def opt(o: Option[String]): String = o.map(q).getOrElse("null")
+    val ins = arr(inputs.map(i =>
+      s"""{"kind":${q(i.kind)},"name":${q(i.name)},"format":${opt(i.format)},"columnsRead":${arr(i.columnsRead.map(q))}}"""))
+    val out = output.map(o =>
+      s"""{"kind":${q(o.kind)},"name":${q(o.name)},"format":${opt(o.format)},"mode":${opt(o.mode)}}""").getOrElse("null")
+    val colLin = arr(columnLineage.map(m =>
+      s"""{"output":${q(m.output)},"sources":${arr(m.sources.map(q))}}"""))
+    s"""{"appId":${q(appId)},"appName":${q(appName)},"user":${q(user)},""" +
+      s""""funcName":${q(funcName)},"status":${q(status)},"error":${opt(error)},""" +
+      s""""durationNs":$durationNs,"timestampMs":$timestampMs,"inputs":$ins,"output":$out,""" +
+      s""""outputColumns":${arr(outputColumns.map(q))},"columnLineage":$colLin,""" +
+      s""""schemaFingerprint":${q(schemaFingerprint)},"rowsWritten":${rowsWritten.map(_.toString).getOrElse("null")}}"""
+  }
+}

@@ -1,0 +1,110 @@
+package graft.lineage
+
+import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation, SaveIntoDataSourceCommand}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+
+/** Logical-plan walkers extracting input/output entities from an analyzed
+  * plan — the core of the reference's "metadata extraction from Spark
+  * queries". Works purely on the analyzed `LogicalPlan`, so every API
+  * (DataFrame, SQL, Dataset) is covered uniformly.
+  */
+object PlanExtractor {
+
+  /** All source entities under `plan`, with the pruned column set each
+    * contributes (columns referenced anywhere above the leaf; falls back
+    * to the full output for pass-through scans like count(*) over *).
+    */
+  def inputs(plan: LogicalPlan): Seq[InputEntity] = {
+    // union of attributes referenced by any non-leaf expression
+    val referenced = AttributeSet(plan.collect {
+      case p if p.children.nonEmpty => p.expressions.flatMap(_.references)
+    }.flatten)
+
+    plan.collect {
+      case lr: LogicalRelation =>
+        val cols = readColumns(lr.output, referenced)
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            val name = lr.catalogTable.map(_.identifier.unquotedString)
+              .getOrElse(fs.location.rootPaths.map(_.toString).mkString(","))
+            val kind = if (lr.catalogTable.isDefined) "table" else "path"
+            InputEntity(kind, name, Some(fs.fileFormat.toString.toLowerCase), cols)
+          case other =>
+            InputEntity("table",
+              lr.catalogTable.map(_.identifier.unquotedString).getOrElse(other.toString),
+              None, cols)
+        }
+      case dv2: DataSourceV2Relation =>
+        InputEntity("v2", dv2.name, None, readColumns(dv2.output, referenced))
+      case ht: HiveTableRelation =>
+        InputEntity("table", ht.tableMeta.identifier.unquotedString,
+          ht.tableMeta.storage.serde, readColumns(ht.output, referenced))
+      case _: LocalRelation =>
+        InputEntity("inline", "local", None, Nil)
+    }
+  }
+
+  private def readColumns(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      referenced: AttributeSet): Seq[String] = {
+    val used = output.filter(referenced.contains).map(_.name)
+    if (used.nonEmpty) used else output.map(_.name)
+  }
+
+  /** The write target of `plan`, when the action is a write command. */
+  def output(plan: LogicalPlan): Option[OutputEntity] = plan match {
+    case c: InsertIntoHadoopFsRelationCommand =>
+      Some(OutputEntity(
+        if (c.catalogTable.isDefined) "table" else "path",
+        c.catalogTable.map(_.identifier.unquotedString).getOrElse(c.outputPath.toString),
+        Some(c.fileFormat.toString.toLowerCase), Some(c.mode.toString.toLowerCase)))
+    case c: CreateDataSourceTableAsSelectCommand =>
+      Some(OutputEntity("table", c.table.identifier.unquotedString,
+        c.table.provider, Some(c.mode.toString.toLowerCase)))
+    case c: SaveIntoDataSourceCommand =>
+      Some(OutputEntity("path", c.dataSource.toString, None, Some(c.mode.toString.toLowerCase)))
+    case a: AppendData =>
+      Some(OutputEntity("v2", a.table.name, None, Some("append")))
+    case o: OverwriteByExpression =>
+      Some(OutputEntity("v2", o.table.name, None, Some("overwrite")))
+    case o: OverwritePartitionsDynamic =>
+      Some(OutputEntity("v2", o.table.name, None, Some("overwrite_dynamic")))
+    case c: CreateTableAsSelect =>
+      Some(OutputEntity("v2", c.name.toString, None, Some("create")))
+    case r: ReplaceTableAsSelect =>
+      Some(OutputEntity("v2", r.name.toString, None, Some("replace")))
+    case other =>
+      other.children.iterator.map(output).collectFirst { case Some(o) => o }
+  }
+
+  /** The "query body" below any write command — what column lineage and
+    * output columns should be computed against. */
+  def queryBody(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: InsertIntoHadoopFsRelationCommand  => c.query
+    case c: CreateDataSourceTableAsSelectCommand => c.query
+    case c: SaveIntoDataSourceCommand          => c.query
+    case a: AppendData                         => a.query
+    case o: OverwriteByExpression              => o.query
+    case o: OverwritePartitionsDynamic         => o.query
+    case c: CreateTableAsSelect                => c.query
+    case r: ReplaceTableAsSelect               => r.query
+    case other                                 => other
+  }
+
+  /** Stable display name for a leaf node (used by column lineage). */
+  def leafName(leaf: LogicalPlan): String = leaf match {
+    case lr: LogicalRelation =>
+      lr.catalogTable.map(_.identifier.unquotedString).getOrElse(lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).mkString(",")
+        case o => o.toString
+      })
+    case dv2: DataSourceV2Relation => dv2.name
+    case ht: HiveTableRelation => ht.tableMeta.identifier.unquotedString
+    case _: LocalRelation => "local"
+    case o => o.nodeName
+  }
+}

@@ -1,0 +1,37 @@
+package graft.lineage
+
+import java.io.{BufferedWriter, FileWriter}
+import scala.collection.mutable.ListBuffer
+
+/** Pluggable lineage sinks. Emission must never fail or slow the query:
+  * the listener wraps every emit in a catch-all, and file writes are
+  * line-buffered appends on the driver (lineage volume is per-query, not
+  * per-row — O(queries), trivially cheap even on a 1000-executor cluster).
+  */
+trait LineageSink {
+  def emit(record: LineageRecord): Unit
+  def close(): Unit = ()
+}
+
+/** Test/inspection sink. */
+final class InMemorySink extends LineageSink {
+  private val buf = ListBuffer.empty[LineageRecord]
+  override def emit(r: LineageRecord): Unit = synchronized { buf += r }
+  def records: Seq[LineageRecord] = synchronized { buf.toList }
+  def clear(): Unit = synchronized { buf.clear() }
+}
+
+/** Newline-delimited JSON file sink (append). */
+final class JsonlFileSink(path: String) extends LineageSink {
+  private lazy val writer = new BufferedWriter(new FileWriter(path, true))
+  override def emit(r: LineageRecord): Unit = synchronized {
+    writer.write(r.toJson); writer.newLine(); writer.flush()
+  }
+  override def close(): Unit = synchronized { writer.close() }
+}
+
+/** Log sink (driver log line per query). */
+final class Slf4jSink extends LineageSink {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.lineage")
+  override def emit(r: LineageRecord): Unit = log.info(r.toJson)
+}

@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.HashFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables.
+  *
+  * Every method has an exactly-mirrored DuckDB oracle (the `oracle*` SQL
+  * strings) built on the shared md5-based h60 hash, so results hash-match
+  * across engines.
+  *
+  * Scale design (100 TB):
+  *  - No O(n²) pair generation anywhere. Candidates come from equality
+  *    joins on shared shingles / LSH band hashes / simhash bands, which
+  *    Spark executes as ordinary shuffle hash joins. Quadratic work happens
+  *    only within a candidate bucket.
+  *  - Exact dedup is a single hash-aggregate (map-side combined).
+  *  - MinHash signatures are computed in one pass over the exploded
+  *    shingle table (12 min-aggregates, no per-hash re-scan).
+  *  - Hot shingles could be capped (stop-shingle removal) at extreme
+  *    scale; the driver corpus peaks at ~25 docs/shingle so we keep exact
+  *    semantics here.
+  */
+object Dedup {
+
+  private val JACCARD_T = 0.8
+  private val MINHASH_K = 12 // 6 bands x 2 rows
+  private val BANDS     = 6
+  private val SIM_BITS  = 60 // h60-backed simhash width
+  private val SIM_BANDS = 4  // 15 bits per band -> catches hamming<=3
+
+  // ---------------------------------------------------------------- exact
+  /** Exact duplicate clusters by md5(text): one row per distinct text. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+      .orderBy("text_hash")
+
+  val oracleExact: String =
+    """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------- fingerprint
+  /** Normalized-text 60-bit fingerprint per document. */
+  def qDedupFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), h60(norm).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val oracleFingerprint: String = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    s"SELECT doc_id, ${h60Sql(norm)} AS fingerprint FROM documents ORDER BY doc_id"
+  }
+
+  // -------------------------------------------------------- ngram jaccard
+  /** (doc_id, shingle) exploded distinct-shingle table. */
+  private def shingleTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"))).as("shingle"))
+
+  private val shingleCte =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(${wordShinglesSql("text")}) AS shingle
+       |  FROM documents
+       |)""".stripMargin
+
+  /** Word-3-gram Jaccard near-duplicate pairs (threshold 0.8).
+    * Candidates = pairs sharing >=1 shingle (equality join), then exact
+    * Jaccard from distinct-shingle counts.
+    */
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(s, dir).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("cnt").as("ca")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("cnt").as("cb")), Seq("doc_b"))
+      .withColumn("jaccard", col("shared").cast("double") / (col("ca") + col("cb") - col("shared")))
+      .filter(col("jaccard") >= JACCARD_T)
+      .select(col("doc_a"), col("doc_b"), col("shared"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val oracleNgramJaccard: String =
+    s"""WITH $shingleCte,
+       |cnt AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared, round(shared * 1.0 / (ca.cnt + cb.cnt - shared), 6) AS jaccard
+       |FROM shared JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE shared * 1.0 / (ca.cnt + cb.cnt - shared) >= $JACCARD_T
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------- minhash lsh
+  /** MinHash signature frame: doc_id, mh0..mh11 (lexicographic min of
+    * md5(i || ':' || shingle) — md5 acts as the i-th random permutation).
+    */
+  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MINHASH_K).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    shingleTable(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val sigCte: String = {
+    val cols = (0 until MINHASH_K).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id)"
+  }
+
+  /** MinHash + LSH banding near-dup pairs.
+    * Bands of 2 rows; candidates share a band hash; estimated Jaccard =
+    * fraction of equal minhashes; keep est >= 0.5.
+    */
+  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir).cache()
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"), md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val eq = (0 until MINHASH_K).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0)).reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), round(eq.cast("double") / MINHASH_K, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val oracleMinhashLsh: String = {
+    val bandSel = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bh FROM sig").mkString(" UNION ALL ")
+    val eq = (0 until MINHASH_K).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS ($bandSel),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, round(($eq) / ${MINHASH_K}.0, 6) AS est_jaccard
+       |FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+       |WHERE ($eq) / ${MINHASH_K}.0 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+  /** 60-bit SimHash per document over the word multiset: bit i is set when
+    * at least half the words have bit i set in h60(word).
+    */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", h60(col("w")))
+    val bitSums = (0 until SIM_BITS).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"s$i"))
+    val agg = words.groupBy("doc_id")
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+    val simhash = (0 until SIM_BITS).map(i =>
+      when(col(s"s$i") * 2 >= col("n"), shiftleft(lit(1L), i)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+  }
+
+  private def simhashCtes: String = {
+    val sums = (0 until SIM_BITS).map(i => s"sum((h >> $i) & 1) AS s$i").mkString(", ")
+    val assemble = (0 until SIM_BITS).map(i =>
+      s"CASE WHEN s$i * 2 >= n THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
+    s"""words AS (
+       |  SELECT doc_id, ${h60Sql("unnest(string_split(text, ' '))")} AS h FROM documents),
+       |bitsums AS (SELECT doc_id, $sums, count(*) AS n FROM words GROUP BY doc_id),
+       |simhashes AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bitsums)""".stripMargin
+  }
+
+  val oracleSimhash: String =
+    s"WITH $simhashCtes SELECT doc_id, simhash FROM simhashes ORDER BY doc_id"
+
+  /** SimHash near-dup pairs: 4 bands of 15 bits; any pair at hamming
+    * distance <= 3 must share a band (pigeonhole), verified by bit_count.
+    */
+  def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = qDedupSimhash(s, dir).cache()
+    val bandCols = (0 until SIM_BANDS).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL).as("bv")))
+    val bands = sh.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val oracleSimhashPairs: String = {
+    val bandSel = (0 until SIM_BANDS).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS bv FROM simhashes")
+      .mkString(" UNION ALL ")
+    s"""WITH $simhashCtes,
+       |bands AS ($bandSel)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------- embedding near-dup
+  /** Embedding-cosine nearest neighbor within label (exact argmax).
+    * `label` stands in for an IVF/LSH cell id: at 100 TB the same plan
+    * runs with a finer bucketing column; the join is a shuffle join on the
+    * cell key and quadratic work stays within a cell.
+    */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val withNorm = e.withColumn("nrm",
+      sqrt(aggregate(zip_with(col("emb"), col("emb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)))
+    val dot = aggregate(zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val pairs = withNorm.as("a").join(withNorm.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("cand_id"),
+        (dot / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cand_id").as("nn_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  val oracleEmbedding: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+      |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, cand_id, cos,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rn
+      |  FROM pairs)
+      |SELECT vec_id, cand_id AS nn_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+}

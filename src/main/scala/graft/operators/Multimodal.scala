@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads are opaque `binary` columns
+  * with a typed metadata struct travelling alongside. The decode step is a
+  * STUB (no image/audio codecs in this container) — deliberately
+  * deterministic so the surrounding Spark plumbing (schema, batch shape,
+  * partition-preserving mapPartitions) is real and testable.
+  *
+  * Scale notes: payloads never leave their partition (no shuffle in the
+  * decode path); metadata extraction is pure projection, so Parquet scans
+  * prune to exactly the columns touched.
+  */
+object Multimodal {
+
+  /** Opaque media record: id + raw payload bytes + source tag. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], source: String)
+
+  /** Typed decode output. Width/height/n_frames come from the stub codec. */
+  case class MediaFeatures(
+      doc_id: Long,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      frame_hashes: Seq[String])
+
+  /** Documents re-cast as opaque binary payloads (stand-in for real blobs). */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode: a deterministic fake codec. Real plumbing, fake pixels.
+    * Runs partition-locally via mapPartitions — the shape a real decoder
+    * (batched JNI / native call) would use; swap `decodeOne` for the codec.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition "codec" init would happen here (once, not per record)
+      it.map(decodeOne)
+    }
+  }
+
+  /** ---- STUB: deterministic fake decode (no codecs in container). ---- */
+  private def decodeOne(m: MediaRecord): MediaFeatures = {
+    val len = m.payload.length
+    val nFrames = math.max(1, len / 100)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = (0 until math.min(nFrames, 3)).map { f =>
+      val start = f * (len / math.max(nFrames, 1))
+      val end = math.min(len, start + 16)
+      md.reset()
+      md.digest(java.util.Arrays.copyOfRange(m.payload, start, end))
+        .map(b => f"$b%02x").mkString
+    }
+    MediaFeatures(m.doc_id, len, 16 + len % 640, 16 + len % 480, nFrames, hashes)
+  }
+
+  /** Oracle-checked metadata extraction over the binary payload: byte
+    * length, header hash, and 3 deterministic "frame sample" chunk hashes
+    * (pure SQL arithmetic so DuckDB reproduces it exactly).
+    */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val chunks = (0 until 3).map(i =>
+      md5(expr(s"substring(text, CAST(1 + $i * (length(text) div 4) AS INT), 16)")).as(s"chunk$i"))
+    Tables.documents(s, dir)
+      .select(Seq(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        md5(substring(col("text"), 1, 32)).as("header_hash")) ++ chunks: _*)
+      .orderBy("doc_id")
+  }
+
+  val oracleMultimodalMeta: String = {
+    val chunks = (0 until 3).map(i =>
+      s"md5(substring(text, 1 + $i * (length(text) // 4), 16)) AS chunk$i").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |  md5(substring(text, 1, 32)) AS header_hash,
+       |  $chunks
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+}

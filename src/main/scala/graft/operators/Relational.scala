@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics suite (TPC-H-shaped, adapted to the driver's
+  * tables). Each query is declarative DataFrame API so Catalyst gets full
+  * pushdown/pruning/reorder freedom; dimension joins are broadcast; no
+  * collect-based driver loops anywhere.
+  *
+  * Determinism/oracle notes: every floating aggregate is rounded at the
+  * output edge (sums 2dp, means 4-6dp) so DuckDB hash-compare is stable;
+  * every output column is explicitly aliased to match the oracle SQL.
+  */
+object Relational {
+
+  /** Q1-style pricing summary: wide aggregate with derived expressions.
+    * Scale: single shuffle on a tiny key space; partial aggregation is
+    * automatic (hash-aggregate map-side combine).
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3-style shipping priority: 3-way join (customer broadcast), agg, top-k. */
+  def q3TopUnshipped(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.dim(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style local supplier volume: 6-way star join, all dims broadcast. */
+  def q5LocalVolume(s: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(s, dir)
+    val ord  = Tables.orders(s, dir)
+    val cust = Tables.dim(s, dir, "customer")
+    val supp = Tables.dim(s, dir, "supplier")
+    val nat  = Tables.dim(s, dir, "nation")
+    val reg  = Tables.dim(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Window top-k per group: top-3 orders by value per priority class. */
+  def qGroupTopkWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Running total per customer over time (window running sum). */
+  def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"))
+  }
+
+  /** Left-semi join: customers holding at least one open order. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    Tables.customer(s, dir)
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Left-anti join: customers with no orders at all. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Multi-distinct aggregate (expand-based distinct agg under the hood). */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("distinct_parts"),
+        countDistinct("l_suppkey").as("distinct_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Pivot-style conditional aggregation (orders by status per priority). */
+  def qConditionalPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_filled"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_partial"),
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("open_value"))
+      .orderBy("o_orderpriority")
+
+  /** ROLLUP multi-level totals. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Exact percentiles per group (interpolated, = DuckDB quantile_cont). */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+}

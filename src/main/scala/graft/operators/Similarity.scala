@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.HashFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over the `embeddings` table
+  * (embedding: array<float> — cast to double before any arithmetic so both
+  * engines do identical double math on identical float32 inputs).
+  *
+  * Scale story:
+  *  - `qKnnBrute` is the exact baseline: broadcast the (single) query
+  *    vector, one scan, TakeOrderedAndProject top-k — no shuffle of the
+  *    corpus, linear in data. This is the correct plan even at 100 TB for
+  *    one query.
+  *  - `qKnnLsh` is the batch/scale path: 16-plane random-hyperplane
+  *    signatures → bucket-equality shuffle join → exact re-rank within the
+  *    bucket. Quadratic work is confined to a bucket (expected n/2^16 of
+  *    the corpus per bucket).
+  *  - `qKnnCentroid` is the IVF building block: per-cell centroid
+  *    (map-side-combined avg per dimension) + nearest-to-centroid medoid.
+  */
+object Similarity {
+
+  private val DIM = 64
+  private val PLANES = 8
+
+  /** cosine(a, b) with left-to-right double summation (matches the
+    * oracle's list_sum(list_transform(...)) fold order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact brute-force cosine top-10 for query vector vec_id=0. */
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qemb")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .select(col("vec_id"),
+        (dot(col("emb"), col("qemb")) / (norm(col("emb")) * norm(col("qemb")))).as("cos"))
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  val oracleKnnBrute: String =
+    """WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |  list_sum(list_transform(generate_series(1, len(embedding)),
+      |    i -> embedding[i]::DOUBLE * qemb[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+      |   * sqrt(list_sum(list_transform(generate_series(1, len(qemb)), i -> qemb[i]::DOUBLE * qemb[i]::DOUBLE)))), 6) AS cos
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY list_sum(list_transform(generate_series(1, len(embedding)),
+      |    i -> embedding[i]::DOUBLE * qemb[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+      |   * sqrt(list_sum(list_transform(generate_series(1, len(qemb)), i -> qemb[i]::DOUBLE * qemb[i]::DOUBLE)))) DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Deterministic random-hyperplane weights, identical literals on both
+    * engines (computed from md5 at plan-build time — 3 exact decimals). */
+  private[graft] def planeWeights: IndexedSeq[IndexedSeq[Double]] =
+    (0 until PLANES).map(p => (0 until DIM).map(d =>
+      (HashFns.h60Local(s"plane:$p:$d") % 2001 - 1000) / 1000.0))
+
+  /** LSH-bucketed ANN: sign-bit signature → bucket join → exact top-3
+    * re-rank within bucket. Approximate by construction but fully
+    * deterministic, so the oracle reproduces it exactly.
+    */
+  def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val ws = planeWeights
+    val bucket = (0 until PLANES).map { p =>
+      val w = array(ws(p).map(lit): _*)
+      when(dot(col("emb"), w) > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+    val sig = e.withColumn("bucket", bucket).withColumn("nrm", norm(col("emb"))).cache()
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("cand_id"),
+        (dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("cand_id").as("nn_id"), col("rnk"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  val oracleKnnLsh: String = {
+    val ws = planeWeights
+    val buckets = (0 until PLANES).map { p =>
+      val lits = ws(p).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($lits)[i])) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding, ($buckets) AS bucket,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
+       |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (SELECT vec_id, cand_id, cos,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk FROM pairs)
+       |SELECT vec_id, cand_id AS nn_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
+       |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+  }
+
+  /** IVF building block: per-label centroid + the vector closest to it. */
+  def qKnnCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val cent = e.select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("av"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+        x => x.getField("av")).as("centroid"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        (dot(col("emb"), col("centroid")) / (norm(col("emb")) * norm(col("centroid")))).as("cos"))
+    val w = Window.partitionBy("label").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("label"), col("vec_id").as("medoid_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("label")
+  }
+
+  val oracleKnnCentroid: String =
+    """WITH flat AS (
+      |  SELECT label, unnest(embedding)::DOUBLE AS v,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, list(av ORDER BY pos) AS centroid
+      |  FROM (SELECT label, pos, avg(v) AS av FROM flat GROUP BY 1, 2) GROUP BY label),
+      |scored AS (
+      |  SELECT e.label, e.vec_id,
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> e.embedding[i]::DOUBLE * centroid[i]))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(generate_series(1, len(centroid)), i -> centroid[i] * centroid[i])))) AS cos
+      |  FROM embeddings e JOIN cent ON e.label = cent.label),
+      |ranked AS (SELECT label, vec_id, cos,
+      |  row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rn FROM scored)
+      |SELECT label, vec_id AS medoid_id, round(cos, 6) AS cos
+      |FROM ranked WHERE rn = 1 ORDER BY label""".stripMargin
+}

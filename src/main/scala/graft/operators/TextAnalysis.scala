@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, heuristic language ID, n-gram stats.
+  *
+  * All scoring is rational arithmetic on integer counts (no
+  * transcendentals) so Spark and DuckDB produce bit-identical doubles.
+  * Scale: each query is a single narrow projection + one aggregation —
+  * embarrassingly parallel over document splits.
+  */
+object TextAnalysis {
+
+  private val TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+  private val STOPWORDS = Seq("the", "a", "or", "and", "of")
+
+  /** Token counting: whitespace words + BPE-ish regex token runs. */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      regexp_count(col("text"), lit(TOKEN_RE)).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  val oracleTokens: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(len(regexp_extract_all(text, '$TOKEN_RE')) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length / punctuation / stopword signals composed
+    * into one deterministic [0,1] score.
+    */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val words  = split(col("text"), " ")
+    val nWords = size(words).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val noSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val punct  = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double")
+    val stopList = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
+    val nStop = size(expr(s"filter(split(text, ' '), w -> w IN $stopList)")).cast("double")
+    val punctRatio = punct / nChars
+    val stopRatio  = nStop / nWords
+    val lenSignal  = least(nWords / 100.0, lit(1.0))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      round(noSpace / nWords, 4).as("mean_word_len"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * lenSignal, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val oracleQuality: String = {
+    val stopList = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  round(length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')), 4) AS mean_word_len,
+       |  round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text), 6) AS punct_ratio,
+       |  round(len(list_filter(string_split(text, ' '), w -> w IN $stopList))::DOUBLE / len(string_split(text, ' ')), 6) AS stop_ratio,
+       |  round(0.5 * (len(list_filter(string_split(text, ' '), w -> w IN $stopList))::DOUBLE / len(string_split(text, ' ')))
+       |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text))
+       |      + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0), 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Heuristic language ID: marker-lexicon hit counts per language,
+    * deterministic priority-ordered argmax; reported as a confusion
+    * summary against the labeled `lang` column.
+    */
+  private val lexicons = Seq(
+    "en" -> Seq("the", "a", "or"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "y"),
+    "fr" -> Seq("le", "les", "et"))
+
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val scores = lexicons.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("(", ",", ")")
+      l -> expr(s"size(filter(split(text, ' '), w -> w IN $list))")
+    }
+    // priority argmax: first lexicon (in declaration order) hitting the max wins
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred2 = scores.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (l, sc))      => Some(when(sc === maxScore && maxScore > 0, lit(l)))
+      case (Some(c), (l, sc))   => Some(c.when(sc === maxScore && maxScore > 0, lit(l)))
+    }.get.otherwise(lit("unk"))
+    Tables.documents(s, dir)
+      .select(col("lang"), pred2.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val oracleLangid: String = {
+    val scoreSql = lexicons.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("(", ",", ")")
+      l -> s"len(list_filter(string_split(text, ' '), w -> w IN $list))"
+    }
+    val maxExpr = s"greatest(${scoreSql.map(_._2).mkString(", ")})"
+    val whenChain = scoreSql.map { case (l, sc) =>
+      s"WHEN $sc = m AND m > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (SELECT lang, $maxExpr AS m, text FROM documents)
+       |SELECT lang, CASE $whenChain ELSE 'unk' END AS predicted, count(*) AS n
+       |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Top-20 word bigrams by frequency (multiplicity-preserving). */
+  def qTextNgrams(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram"))
+      .limit(20)
+  }
+
+  val oracleNgrams: String =
+    """WITH b AS (
+      |  SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+      |    THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+      |    ELSE [] END) AS bigram
+      |  FROM documents)
+      |SELECT bigram, count(*) AS n FROM b GROUP BY 1
+      |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+}

@@ -109,7 +109,7 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_distinct_agg" ->

@@ -21,17 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** events with `ts` as a proper microsecond timestamp + `ts_sec` double. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events with `ts` as a proper microsecond timestamp.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the session
+    * (set once at session build — Verify/Bench/test base all do), NOT
+    * mutated here: operators must not side-effect session config.
+    */
+  def events(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
-  /** Tumbling 1-hour window aggregation (batch twin of the streaming op). */
+  /** Tumbling 1-hour window aggregation (batch twin of
+    * [[graft.streaming.StreamOps.windowCounts]]). `hour_start` is emitted
+    * as TIMESTAMP_NTZ: the oracle's `make_timestamp` is tz-naive, and the
+    * session runs UTC, so the NTZ wall-clock equals the oracle instant.
+    */
   def qEventsWindowAgg(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("hour_start", "event_type")
 

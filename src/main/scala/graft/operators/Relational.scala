@@ -96,11 +96,18 @@ object Relational {
       .select("c_custkey", "c_name")
   }
 
-  /** Left-anti join: customers with no orders at all. */
-  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+  /** Left-anti join: customers with no OPEN order. (Every customer in the
+    * driver data has at least one order, so anti-joining the unfiltered
+    * orders table would pass vacuously with 0 rows — filtering to open
+    * orders exercises the anti-join with a non-empty result.)
+    */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
 
   /** Multi-distinct aggregate (expand-based distinct agg under the hood). */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame =

@@ -36,6 +36,18 @@ final class LineageListener(sinks: Seq[LineageSink]) extends QueryExecutionListe
     val rows = try {
       qe.executedPlan.metrics.get("numOutputRows").map(_.value)
     } catch { case _: Throwable => None }
+    // Executed-plan metrics: numOutputBytes is populated by the write-path
+    // stats tracker on the root command node; filesSize is each scan's
+    // post-pruning input size — summed over scans = bytes read.
+    val bytesOut = try {
+      qe.executedPlan.metrics.get("numOutputBytes").map(_.value)
+    } catch { case _: Throwable => None }
+    val bytesIn = try {
+      val vals = qe.executedPlan.collect {
+        case p if p.metrics.contains("filesSize") => p.metrics("filesSize").value
+      }
+      if (vals.nonEmpty) Some(vals.sum) else None
+    } catch { case _: Throwable => None }
     Some(LineageRecord(
       appId = spark.sparkContext.applicationId,
       appName = spark.sparkContext.appName,
@@ -50,13 +62,28 @@ final class LineageListener(sinks: Seq[LineageSink]) extends QueryExecutionListe
       outputColumns = body.output.map(_.name),
       columnLineage = ColumnLineage.forPlan(analyzed),
       schemaFingerprint = MetadataExtractor.schemaFingerprint(body.schema),
-      rowsWritten = rows))
+      rowsWritten = rows,
+      bytesWritten = bytesOut,
+      bytesRead = bytesIn))
   }
 }
 
-/** One-line enablement, mirroring the reference's install-and-forget UX. */
+/** One-line enablement, mirroring the reference's install-and-forget UX.
+  * Sinks are wrapped in [[AsyncSink]] so emission is non-blocking for the
+  * query path; use `installSync` when deterministic in-line delivery is
+  * wanted (tests).
+  */
 object Lineage {
   def install(spark: SparkSession, sinks: LineageSink*): LineageListener = {
+    val effective = if (sinks.nonEmpty) sinks else Seq(new Slf4jSink)
+    val l = new LineageListener(effective.map(new AsyncSink(_)))
+    spark.listenerManager.register(l)
+    l
+  }
+
+  /** Synchronous variant: records reach the given sinks on the listener
+    * bus thread itself (still off the query's action thread). */
+  def installSync(spark: SparkSession, sinks: LineageSink*): LineageListener = {
     val effective = if (sinks.nonEmpty) sinks else Seq(new Slf4jSink)
     val l = new LineageListener(effective)
     spark.listenerManager.register(l)

@@ -36,7 +36,9 @@ final case class LineageRecord(
     outputColumns: Seq[String],
     columnLineage: Seq[ColumnMapping],
     schemaFingerprint: String,
-    rowsWritten: Option[Long]
+    rowsWritten: Option[Long],
+    bytesWritten: Option[Long] = None,
+    bytesRead: Option[Long] = None
 ) {
 
   /** Dependency-free JSON rendering (newline-safe, driver-parsable). */
@@ -62,6 +64,7 @@ final case class LineageRecord(
       s""""funcName":${q(funcName)},"status":${q(status)},"error":${opt(error)},""" +
       s""""durationNs":$durationNs,"timestampMs":$timestampMs,"inputs":$ins,"output":$out,""" +
       s""""outputColumns":${arr(outputColumns.map(q))},"columnLineage":$colLin,""" +
-      s""""schemaFingerprint":${q(schemaFingerprint)},"rowsWritten":${rowsWritten.map(_.toString).getOrElse("null")}}"""
+      s""""schemaFingerprint":${q(schemaFingerprint)},"rowsWritten":${rowsWritten.map(_.toString).getOrElse("null")},""" +
+      s""""bytesWritten":${bytesWritten.map(_.toString).getOrElse("null")},"bytesRead":${bytesRead.map(_.toString).getOrElse("null")}}"""
   }
 }

@@ -35,3 +35,32 @@ final class Slf4jSink extends LineageSink {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.lineage")
   override def emit(r: LineageRecord): Unit = log.info(r.toJson)
 }
+
+/** Async decorator: emits enqueue onto a bounded buffer drained by one
+  * daemon thread, so the query path never blocks on sink I/O (a slow
+  * HTTP/file sink costs the query an array offer, nothing more). Records
+  * are dropped, never blocked on, if the buffer is full — lineage must
+  * not backpressure the workload.
+  */
+final class AsyncSink(delegate: LineageSink, capacity: Int = 4096) extends LineageSink {
+  private val queue = new java.util.concurrent.LinkedBlockingQueue[LineageRecord](capacity)
+  @volatile private var running = true
+  private val worker = new Thread(new Runnable {
+    def run(): Unit = while (running || !queue.isEmpty) {
+      val r = queue.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (r != null) try delegate.emit(r) catch { case _: Throwable => () }
+    }
+  }, "graft-lineage-async-sink")
+  worker.setDaemon(true)
+  worker.start()
+
+  override def emit(r: LineageRecord): Unit = queue.offer(r)
+
+  /** Block (bounded) until everything enqueued so far is delivered. */
+  def drain(timeoutMs: Long = 5000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!queue.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(5)
+  }
+
+  override def close(): Unit = { drain(); running = false; delegate.close() }
+}

@@ -1,0 +1,73 @@
+package graft.lineage
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** Column-level lineage resolution through each plan shape SURVEY §2.1
+  * names: Project, Aggregate, Window, Join, Union, Generate.
+  */
+class ColumnLineageSpec extends AnyFunSpec with SparkTestBase {
+
+  private def lineage(df: DataFrame): Map[String, Set[String]] =
+    ColumnLineage.forPlan(df.queryExecution.analyzed)
+      .map(m => m.output -> m.sources.toSet).toMap
+
+  private def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  private def ord = spark.read.parquet(s"$sfDir/orders.parquet")
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  describe("ColumnLineage") {
+
+    it("resolves arithmetic projections to their source columns") {
+      val lin = lineage(li.select(
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net")))
+      assert(lin("net").map(_.split('.').last) == Set("l_extendedprice", "l_discount"))
+      assert(lin("net").forall(_.contains("lineitem.parquet")))
+    }
+
+    it("resolves aggregates: keys and aggregate inputs") {
+      val lin = lineage(li.groupBy("l_returnflag").agg(sum("l_quantity").as("q")))
+      assert(lin("q").map(_.split('.').last) == Set("l_quantity"))
+      assert(lin("l_returnflag").map(_.split('.').last) == Set("l_returnflag"))
+    }
+
+    it("resolves window expressions to partition/order inputs") {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      val lin = lineage(ord.select(col("o_orderkey"), row_number().over(w).as("rn")))
+      assert(lin("rn").map(_.split('.').last) == Set("o_orderpriority", "o_totalprice"))
+    }
+
+    it("resolves across joins to the owning side") {
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey"), col("o_custkey"))
+      val lin = lineage(j)
+      assert(lin("l_partkey").forall(_.contains("lineitem.parquet")))
+      assert(lin("o_custkey").forall(_.contains("orders.parquet")))
+    }
+
+    it("merges sources across union branches") {
+      val a = li.select(col("l_orderkey").as("k"))
+      val b = ord.select(col("o_orderkey").as("k"))
+      val lin = lineage(a.unionByName(b))
+      assert(lin("k").exists(_.endsWith(".l_orderkey")))
+      assert(lin("k").exists(_.endsWith(".o_orderkey")))
+    }
+
+    it("resolves generator output through explode") {
+      val lin = lineage(docs.select(explode(split(col("text"), " ")).as("word")))
+      assert(lin("word").map(_.split('.').last) == Set("text"))
+    }
+
+    it("resolves transitively through stacked operators") {
+      val df = li
+        .select(col("l_orderkey"), (col("l_extendedprice") * lit(2)).as("p2"))
+        .groupBy("l_orderkey").agg(max("p2").as("m"))
+        .select((col("m") + lit(1)).as("m1"))
+      val lin = lineage(df)
+      assert(lin("m1").map(_.split('.').last) == Set("l_extendedprice"))
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft.lineage
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** The reference's core surface: a real write command captured end-to-end
+  * through the listener — inputs with pruned columns, output entity,
+  * column lineage, run metrics — delivered to an in-memory sink.
+  */
+class LineageListenerSpec extends AnyFunSpec with SparkTestBase {
+
+  describe("LineageListener round-trip") {
+
+    it("captures a parquet write: inputs, pruned columns, output, lineage, metrics") {
+      val sink = new InMemorySink
+      val l = Lineage.installSync(spark, sink)
+      try withTempDir { dir =>
+        val out = s"${dir.getAbsolutePath}/out"
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .filter(col("l_quantity") > 25)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+          .write.mode("overwrite").parquet(out)
+
+        assert(eventually()(sink.records.exists(_.output.isDefined)),
+          "no write record arrived on the listener bus")
+        val rec = sink.records.find(_.output.isDefined).get
+        assert(rec.status == "success")
+
+        // input entity: the lineitem path, with ONLY the referenced columns
+        assert(rec.inputs.size == 1)
+        val in = rec.inputs.head
+        assert(in.kind == "path")
+        assert(in.name.contains("lineitem.parquet"))
+        assert(in.format.exists(_.contains("parquet")))
+        assert(in.columnsRead.toSet ==
+          Set("l_orderkey", "l_extendedprice", "l_discount", "l_quantity"))
+
+        // output entity: path + format + save mode
+        val o = rec.output.get
+        assert(o.kind == "path")
+        assert(o.name.endsWith("/out"))
+        assert(o.format.exists(_.contains("parquet")))
+        assert(o.mode.contains("overwrite"))
+
+        // column lineage: net <- {extendedprice, discount}; passthrough key
+        assert(rec.outputColumns == Seq("l_orderkey", "net"))
+        val lin = rec.columnLineage.map(m => m.output -> m.sources.toSet).toMap
+        assert(lin("net").exists(_.endsWith(".l_extendedprice")))
+        assert(lin("net").exists(_.endsWith(".l_discount")))
+        assert(lin("net").size == 2)
+        assert(lin("l_orderkey").size == 1)
+        assert(lin("l_orderkey").head.endsWith(".l_orderkey"))
+
+        // run metrics
+        val written = spark.read.parquet(out).count()
+        assert(rec.rowsWritten.contains(written))
+        assert(rec.bytesWritten.exists(_ > 0L), s"bytesWritten=${rec.bytesWritten}")
+        assert(rec.bytesRead.exists(_ > 0L), s"bytesRead=${rec.bytesRead}")
+        assert(rec.schemaFingerprint.length == 64) // sha-256 hex
+        assert(rec.funcName.nonEmpty)
+        assert(rec.appId.nonEmpty && rec.user.nonEmpty)
+      } finally Lineage.uninstall(spark, l)
+    }
+
+    it("captures a failing action via onFailure") {
+      val sink = new InMemorySink
+      val l = Lineage.installSync(spark, sink)
+      try {
+        val boom = udf((i: Int) => {
+          if (i >= 0) throw new RuntimeException("graft-test-boom"); i
+        })
+        intercept[Exception] {
+          spark.read.parquet(s"$sfDir/orders.parquet")
+            .select(boom(col("o_orderkey").cast("int")).as("x")).collect()
+        }
+        assert(eventually()(sink.records.exists(_.status == "failure")),
+          "no failure record arrived")
+        val rec = sink.records.find(_.status == "failure").get
+        assert(rec.error.isDefined)
+        assert(rec.inputs.exists(_.name.contains("orders.parquet")))
+      } finally Lineage.uninstall(spark, l)
+    }
+
+    it("never fails the query when a sink throws") {
+      val throwing = new LineageSink {
+        override def emit(r: LineageRecord): Unit = throw new IllegalStateException("sink down")
+      }
+      val l = Lineage.installSync(spark, throwing)
+      try {
+        // would surface as a listener exception if unguarded; query must succeed
+        val n = spark.read.parquet(s"$sfDir/region.parquet").count()
+        assert(n > 0)
+      } finally Lineage.uninstall(spark, l)
+    }
+  }
+}

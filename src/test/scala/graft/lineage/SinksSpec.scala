@@ -1,0 +1,67 @@
+package graft.lineage
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkTestBase
+import org.scalatest.funspec.AnyFunSpec
+
+import scala.jdk.CollectionConverters._
+
+class SinksSpec extends AnyFunSpec with SparkTestBase {
+
+  private def record(id: String) = LineageRecord(
+    appId = id, appName = "graft \"quoted\"\nname\t!", user = "tester",
+    funcName = "save", status = "success", error = Some("line1\nline2"),
+    durationNs = 42L, timestampMs = 1700000000000L,
+    inputs = Seq(InputEntity("path", "/data/a.parquet", Some("parquet"), Seq("x", "y"))),
+    output = Some(OutputEntity("path", "/out", Some("parquet"), Some("overwrite"))),
+    outputColumns = Seq("x"),
+    columnLineage = Seq(ColumnMapping("x", Seq("/data/a.parquet.x"))),
+    schemaFingerprint = "ab" * 32, rowsWritten = Some(7L),
+    bytesWritten = Some(1024L), bytesRead = Some(2048L))
+
+  describe("JsonlFileSink") {
+    it("writes strict one-record-per-line JSON that a standard parser accepts") {
+      withTempDir { dir =>
+        val path = s"${dir.getAbsolutePath}/lineage.jsonl"
+        val sink = new JsonlFileSink(path)
+        (0 until 3).foreach(i => sink.emit(record(s"app-$i")))
+        sink.close()
+        val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala
+        assert(lines.size == 3)
+        val om = new ObjectMapper()
+        lines.zipWithIndex.foreach { case (line, i) =>
+          val node = om.readTree(line) // throws on malformed JSON
+          assert(node.get("appId").asText() == s"app-$i")
+          assert(node.get("appName").asText().contains("\"quoted\"\nname"))
+          assert(node.get("rowsWritten").asLong() == 7L)
+          assert(node.get("bytesWritten").asLong() == 1024L)
+          assert(node.get("bytesRead").asLong() == 2048L)
+          assert(node.get("inputs").get(0).get("columnsRead").get(1).asText() == "y")
+          assert(node.get("columnLineage").get(0).get("output").asText() == "x")
+        }
+      }
+    }
+  }
+
+  describe("AsyncSink") {
+    it("delivers all records off-thread and drains on demand") {
+      val mem = new InMemorySink
+      val async = new AsyncSink(mem)
+      val n = 200
+      (0 until n).foreach(i => async.emit(record(s"a-$i")))
+      async.drain()
+      assert(mem.records.size == n)
+      assert(mem.records.map(_.appId).toSet == (0 until n).map(i => s"a-$i").toSet)
+      async.close()
+    }
+
+    it("survives a throwing delegate without propagating") {
+      val async = new AsyncSink(new LineageSink {
+        override def emit(r: LineageRecord): Unit = throw new RuntimeException("down")
+      })
+      (0 until 10).foreach(i => async.emit(record(s"x-$i")))
+      async.drain()
+      async.close() // no exception reaches the caller
+    }
+  }
+}

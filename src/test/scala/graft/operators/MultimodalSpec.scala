@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalatest.funspec.AnyFunSpec
+
+class MultimodalSpec extends AnyFunSpec with SparkTestBase {
+
+  describe("Multimodal decode plumbing") {
+
+    it("decodes every record partition-locally with the declared shape") {
+      val media = Multimodal.mediaTable(spark, sfDir)
+      val decoded = Multimodal.decodeFeatures(media)
+      // partition-preserving: no shuffle may appear between read and decode
+      assert(decoded.rdd.getNumPartitions == media.rdd.getNumPartitions)
+      val rows = decoded.collect()
+      assert(rows.length == media.count())
+      rows.foreach { f =>
+        assert(f.byte_len > 0)
+        assert(f.width >= 16 && f.height >= 16)
+        assert(f.n_frames >= 1)
+        assert(f.frame_hashes.size == math.min(f.n_frames, 3))
+        assert(f.frame_hashes.forall(_.length == 32)) // md5 hex
+      }
+    }
+
+    it("is deterministic (stub codec is a pure function of the payload)") {
+      val a = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+        .collect().sortBy(_.doc_id).take(20)
+      val b = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+        .collect().sortBy(_.doc_id).take(20)
+      assert(a.map(x => (x.doc_id, x.byte_len, x.width, x.height, x.n_frames, x.frame_hashes)).toSeq ==
+        b.map(x => (x.doc_id, x.byte_len, x.width, x.height, x.n_frames, x.frame_hashes)).toSeq)
+    }
+  }
+
+  describe("query smoke (sf0.001)") {
+    it("every SparkEntry query executes and the flagship returns rows") {
+      assert(graft.SparkEntry.entry(spark).count() > 0)
+      // cheap structural smoke: every registered query must at least plan+run
+      graft.SparkEntry.queries.foreach { case (name, fn) =>
+        val n = fn(spark, sfDir).count()
+        assert(n >= 0, s"$name failed")
+      }
+    }
+
+    it("every query has a matching oracle entry") {
+      val q = graft.SparkEntry.queries.keySet
+      val o = graft.SparkEntry.oracleSql.keySet
+      assert(q == o, s"queries without oracle: ${q -- o}; oracles without query: ${o -- q}")
+    }
+  }
+}

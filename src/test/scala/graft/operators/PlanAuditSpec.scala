@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funspec.AnyFunSpec
+
+/** SURVEY §4's scale rules, asserted on the physical plans: filters and
+  * projections reach the parquet scan, dimension joins broadcast, and the
+  * hot paths stay inside whole-stage codegen.
+  */
+class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
+
+  private def explain(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Count physical nodes by their formatted-explain detail header —
+    * "(4) Exchange" — so tree + detail duplication doesn't double-count. */
+  private def countNodes(plan: String, node: String): Int =
+    plan.linesIterator.count(_.matches(s"^\\(\\d+\\) $node.*"))
+
+  describe("predicate pushdown and column pruning") {
+
+    it("q1 pushes the shipdate filter into the parquet scan") {
+      val plan = explain(Relational.q1PricingSummary(spark, sfDir))
+      assert(plan.contains("PushedFilters"), plan)
+      assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+        "l_shipdate filter not pushed to scan")
+    }
+
+    it("q1 prunes the lineitem scan to the referenced columns only") {
+      val plan = explain(Relational.q1PricingSummary(spark, sfDir))
+      val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+      assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+        s"unreferenced columns not pruned: $readSchema")
+    }
+
+    it("q3 broadcasts the customer dimension") {
+      val plan = explain(Relational.q3TopUnshipped(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+
+    it("q5's star join broadcasts every dimension (a single fact shuffle path)") {
+      val plan = explain(Relational.q5LocalVolume(spark, sfDir))
+      val broadcasts = countNodes(plan, "BroadcastHashJoin")
+      assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+      assert(countNodes(plan, "SortMergeJoin") == 0,
+        "star-schema dims must not sort-merge")
+    }
+
+    it("q1 runs inside whole-stage codegen") {
+      // AQE only materializes codegen annotations once stages execute
+      val df = Relational.q1PricingSummary(spark, sfDir)
+      df.collect()
+      assert(explain(df).contains("codegen id"))
+    }
+
+    it("text quality scoring stays a single stage (projection only, no shuffle)") {
+      val df = TextAnalysis.qTextQuality(spark, sfDir)
+      val shuffles = countNodes(explain(df), "Exchange")
+      // one exchange allowed for the final orderBy; nothing else may shuffle
+      assert(shuffles <= 1, s"projection query shuffled $shuffles times")
+    }
+  }
+}

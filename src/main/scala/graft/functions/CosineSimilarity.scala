@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity over two
+  * `array<double>` columns, with whole-stage codegen (`doGenCode` via
+  * `nullSafeCodeGen`) — one fused loop computing dot product and both
+  * norms, no intermediate arrays, no UDF serialization boundary.
+  *
+  * Semantics match the composed `aggregate(zip_with(...))` column tree it
+  * replaces bit-for-bit: left-to-right IEEE-754 double accumulation per
+  * accumulator, `dot / (sqrt(aa) * sqrt(bb))`, NULL when either vector is
+  * NULL, has a NULL element, or has zero norm.
+  *
+  * This is the §2.8 scale path: on a 100 TB corpus the similarity kernel
+  * runs inside the generated stage alongside the scan and filter — the
+  * JIT sees one tight loop per row instead of three array-builder passes.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // ExpectsInputTypes is unusable outside org.apache.spark.sql (its
+  // AbstractDataType is private[sql] in Spark 4), so type-check directly.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_cosine requires (array<double>, array<double>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      ab += xi * yi; aa += xi * xi; bb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(aa) * math.sqrt(bb)
+    if (denom == 0.0) null else ab / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+         |}
+         |if (!${ev.isNull}) {
+         |  double $denom = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $ab / $denom; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+
+  /** SQL-registry descriptor (`SparkSessionExtensions.injectFunction`). */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_cosine(a, b) takes exactly 2 array arguments")
+      CosineSimilarity(children.head, children.last)
+    })
+
+  /** Idempotent runtime registration for sessions built without
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.catalog.functionExists("graft_cosine")) {
+      spark.sessionState.functionRegistry
+        .registerFunction(descriptor._1, descriptor._2, descriptor._3)
+      ()
+    }
+}

@@ -32,6 +32,17 @@ object Dedup {
   private val SIM_BITS  = 60 // h60-backed simhash width
   private val SIM_BANDS = 4  // 15 bits per band -> catches hamming<=3
 
+  /** Stop-shingle cutoff for Jaccard candidate generation: a shingle
+    * shared by k documents contributes k² candidate rows, so one hot
+    * shingle ("click here to subscribe") can go quadratic on a web-scale
+    * corpus. Shingles above this document frequency are dropped from BOTH
+    * the candidate join and the per-doc counts (i.e. Jaccard is computed
+    * over the stop-filtered shingle sets — the standard near-dup recipe).
+    * The driver corpus peaks at ~25 docs/shingle, so the cap is inert at
+    * test SF and purely a scale guard.
+    */
+  private val MAX_SHINGLE_DF = 100
+
   // ---------------------------------------------------------------- exact
   /** Exact duplicate clusters by md5(text): one row per distinct text. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -71,11 +82,15 @@ object Dedup {
        |)""".stripMargin
 
   /** Word-3-gram Jaccard near-duplicate pairs (threshold 0.8).
-    * Candidates = pairs sharing >=1 shingle (equality join), then exact
-    * Jaccard from distinct-shingle counts.
+    * Candidates = pairs sharing >=1 non-stop shingle (equality join on
+    * the doc-frequency-capped shingle table — see [[MAX_SHINGLE_DF]]),
+    * then exact Jaccard from the capped distinct-shingle counts.
     */
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleTable(s, dir).cache()
+    val raw = shingleTable(s, dir)
+    val keep = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MAX_SHINGLE_DF).select("shingle")
+    val sh = raw.join(keep, Seq("shingle")).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -91,7 +106,9 @@ object Dedup {
   }
 
   val oracleNgramJaccard: String =
-    s"""WITH $shingleCte,
+    s"""WITH ${shingleCte.replace("sh AS (", "sh0 AS (")},
+       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MAX_SHINGLE_DF),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
        |cnt AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
        |shared AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -224,43 +241,28 @@ object Dedup {
   }
 
   // ---------------------------------------------------- embedding near-dup
-  /** Embedding-cosine nearest neighbor within label (exact argmax).
-    * `label` stands in for an IVF/LSH cell id: at 100 TB the same plan
-    * runs with a finer bucketing column; the join is a shuffle join on the
-    * cell key and quadratic work stays within a cell.
+  /** Embedding-cosine near-duplicate detection: approximate nearest
+    * neighbor per vector over LSH-banded candidates (see
+    * [[Similarity.lshCandidates]]). The earlier design bucketed on the
+    * `label` column — all-pairs in disguise once labels are few at scale;
+    * LSH band buckets (2^BITS per band, BITS being the scale knob) bound
+    * quadratic work by construction. Vectors whose bands collide with no
+    * other vector emit no row — the documented ANN-dedup semantics.
     */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("emb"))
-    val withNorm = e.withColumn("nrm",
-      sqrt(aggregate(zip_with(col("emb"), col("emb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)))
-    val dot = aggregate(zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val pairs = withNorm.as("a").join(withNorm.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("cand_id"),
-        (dot / (col("a.nrm") * col("b.nrm"))).as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    Similarity.lshCandidates(s, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("cand_id").as("nn_id"), round(col("cos"), 6).as("cos"))
       .orderBy("vec_id")
   }
 
   val oracleEmbedding: String =
-    """WITH n AS (
-      |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
-      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-      |  FROM embeddings),
-      |pairs AS (
-      |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
-      |    list_sum(list_transform(generate_series(1, len(a.embedding)),
-      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
-      |ranked AS (
-      |  SELECT vec_id, cand_id, cos,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rn
-      |  FROM pairs)
-      |SELECT vec_id, cand_id AS nn_id, round(cos, 6) AS cos
-      |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    s"""WITH ${Similarity.lshCandidatesSql},
+       |ranked AS (
+       |  SELECT vec_id, cand_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rn
+       |  FROM cand)
+       |SELECT vec_id, cand_id AS nn_id, round(cos, 6) AS cos
+       |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 }

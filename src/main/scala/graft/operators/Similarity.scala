@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.HashFns
+import graft.functions.{CosineSimilarity, HashFns}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,13 +25,32 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private val DIM = 64
-  private val PLANES = 8
+
+  /** Random-hyperplane LSH geometry: PLANES sign bits split into BANDS
+    * bands of BITS bits. Candidates must agree on at least one FULL band
+    * (classic banding), so quadratic work is confined to 2^BITS buckets
+    * per band. 2^BITS is the scale knob: at the driver corpus (500–5000
+    * vectors) 8-bit bands keep recall non-trivial; at 100 TB you'd raise
+    * BITS to ~log2(n / target_bucket_size) (e.g. 24 bits → 16M buckets)
+    * and/or add bands — the plan shape (explode → band-equality shuffle
+    * join → per-bucket re-rank) is unchanged, only the key gets wider.
+    */
+  private[graft] val PLANES = 16
+  private[graft] val BANDS  = 2
+  private[graft] val BITS   = PLANES / BANDS
 
   /** cosine(a, b) with left-to-right double summation (matches the
     * oracle's list_sum(list_transform(...)) fold order). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
   private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** The §2.8 native kernel: same IEEE fold order as dot/norm above but
+    * one fused codegen loop (see [[graft.functions.CosineSimilarity]]). */
+  private def cosine(s: SparkSession, a: String, b: String): Column = {
+    CosineSimilarity.register(s)
+    expr(s"graft_cosine($a, $b)")
+  }
 
   /** Exact brute-force cosine top-10 for query vector vec_id=0. */
   def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -40,8 +59,7 @@ object Similarity {
     val q = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qemb")))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(q)
-      .select(col("vec_id"),
-        (dot(col("emb"), col("qemb")) / (norm(col("emb")) * norm(col("qemb")))).as("cos"))
+      .select(col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(10)
       .select(col("vec_id"), round(col("cos"), 6).as("cos"))
@@ -67,50 +85,73 @@ object Similarity {
     (0 until PLANES).map(p => (0 until DIM).map(d =>
       (HashFns.h60Local(s"plane:$p:$d") % 2001 - 1000) / 1000.0))
 
-  /** LSH-bucketed ANN: sign-bit signature → bucket join → exact top-3
-    * re-rank within bucket. Approximate by construction but fully
-    * deterministic, so the oracle reproduces it exactly.
+  /** LSH candidate pairs with exact cosine, both directions
+    * (vec_id, cand_id, cos): explode each vector into its BANDS band
+    * values, shuffle-join on (band, value) equality, score survivors with
+    * the native `graft_cosine` kernel, distinct the (possibly multi-band)
+    * duplicates. Shared by `qKnnLsh` (top-3) and `qDedupEmbedding` (top-1).
     */
-  def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val ws = planeWeights
-    val bucket = (0 until PLANES).map { p =>
-      val w = array(ws(p).map(lit): _*)
-      when(dot(col("emb"), w) > 0, 1 << p).otherwise(0)
-    }.reduce(_ + _)
-    val sig = e.withColumn("bucket", bucket).withColumn("nrm", norm(col("emb"))).cache()
-    val pairs = sig.as("a").join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("cand_id"),
-        (dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val bandCols = (0 until BANDS).map { b =>
+      val bv = (0 until BITS).map { i =>
+        val w = array(ws(b * BITS + i).map(lit): _*)
+        when(dot(col("emb"), w) > 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }
+    val bands = e
+      .select(col("vec_id"), col("emb"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("emb"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("cand_id"),
+        cosine(s, "x.emb", "y.emb").as("cos"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[lshCandidates]] as CTEs ending in `cand`. */
+  private[graft] def lshCandidatesSql: String = {
+    val ws = planeWeights
+    def bandExpr(b: Int): String = (0 until BITS).map { i =>
+      val lits = ws(b * BITS + i).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($lits)[i])) > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+    val bandSel = (0 until BANDS).map(b =>
+      s"SELECT vec_id, embedding, $b AS band, (${bandExpr(b)}) AS bv FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"""bands AS ($bandSel),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS cand_id,
+       |    list_sum(list_transform(generate_series(1, len(x.embedding)),
+       |      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+       |     * sqrt(list_sum(list_transform(generate_series(1, len(y.embedding)), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))) AS cos
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.vec_id <> y.vec_id)""".stripMargin
+  }
+
+  /** LSH-banded ANN: per-band sign signatures → band-equality join →
+    * exact top-3 re-rank within candidates. Approximate by construction
+    * but fully deterministic, so the oracle reproduces it exactly.
+    */
+  def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
-    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    lshCandidates(s, dir)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       .select(col("vec_id"), col("cand_id").as("nn_id"), col("rnk"),
         round(col("cos"), 6).as("cos"))
       .orderBy("vec_id", "rnk")
   }
 
-  val oracleKnnLsh: String = {
-    val ws = planeWeights
-    val buckets = (0 until PLANES).map { p =>
-      val lits = ws(p).mkString("[", ", ", "]")
-      s"CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($lits)[i])) > 0 THEN ${1 << p} ELSE 0 END"
-    }.mkString(" + ")
-    s"""WITH sig AS (
-       |  SELECT vec_id, embedding, ($buckets) AS bucket,
-       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
-       |  FROM embeddings),
-       |pairs AS (
-       |  SELECT a.vec_id AS vec_id, b.vec_id AS cand_id,
-       |    list_sum(list_transform(generate_series(1, len(a.embedding)),
-       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos
-       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+  val oracleKnnLsh: String =
+    s"""WITH $lshCandidatesSql,
        |ranked AS (SELECT vec_id, cand_id, cos,
-       |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk FROM pairs)
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rnk FROM cand)
        |SELECT vec_id, cand_id AS nn_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
-  }
 
   /** IVF building block: per-label centroid + the vector closest to it. */
   def qKnnCentroid(s: SparkSession, dir: String): DataFrame = {
@@ -123,7 +164,7 @@ object Similarity {
         x => x.getField("av")).as("centroid"))
     val scored = e.join(broadcast(cent), Seq("label"))
       .select(col("label"), col("vec_id"),
-        (dot(col("emb"), col("centroid")) / (norm(col("emb")) * norm(col("centroid")))).as("cos"))
+        cosine(s, "emb", "centroid").as("cos"))
     val w = Window.partitionBy("label").orderBy(desc("cos"), col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("label"), col("vec_id").as("medoid_id"), round(col("cos"), 6).as("cos"))

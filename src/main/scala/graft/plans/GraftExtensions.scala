@@ -1,0 +1,41 @@
+package graft.plans
+
+import graft.functions.CosineSimilarity
+import graft.lineage.{Lineage, LineageListener}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** One-line enablement of the whole engine surface:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * injects the custom Catalyst functions (`graft_cosine`) into every new
+  * session's registry and attaches the lineage listener on the session's
+  * first analyzed query (SparkSessionExtensions has no session-ready
+  * hook, so the check-rule builder — which does receive the session — is
+  * the injection point; installation is once-per-session, the rule itself
+  * is a no-op on every plan).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(CosineSimilarity.descriptor)
+    ext.injectCheckRule { session =>
+      GraftExtensions.ensureListener(session)
+      _ => ()
+    }
+  }
+}
+
+object GraftExtensions {
+  private val installed = new ConcurrentHashMap[SparkSession, LineageListener]()
+
+  private[plans] def ensureListener(session: SparkSession): Unit =
+    installed.computeIfAbsent(session, s => Lineage.install(s))
+
+  /** The listener attached to `session` by the extension, if any (tests). */
+  def listenerFor(session: SparkSession): Option[LineageListener] =
+    Option(installed.get(session))
+}

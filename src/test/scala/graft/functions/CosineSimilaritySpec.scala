@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+class CosineSimilaritySpec extends AnyFunSpec with SparkTestBase {
+
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  describe("graft_cosine native expression") {
+
+    it("matches the composed zip_with/aggregate column tree bit-for-bit") {
+      CosineSimilarity.register(spark)
+      val composed = aggregate(zip_with(col("a.emb"), col("b.emb"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v) /
+        (sqrt(aggregate(zip_with(col("a.emb"), col("a.emb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)) *
+         sqrt(aggregate(zip_with(col("b.emb"), col("b.emb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)))
+      val joined = emb.limit(50).as("a").crossJoin(emb.limit(50).as("b"))
+        .select(expr("graft_cosine(a.emb, b.emb)").as("native"), composed.as("composed"))
+        .collect()
+      assert(joined.length == 2500)
+      joined.foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+          s"native=${r.getDouble(0)} composed=${r.getDouble(1)}")
+      }
+    }
+
+    it("compiles under CODEGEN_ONLY (no interpreted fallback)") {
+      CosineSimilarity.register(spark)
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        val rows = emb.limit(10).as("a").crossJoin(emb.limit(10).as("b"))
+          .select(expr("graft_cosine(a.emb, b.emb)").as("c")).collect()
+        assert(rows.length == 100)
+        assert(rows.forall(r => !r.isNullAt(0)))
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+          case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+        }
+      }
+    }
+
+    it("returns NULL for zero vectors and NULL inputs, and errors on bad types") {
+      CosineSimilarity.register(spark)
+      val r = spark.sql(
+        """SELECT graft_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zero,
+          |       graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS nul,
+          |       graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS self
+          |""".stripMargin).collect().head
+      assert(r.isNullAt(0) && r.isNullAt(1))
+      assert(r.getDouble(2) == 1.0)
+      val err = intercept[Exception] {
+        spark.sql("SELECT graft_cosine('a', 'b')").collect()
+      }
+      assert(err.getMessage.contains("graft_cosine") || err.getMessage.contains("DATATYPE"))
+    }
+  }
+
+  describe("GraftExtensions injection") {
+    it("registers the function and installs the lineage listener on a fresh session") {
+      val base = spark // ensure shared context exists
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try {
+        // `spark.sql.extensions` is a static conf read from the
+        // SparkContext at startup, which a second in-JVM builder cannot
+        // alter — withExtensions exercises the same injection object the
+        // conf path would instantiate.
+        val s2 = SparkSession.builder()
+          .master("local[4]")
+          .withExtensions(new graft.plans.GraftExtensions())
+          .config("spark.sql.shuffle.partitions", "4")
+          .getOrCreate()
+        assert(s2 ne base)
+        val v = s2.sql("SELECT graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c")
+          .collect().head.getDouble(0)
+        assert(math.abs(v - 1.0) < 1e-12)
+        assert(graft.plans.GraftExtensions.listenerFor(s2).isDefined,
+          "check-rule install hook did not attach the lineage listener")
+      } finally {
+        SparkSession.clearActiveSession()
+        SparkSession.setDefaultSession(base)
+        SparkSession.setActiveSession(base)
+      }
+    }
+  }
+}

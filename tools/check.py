@@ -53,15 +53,17 @@ def main():
             fails += 1
             continue
         rows_ok = len(spark_df) == len(ora_df)
+        # the driver compares column NAMES only; dtype diffs are warnings
+        schema_ok = sorted(spark_df.columns) == sorted(ora_df.columns)
         s_schema = sorted(zip(spark_df.columns, [str(d) for d in spark_df.dtypes]))
         o_schema = sorted(zip(ora_df.columns, [str(d) for d in ora_df.dtypes]))
-        schema_ok = s_schema == o_schema
         hash_ok = canon(spark_df) == canon(ora_df)
         status = "ok  " if (rows_ok and schema_ok and hash_ok) else "FAIL"
         if status == "FAIL":
             fails += 1
+        warn = "" if s_schema == o_schema else " [dtype-diff]"
         print(f"{status} {name}: rows={rows_ok}({len(spark_df)}/{len(ora_df)}) "
-              f"schema={schema_ok} hash={hash_ok}")
+              f"schema={schema_ok} hash={hash_ok}{warn}")
         if not schema_ok:
             print(f"     spark={s_schema}\n     oracle={o_schema}")
     sys.exit(1 if fails else 0)

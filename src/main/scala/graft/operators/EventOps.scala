@@ -30,15 +30,14 @@ object EventOps {
     Tables.events(s, dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-  /** Tumbling 1-hour window aggregation (batch twin of
-    * [[graft.streaming.StreamOps.windowCounts]]). `hour_start` is emitted
+  /** Tumbling 1-hour window aggregation — batch/stream parity: this IS
+    * [[graft.streaming.StreamOps.windowCounts]] applied to the static
+    * table (withWatermark is a no-op on batch). `hour_start` is emitted
     * as TIMESTAMP_NTZ: the oracle's `make_timestamp` is tz-naive, and the
     * session runs UTC, so the NTZ wall-clock equals the oracle instant.
     */
   def qEventsWindowAgg(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    graft.streaming.StreamOps.windowCounts(events(s, dir))
       .orderBy("hour_start", "event_type")
 
   /** Gap-based sessionization (30-minute inactivity gap) per user.

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.7), built for batch/stream
+  * parity: `windowCounts` is ONE transform applied verbatim to the static
+  * `events` table (in `EventOps.qEventsWindowAgg`, oracle-checked) and to
+  * a `readStream` source (spec-checked via MemoryStream) — Spark treats
+  * `withWatermark` as a no-op on batch, so the same code path serves both.
+  *
+  * Scale notes: the windowed aggregate is an ordinary hash-aggregate over
+  * (window, event_type) — partial aggregation applies, state store size is
+  * O(open windows × types), bounded by the watermark horizon. The
+  * sessionizer keys state by user_id, so state is O(active users in the
+  * gap window); timeouts evict closed sessions — nothing grows with total
+  * stream length.
+  */
+object StreamOps {
+
+  /** Typed event for the streaming surface (mirrors the events table). */
+  case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** One emitted session. */
+  case class SessionOut(
+      user_id: Long, sess_id: Long, n_events: Long,
+      duration_sec: Double, sum_value: Double)
+
+  case class SessState(
+      sessId: Long, startSec: Double, lastSec: Double, nEv: Long, sum: Double)
+
+  /** Tumbling 1-hour counts/sums per event type. Works identically on a
+    * static DataFrame (watermark is a no-op) and a streaming one (append
+    * mode, windows close `delay` after their end passes the watermark).
+    */
+  def windowCounts(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): the streaming twin of
+    * `EventOps.qEventsSessionize`. A session closes when `gapSec` passes
+    * with no event (detected either by a later in-stream event or by an
+    * event-time timeout once the watermark passes last+gap).
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessId, s.nEv, s.lastSec - s.startSec, s.sum))
+          } else {
+            val evs = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var st = state.getOption
+            evs.foreach { e =>
+              val tSec = e.ts.getTime / 1000.0
+              st = st match {
+                case Some(s) if tSec - s.lastSec <= gapSec =>
+                  Some(s.copy(lastSec = tSec, nEv = s.nEv + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.sessId, s.nEv, s.lastSec - s.startSec, s.sum)
+                  Some(SessState(s.sessId + 1, tSec, tSec, 1, e.value))
+                case None =>
+                  Some(SessState(1L, tSec, tSec, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastSec * 1000).toLong + gapSec * 1000)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+}

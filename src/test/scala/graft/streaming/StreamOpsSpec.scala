@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.streaming.StreamOps.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+class StreamOpsSpec extends AnyFunSpec with SparkTestBase {
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  describe("windowCounts (streaming)") {
+    it("emits closed 1-hour windows in append mode once the watermark passes") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.windowCounts(
+          stream.toDF().withColumn("event_type", lit("view")))
+        .writeStream.format("memory").queryName("wc_out")
+        .outputMode("append").start()
+      try {
+        // hour 0: three events; hour 1: one event
+        stream.addData(Ev(1, 1, ts(100), 1.0), Ev(1, 2, ts(200), 2.0),
+          Ev(2, 3, ts(300), 3.0), Ev(2, 4, ts(3700), 4.0))
+        q.processAllAvailable()
+        // advance watermark far past hour0+delay -> hour-0 window closes
+        stream.addData(Ev(1, 5, ts(20000), 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("wc_out")
+          .select("hour_start", "event_type", "n", "sum_value").collect()
+        assert(rows.exists { r =>
+          r.getAs[java.time.LocalDateTime]("hour_start") ==
+            java.time.LocalDateTime.ofEpochSecond(0, 0, java.time.ZoneOffset.UTC) &&
+            r.getAs[Long]("n") == 3 && r.getAs[Double]("sum_value") == 6.0
+        }, s"hour-0 window missing/wrong: ${rows.mkString(", ")}")
+      } finally q.stop()
+    }
+  }
+
+  describe("windowCounts (batch/stream parity)") {
+    it("the same transform on the static events table matches the batch groupBy") {
+      val ev = graft.operators.EventOps.events(spark, sfDir)
+      val viaShared = StreamOps.windowCounts(ev)
+        .orderBy("hour_start", "event_type").collect()
+      val direct = ev
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_start", "event_type").collect()
+      assert(viaShared.sameElements(direct))
+    }
+  }
+
+  describe("sessionize (flatMapGroupsWithState)") {
+    it("closes sessions on gap and on event-time timeout") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.sessionize(stream.toDS(), gapSec = 1800)
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").start()
+      try {
+        // user 7: two events 10 min apart -> one session; then an event
+        // 2h later -> closes session 1 in-stream, opens session 2
+        stream.addData(Ev(7, 1, ts(1000), 1.0), Ev(7, 2, ts(1600), 1.0))
+        q.processAllAvailable()
+        stream.addData(Ev(7, 3, ts(9000), 1.0))
+        q.processAllAvailable()
+        val afterGap = spark.table("sess_out").as[SessionOut].collect()
+        assert(afterGap.exists(s =>
+          s.user_id == 7 && s.sess_id == 1 && s.n_events == 2 &&
+            s.duration_sec == 600.0 && s.sum_value == 2.0),
+          s"gap-closed session missing: ${afterGap.mkString(", ")}")
+
+        // advance watermark way past 9000+gap -> session 2 closes by TIMEOUT
+        stream.addData(Ev(8, 9, ts(100000), 1.0))
+        q.processAllAvailable()
+        stream.addData(Ev(8, 10, ts(200000), 1.0))
+        q.processAllAvailable()
+        val afterTimeout = spark.table("sess_out").as[SessionOut].collect()
+        assert(afterTimeout.exists(s =>
+          s.user_id == 7 && s.sess_id == 2 && s.n_events == 1 && s.sum_value == 1.0),
+          s"timeout-closed session missing: ${afterTimeout.mkString(", ")}")
+      } finally q.stop()
+    }
+
+    it("matches the batch sessionizer on a replayed slice of real events") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      // take a deterministic slice of the real events table
+      val slice = graft.operators.EventOps.events(spark, sfDir)
+        .filter(col("user_id") <= 5)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      assert(slice.nonEmpty)
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.sessionize(stream.toDS())
+        .writeStream.format("memory").queryName("sess_parity")
+        .outputMode("append").start()
+      try {
+        stream.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+        // sentinel far in the future closes every open session via timeout
+        stream.addData(Ev(-1, 0, ts(slice.last.ts.getTime / 1000 + 100000000), 0.0))
+        q.processAllAvailable()
+        stream.addData(Ev(-1, 1, ts(slice.last.ts.getTime / 1000 + 200000000), 0.0))
+        q.processAllAvailable()
+        val streamed = spark.table("sess_parity").as[SessionOut].collect()
+          .filter(_.user_id >= 0)
+          .map(s => (s.user_id, s.sess_id, s.n_events, math.round(s.duration_sec)))
+          .toSet
+        val batch = graft.operators.EventOps.qEventsSessionize(spark, sfDir)
+          .filter(col("user_id") <= 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), math.round(r.getDouble(3))))
+          .toSet
+        assert(streamed == batch,
+          s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+      } finally q.stop()
+    }
+  }
+}

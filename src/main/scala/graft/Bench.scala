@@ -1,6 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark driver: one JSON line with per-query medians.
+  *
+  * Honesty rules (VERDICT r2 §6): every run fully materializes the plan
+  * via `queryExecution.toRdd.count()` — unlike `df.count()`, Catalyst
+  * cannot prune projections under it, so expression-heavy scans pay their
+  * real cost. Each query gets one warmup run (JIT, file footers, codegen
+  * cache) and 3 timed runs with the SQL cache cleared before each, and we
+  * report the median — single-shot timings swung 4.9x run-to-run on
+  * identical code in r01/r02.
+  */
 object Bench {
+
+  private def materialize(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,14 +28,21 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = {
+        spark.catalog.clearCache() // each run recomputes; no cross-run reuse
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      val runs = Seq(once(), once(), once()).sorted
+      name -> runs(1) // median of 3
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = timings.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -49,9 +49,10 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.qTextQuality _,
     "q_text_langid"  -> TextAnalysis.qTextLangid _,
     "q_text_ngrams"  -> TextAnalysis.qTextNgrams _,
-    // §2.6 multimodal + §2.1 metadata
-    "q_multimodal_meta" -> Multimodal.qMultimodalMeta _,
-    "q_meta_profile"    -> ((s, d) => MetadataExtractor.qMetaProfile(s, d))
+    // §2.6 multimodal + §2.1 metadata/lineage
+    "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
+    "q_meta_profile"       -> ((s, d) => MetadataExtractor.qMetaProfile(s, d)),
+    "q_lineage_selfcheck"  -> ((s, d) => graft.lineage.SelfCheck.qLineageSelfcheck(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -182,7 +183,8 @@ object SparkEntry {
     "q_text_langid"  -> TextAnalysis.oracleLangid,
     "q_text_ngrams"  -> TextAnalysis.oracleNgrams,
 
-    "q_multimodal_meta" -> Multimodal.oracleMultimodalMeta,
-    "q_meta_profile"    -> MetadataExtractor.oracleMetaProfile
+    "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
+    "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,
+    "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck
   )
 }

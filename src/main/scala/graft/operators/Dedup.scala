@@ -120,34 +120,47 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------- minhash lsh
-  /** MinHash signature frame: doc_id, mh0..mh11 (lexicographic min of
-    * md5(i || ':' || shingle) — md5 acts as the i-th random permutation).
+  /** Minhash universe prime (2^31 - 1) and per-hash affine coefficients.
+    * One md5 per shingle occurrence (h60 → mod P), then K cheap affine
+    * universal hashes h_i(x) = (a_i·x + b_i) mod P — the standard trick
+    * that replaced the naive K-md5s-per-shingle design (12× the digest
+    * cost for no statistical gain; at 100 TB hashing IS the dedup bill).
+    * Products stay < 2^62, so the arithmetic is exact in both engines.
     */
+  private val MH_P = 2147483647L
+  private def mhA(i: Int): Long = math.abs(h60Local(s"mh:a:$i")) % (MH_P - 1) + 1
+  private def mhB(i: Int): Long = math.abs(h60Local(s"mh:b:$i")) % MH_P
+
+  /** MinHash signature frame: doc_id, mh0..mh11. */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val h = h60(col("shingle")) % MH_P
     val aggs = (0 until MINHASH_K).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+      min((h * mhA(i) + mhB(i)) % MH_P).as(s"mh$i"))
     shingleTable(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private val sigCte: String = {
-    val cols = (0 until MINHASH_K).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
+    val h = s"(${h60Sql("shingle")} % $MH_P)"
+    val cols = (0 until MINHASH_K).map(i =>
+      s"min(($h * ${mhA(i)} + ${mhB(i)}) % $MH_P) AS mh$i").mkString(", ")
     s"sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id)"
   }
 
   /** MinHash + LSH banding near-dup pairs.
-    * Bands of 2 rows; candidates share a band hash; estimated Jaccard =
-    * fraction of equal minhashes; keep est >= 0.5.
+    * Bands of 2 rows; candidates agree on a whole band (plain integer
+    * equality on the two minhashes — no digest needed for the band key);
+    * estimated Jaccard = fraction of equal minhashes; keep est >= 0.5.
     */
   def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir).cache()
     val bandCols = (0 until BANDS).map { b =>
-      struct(lit(b).as("band"), md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bh"))
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.h1").as("h1"), col("b.h2").as("h2"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val eq = (0 until MINHASH_K).map(i =>
@@ -162,7 +175,7 @@ object Dedup {
 
   val oracleMinhashLsh: String = {
     val bandSel = (0 until BANDS).map(b =>
-      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bh FROM sig").mkString(" UNION ALL ")
+      s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig").mkString(" UNION ALL ")
     val eq = (0 until MINHASH_K).map(i =>
       s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $shingleCte,
@@ -170,7 +183,7 @@ object Dedup {
        |bands AS ($bandSel),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, round(($eq) / ${MINHASH_K}.0, 6) AS est_jaccard
        |FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
        |WHERE ($eq) / ${MINHASH_K}.0 >= 0.5

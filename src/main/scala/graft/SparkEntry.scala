@@ -52,7 +52,10 @@ object SparkEntry {
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
     "q_meta_profile"       -> ((s, d) => MetadataExtractor.qMetaProfile(s, d)),
-    "q_lineage_selfcheck"  -> ((s, d) => graft.lineage.SelfCheck.qLineageSelfcheck(s, d))
+    "q_lineage_selfcheck"  -> ((s, d) => graft.lineage.SelfCheck.qLineageSelfcheck(s, d)),
+    // sources: non-parquet formats, value-fidelity round-trips
+    "q_source_csv"  -> ((s, d) => graft.sources.Sources.qSourceCsv(s, d)),
+    "q_source_json" -> ((s, d) => graft.sources.Sources.qSourceJson(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -185,6 +188,8 @@ object SparkEntry {
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
     "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,
-    "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck
+    "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck,
+    "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,
+    "q_source_json"       -> graft.sources.Sources.oracleSourceJson
   )
 }

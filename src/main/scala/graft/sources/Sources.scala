@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats beyond parquet: schema-pinned CSV/JSON readers and
+  * partitioned writers.
+  *
+  * Scale rules baked in:
+  *  - Readers take an EXPLICIT schema. Schema inference reads the whole
+  *    dataset before the query starts — a full extra pass at 100 TB. The
+  *    schema is pinned from a sample or the catalog, never inferred per
+  *    query.
+  *  - `writePartitioned` lays data out hive-style (`col=value/` dirs) so
+  *    later reads with a filter on the partition column prune directories
+  *    at planning time (PartitionFilters in the scan, asserted in
+  *    SourcesSpec) — the difference between scanning 100 TB and one
+  *    partition of it.
+  */
+object Sources {
+
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST") // corrupt rows must fail loudly, not vanish
+      .csv(path)
+
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Hive-style partitioned parquet write (partition pruning on read). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  // ------------------------------------------------------ roundtrip queries
+  /** Orders → CSV → re-read → aggregate. The aggregate over the re-read
+    * CSV must equal the oracle computed on the original parquet — an
+    * end-to-end value-fidelity check of the CSV write+read path (integer
+    * and string columns only; CSV is not a safe carrier for binary
+    * doubles, which is itself the documented guidance).
+    */
+  def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-csv")
+    val path = s"$tmp/orders_csv"
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val src = Tables.orders(s, dir).select(cols.map(col): _*)
+    writeCsv(src, path)
+    readCsv(s, path, src.schema)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").as("sum_key"),
+        countDistinct("o_custkey").as("n_cust"))
+      .orderBy("o_orderstatus")
+  }
+
+  val oracleSourceCsv: String =
+    """SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      | count(DISTINCT o_custkey) AS n_cust
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Documents → JSONL → re-read → aggregate, exercising string escaping
+    * through the JSON writer/parser pair (text survives byte-for-byte,
+    * proven by md5-sum equality with the parquet-side oracle).
+    */
+  def qSourceJson(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-json")
+    val path = s"$tmp/docs_json"
+    val src = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    writeJsonl(src, path)
+    readJsonl(s, path, src.schema)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(md5(col("text"))).as("min_text_md5"))
+      .orderBy("lang")
+  }
+
+  val oracleSourceJson: String =
+    """SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      | min(md5(text)) AS min_text_md5
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+}

@@ -55,7 +55,9 @@ object SparkEntry {
     "q_lineage_selfcheck"  -> ((s, d) => graft.lineage.SelfCheck.qLineageSelfcheck(s, d)),
     // sources: non-parquet formats, value-fidelity round-trips
     "q_source_csv"  -> ((s, d) => graft.sources.Sources.qSourceCsv(s, d)),
-    "q_source_json" -> ((s, d) => graft.sources.Sources.qSourceJson(s, d))
+    "q_source_json" -> ((s, d) => graft.sources.Sources.qSourceJson(s, d)),
+    // scale patterns
+    "q_skew_salted_join" -> SkewOps.qSkewSaltedJoin _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,6 +192,7 @@ object SparkEntry {
     "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,
     "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck,
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,
-    "q_source_json"       -> graft.sources.Sources.oracleSourceJson
+    "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
+    "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin
   )
 }

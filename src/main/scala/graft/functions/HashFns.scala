@@ -21,6 +21,25 @@ object HashFns {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** SQL-registry descriptor for `graft_h60` — the same hash exposed to
+    * SQL users via `SparkSessionExtensions` (a builder over builtin
+    * expressions; no custom Expression needed). */
+  val h60Descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    (FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(HashFns.getClass.getName, "graft_h60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_h60(s) takes exactly 1 argument")
+        Cast(Conv(Substring(Md5(Cast(children.head, BinaryType)),
+          Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+      })
+  }
+
   /** DuckDB SQL fragment computing the identical h60 of `expr`. */
   def h60Sql(expr: String): String =
     s"CAST(CAST(('0x' || substr(md5($expr), 1, 15)) AS UBIGINT) AS BIGINT)"

@@ -22,6 +22,7 @@ import java.util.concurrent.ConcurrentHashMap
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.descriptor)
+    ext.injectFunction(graft.functions.HashFns.h60Descriptor)
     ext.injectCheckRule { session =>
       GraftExtensions.ensureListener(session)
       _ => ()

@@ -46,6 +46,16 @@ object ColumnLineage {
       if (idx >= 0) u.children.flatMap(c => resolve(c.output(idx), c)).toSet
       else u.children.flatMap(c => resolve(attr, c)).toSet
 
+    case e: Expand =>
+      // rollup/cube/grouping-sets: each output position is fed by the
+      // same position of every projection row (NULLed out in some — the
+      // union of references is the true source set)
+      val idx = e.output.indexWhere(_.exprId == attr.exprId)
+      if (idx >= 0)
+        e.projections.flatMap(p =>
+          p(idx).references.toSeq.flatMap(a => resolve(a, e.child))).toSet
+      else resolve(attr, e.child)
+
     case other =>
       // pass-through nodes (Filter, Join, Sort, SubqueryAlias, Limit, ...):
       // descend into whichever children can produce the attribute

@@ -42,6 +42,18 @@ object StreamOps {
       .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the incremental-ingestion twin of
+    * `Dedup.qDedupExact`: keeps the first record per key, dropping
+    * re-arrivals within the watermark horizon. State is evicted once the
+    * watermark passes (`dropDuplicatesWithinWatermark`), so the store is
+    * O(keys per horizon), not O(all keys ever) — the property that lets
+    * a 100 TB/day ingest run forever.
+    */
+  def dedupStream(records: DataFrame, tsCol: String, keyCols: Seq[String],
+      delay: String = "1 hour"): DataFrame =
+    records.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): the streaming twin of
     * `EventOps.qEventsSessionize`. A session closes when `gapSec` passes

@@ -61,6 +61,14 @@ class ColumnLineageSpec extends AnyFunSpec with SparkTestBase {
       assert(lin("word").map(_.split('.').last) == Set("text"))
     }
 
+    it("resolves grouping keys through Expand (rollup/cube)") {
+      val lin = lineage(li.rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_extendedprice").as("sum_price")))
+      assert(lin("l_returnflag").map(_.split('.').last) == Set("l_returnflag"))
+      assert(lin("l_linestatus").map(_.split('.').last) == Set("l_linestatus"))
+      assert(lin("sum_price").map(_.split('.').last) == Set("l_extendedprice"))
+    }
+
     it("resolves transitively through stacked operators") {
       val df = li
         .select(col("l_orderkey"), (col("l_extendedprice") * lit(2)).as("p2"))

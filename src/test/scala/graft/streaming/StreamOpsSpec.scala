@@ -51,6 +51,29 @@ class StreamOpsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("dedupStream (dropDuplicatesWithinWatermark)") {
+    it("emits each key once, dropping re-arrivals within the horizon") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.dedupStream(stream.toDF(), "ts", Seq("event_id"))
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").start()
+      try {
+        stream.addData(Ev(1, 100, ts(10), 1.0), Ev(1, 100, ts(20), 2.0),
+          Ev(2, 200, ts(30), 3.0))
+        q.processAllAvailable()
+        stream.addData(Ev(3, 100, ts(40), 4.0)) // dup again, same horizon
+        q.processAllAvailable()
+        val ids = spark.table("dedup_out").select("event_id", "value").collect()
+          .map(r => (r.getLong(0), r.getDouble(1)))
+        assert(ids.count(_._1 == 100) == 1, s"dup not dropped: ${ids.mkString(",")}")
+        assert(ids.contains((100L, 1.0)), "must keep the FIRST arrival")
+        assert(ids.exists(_._1 == 200L))
+      } finally q.stop()
+    }
+  }
+
   describe("sessionize (flatMapGroupsWithState)") {
     it("closes sessions on gap and on event-time timeout") {
       import spark.implicits._

@@ -70,15 +70,23 @@ object Dedup {
   }
 
   // -------------------------------------------------------- ngram jaccard
-  /** (doc_id, shingle) exploded distinct-shingle table. */
+  /** (doc_id, sh) exploded distinct-shingle table, shingles already
+    * HASHED to 60-bit longs: the string leaves the plan at the scan edge
+    * and every downstream shuffle/join/agg keys on 8 bytes instead of a
+    * ~30-byte string — at 100 TB the candidate join's shuffle volume is
+    * the dedup bill. The hash is mirrored in the oracle, so even the
+    * (astronomically unlikely) collision behaves identically in both
+    * engines.
+    */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(wordShingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), h60(col("shingle")).as("sh"))
 
   private val shingleCte =
     s"""sh AS (
-       |  SELECT doc_id, unnest(${wordShinglesSql("text")}) AS shingle
-       |  FROM documents
+       |  SELECT doc_id, ${h60Sql("shingle")} AS sh
+       |  FROM (SELECT doc_id, unnest(${wordShinglesSql("text")}) AS shingle FROM documents)
        |)""".stripMargin
 
   /** Word-3-gram Jaccard near-duplicate pairs (threshold 0.8).
@@ -88,13 +96,13 @@ object Dedup {
     */
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val raw = shingleTable(s, dir)
-    val keep = raw.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MAX_SHINGLE_DF).select("shingle")
-    val sh = raw.join(keep, Seq("shingle")).cache()
+    val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MAX_SHINGLE_DF).select("sh")
+    val sh = raw.join(keep, Seq("sh")).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val shared = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val shared = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     shared
       .join(cnt.select(col("doc_id").as("doc_a"), col("cnt").as("ca")), Seq("doc_a"))
@@ -107,12 +115,12 @@ object Dedup {
 
   val oracleNgramJaccard: String =
     s"""WITH ${shingleCte.replace("sh AS (", "sh0 AS (")},
-       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MAX_SHINGLE_DF),
-       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+       |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $MAX_SHINGLE_DF),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (sh)),
        |cnt AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
        |shared AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, shared, round(shared * 1.0 / (ca.cnt + cb.cnt - shared), 6) AS jaccard
        |FROM shared JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
@@ -131,16 +139,17 @@ object Dedup {
   private def mhA(i: Int): Long = math.abs(h60Local(s"mh:a:$i")) % (MH_P - 1) + 1
   private def mhB(i: Int): Long = math.abs(h60Local(s"mh:b:$i")) % MH_P
 
-  /** MinHash signature frame: doc_id, mh0..mh11. */
+  /** MinHash signature frame: doc_id, mh0..mh11 (affine hashes over the
+    * shingle table's precomputed h60 — zero digests in this pass). */
   private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val h = h60(col("shingle")) % MH_P
+    val h = col("sh") % MH_P
     val aggs = (0 until MINHASH_K).map(i =>
       min((h * mhA(i) + mhB(i)) % MH_P).as(s"mh$i"))
     shingleTable(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private val sigCte: String = {
-    val h = s"(${h60Sql("shingle")} % $MH_P)"
+    val h = s"(sh % $MH_P)"
     val cols = (0 until MINHASH_K).map(i =>
       s"min(($h * ${mhA(i)} + ${mhB(i)}) % $MH_P) AS mh$i").mkString(", ")
     s"sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id)"

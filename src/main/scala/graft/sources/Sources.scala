@@ -51,16 +51,21 @@ object Sources {
     */
   def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-src-csv")
-    val path = s"$tmp/orders_csv"
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-    val src = Tables.orders(s, dir).select(cols.map(col): _*)
-    writeCsv(src, path)
-    readCsv(s, path, src.schema)
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"),
-        sum("o_orderkey").as("sum_key"),
-        countDistinct("o_custkey").as("n_cust"))
-      .orderBy("o_orderstatus")
+    try {
+      val path = s"$tmp/orders_csv"
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val src = Tables.orders(s, dir).select(cols.map(col): _*)
+      writeCsv(src, path)
+      val agg = readCsv(s, path, src.schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_key"),
+          countDistinct("o_custkey").as("n_cust"))
+        .orderBy("o_orderstatus")
+      // tiny by construction (one row per status) — materialize so the
+      // temp roundtrip files can be deleted deterministically
+      localized(s, agg)
+    } finally rmTree(tmp.toFile)
   }
 
   val oracleSourceCsv: String =
@@ -74,15 +79,31 @@ object Sources {
     */
   def qSourceJson(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-src-json")
-    val path = s"$tmp/docs_json"
-    val src = Tables.documents(s, dir).select("doc_id", "text", "lang")
-    writeJsonl(src, path)
-    readJsonl(s, path, src.schema)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n"),
-        sum(length(col("text"))).as("sum_chars"),
-        min(md5(col("text"))).as("min_text_md5"))
-      .orderBy("lang")
+    try {
+      val path = s"$tmp/docs_json"
+      val src = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      writeJsonl(src, path)
+      val agg = readJsonl(s, path, src.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("sum_chars"),
+          min(md5(col("text"))).as("min_text_md5"))
+        .orderBy("lang")
+      localized(s, agg)
+    } finally rmTree(tmp.toFile)
+  }
+
+  /** Materialize a (tiny, bounded) result so upstream temp files can be
+    * removed; the cardinality is fixed by the group-by key domain, never
+    * by data volume. */
+  private def localized(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), df.schema)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   val oracleSourceJson: String =

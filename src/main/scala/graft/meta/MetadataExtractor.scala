@@ -19,19 +19,19 @@ object MetadataExtractor {
     d.map(b => f"$b%02x").mkString
   }
 
-  /** Per-column numeric profile of `lineitem` (min/max/nulls/distinct),
-    * one row per column — a single scan computing all stats at once.
+  /** Per-column numeric profile (min/max/null-count/distinct) of any
+    * DataFrame's columns, one row per column — ALL stats in a single
+    * scan/hash-aggregate (never one pass per column; at 100 TB the scan
+    * is the cost and it must amortize across every stat).
     */
-  def qMetaProfile(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val li = Tables.lineitem(s, dir)
+  def profile(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(round(min(col(c)), 4).as(s"${c}_min"),
         round(max(col(c)), 4).as(s"${c}_max"),
         (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
         countDistinct(col(c)).as(s"${c}_distinct"))
     }
-    val one = li.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
       one.select(
         lit(c).as("col_name"),
@@ -42,6 +42,11 @@ object MetadataExtractor {
     }
     rows.reduce(_ unionByName _).orderBy("col_name")
   }
+
+  /** Oracle-checked instantiation of [[profile]] over lineitem. */
+  def qMetaProfile(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
   val oracleMetaProfile: String = {
     val parts = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>

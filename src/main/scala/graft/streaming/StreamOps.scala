@@ -42,6 +42,26 @@ object StreamOps {
       .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream attribution join: each purchase matched to the same
+    * user's views within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * evict join state once the watermark passes — state is O(events per
+    * horizon) regardless of stream length. The streaming twin of
+    * `EventOps.qAsofJoin`'s batch attribution (inner, all views in range,
+    * rather than latest-only).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("ts", horizon).alias("v")
+    val p = purchases.withWatermark("ts", horizon).alias("p")
+    p.join(v, expr(
+        s"""v.user_id = p.user_id AND
+           |v.ts <= p.ts AND v.ts >= p.ts - INTERVAL $horizon""".stripMargin))
+      .select(col("p.event_id").as("purchase_id"), col("p.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("p.ts").as("purchase_ts"), col("v.ts").as("view_ts"))
+  }
+
   /** Streaming exact dedup — the incremental-ingestion twin of
     * `Dedup.qDedupExact`: keeps the first record per key, dropping
     * re-arrivals within the watermark horizon. State is evicted once the

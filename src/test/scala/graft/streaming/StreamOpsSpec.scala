@@ -51,6 +51,33 @@ class StreamOpsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("attributionJoin (stream-stream time-bounded join)") {
+    it("joins purchases to in-horizon views only, across batches") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val views = MemoryStream[Ev]
+      val purchases = MemoryStream[Ev]
+      val q = StreamOps.attributionJoin(views.toDF(), purchases.toDF())
+        .writeStream.format("memory").queryName("attr_out")
+        .outputMode("append").start()
+      try {
+        views.addData(Ev(1, 10, ts(1000), 0), Ev(1, 11, ts(2000), 0),
+          Ev(2, 12, ts(1000), 0))
+        purchases.addData(Ev(1, 90, ts(2500), 9.99)) // user 1, both views in range
+        q.processAllAvailable()
+        // a view 2h before the purchase must NOT match
+        views.addData(Ev(3, 13, ts(10000), 0))
+        purchases.addData(Ev(3, 91, ts(17500), 5.0)) // 7500s > 1h after view
+        q.processAllAvailable()
+        val rows = spark.table("attr_out")
+          .select("purchase_id", "view_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(rows == Set((90L, 10L), (90L, 11L)),
+          s"unexpected attribution set: $rows")
+      } finally q.stop()
+    }
+  }
+
   describe("dedupStream (dropDuplicatesWithinWatermark)") {
     it("emits each key once, dropping re-arrivals within the horizon") {
       import spark.implicits._

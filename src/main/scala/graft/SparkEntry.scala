@@ -45,10 +45,11 @@ object SparkEntry {
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
     "q_knn_centroid" -> Similarity.qKnnCentroid _,
     // §2.5 text analysis
-    "q_text_tokens"  -> TextAnalysis.qTextTokens _,
-    "q_text_quality" -> TextAnalysis.qTextQuality _,
-    "q_text_langid"  -> TextAnalysis.qTextLangid _,
-    "q_text_ngrams"  -> TextAnalysis.qTextNgrams _,
+    "q_text_tokens"       -> TextAnalysis.qTextTokens _,
+    "q_text_quality"      -> TextAnalysis.qTextQuality _,
+    "q_text_langid"       -> TextAnalysis.qTextLangid _,
+    "q_text_ngrams"       -> TextAnalysis.qTextNgrams _,
+    "q_text_rolling_hash" -> TextAnalysis.qTextRollingHash _,
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
     "q_meta_profile"       -> ((s, d) => MetadataExtractor.qMetaProfile(s, d)),
@@ -183,10 +184,11 @@ object SparkEntry {
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,
     "q_knn_centroid" -> Similarity.oracleKnnCentroid,
 
-    "q_text_tokens"  -> TextAnalysis.oracleTokens,
-    "q_text_quality" -> TextAnalysis.oracleQuality,
-    "q_text_langid"  -> TextAnalysis.oracleLangid,
-    "q_text_ngrams"  -> TextAnalysis.oracleNgrams,
+    "q_text_tokens"       -> TextAnalysis.oracleTokens,
+    "q_text_quality"      -> TextAnalysis.oracleQuality,
+    "q_text_langid"       -> TextAnalysis.oracleLangid,
+    "q_text_ngrams"       -> TextAnalysis.oracleNgrams,
+    "q_text_rolling_hash" -> TextAnalysis.oracleRollingHash,
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
     "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.HashFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,6 +112,31 @@ object TextAnalysis {
        |SELECT lang, CASE $whenChain ELSE 'unk' END AS predicted, count(*) AS n
        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  /** Rabin–Karp-style rolling-hash document fingerprint: a polynomial
+    * fold `h = (h·B + h60(word)) mod P` over the word sequence —
+    * ORDER-sensitive, unlike the set-based `q_dedup_fingerprint`
+    * (reordered words change this hash but not that one). One projection,
+    * no shuffle; the per-word hash and the fold are identical in both
+    * engines (all arithmetic < 2^37, exact in int64).
+    */
+  private val RH_P = 2147483647L // 2^31 - 1
+  private val RH_B = 31L
+
+  def qTextRollingHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      aggregate(
+        transform(split(col("text"), " "), w => HashFns.h60(w) % RH_P),
+        lit(0L),
+        (acc, x) => (acc * RH_B + x) % RH_P).as("rhash"))
+      .orderBy("doc_id")
+
+  val oracleRollingHash: String =
+    s"""SELECT doc_id, list_reduce(
+       |  list_transform(string_split(text, ' '), w -> ${HashFns.h60Sql("w")} % $RH_P),
+       |  (acc, x) -> (acc * $RH_B + x) % $RH_P) AS rhash
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Top-20 word bigrams by frequency (multiplicity-preserving). */
   def qTextNgrams(s: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,7 @@ object SparkEntry {
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
     "q_knn_centroid" -> Similarity.qKnnCentroid _,
+    "q_knn_ivf"      -> Similarity.qKnnIvf _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -183,6 +184,7 @@ object SparkEntry {
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,
     "q_knn_centroid" -> Similarity.oracleKnnCentroid,
+    "q_knn_ivf"      -> Similarity.oracleKnnIvf,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

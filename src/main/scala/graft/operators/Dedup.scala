@@ -95,10 +95,14 @@ object Dedup {
     * then exact Jaccard from the capped distinct-shingle counts.
     */
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val raw = shingleTable(s, dir)
-    val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MAX_SHINGLE_DF).select("sh")
-    val sh = raw.join(keep, Seq("sh")).cache()
+    // df cap via a count window over the same shuffle key the candidate
+    // join needs anyway — one shuffle + filter instead of a groupBy plus
+    // a second join back (result identical; the oracle keeps the
+    // equivalent HAVING formulation)
+    val dfw = Window.partitionBy("sh")
+    val sh = shingleTable(s, dir)
+      .withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= MAX_SHINGLE_DF).drop("df").cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))

@@ -48,6 +48,23 @@ object Multimodal {
     }
   }
 
+  /** Batched decode: groups records into fixed-size batches inside each
+    * partition — the call shape a vectorized codec (JNI / Arrow batch
+    * API) needs, mirroring what `mapInPandas` gives Python users — then
+    * decodes each batch. Same results as [[decodeFeatures]]
+    * (spec-checked); payloads still never leave their partition.
+    */
+  def decodeFeaturesBatched(
+      media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would decode the whole `batch` in one native call
+        batch.map(decodeOne)
+      }
+    }
+  }
+
   /** ---- STUB: deterministic fake decode (no codecs in container). ---- */
   private def decodeOne(m: MediaRecord): MediaFeatures = {
     val len = m.payload.length

@@ -153,15 +153,81 @@ object Similarity {
        |SELECT vec_id, cand_id AS nn_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
-  /** IVF building block: per-label centroid + the vector closest to it. */
-  def qKnnCentroid(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
-    val cent = e.select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+  /** DuckDB fragment: cosine(aExpr, bExpr) over list columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |  * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Per-label centroids as a (label, centroid) frame — the coarse
+    * quantizer shared by `qKnnCentroid` and `qKnnIvf`. */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy("label", "pos").agg(avg("v").as("av"))
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
         x => x.getField("av")).as("centroid"))
+
+  /** IVF search: (1) assign EVERY vector to its nearest centroid cell
+    * (argmin via a map-side-combinable struct-min — no per-vector window
+    * shuffle); (2) pick the query's top-2 cells (nprobe=2); (3) exact
+    * cosine re-rank only within the probed cells. At 100 TB the probed
+    * cells are the only data touched after assignment — the classic
+    * IVF recall/cost dial (nprobe, #cells) without changing plan shape.
+    */
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val cent = centroids(e)
+    // argmin assignment: min over (negated cos, cell) mirrors the
+    // oracle's ORDER BY cos DESC, cell ASC tie-break exactly
+    val scoredCells = e.crossJoin(broadcast(cent.select(col("label").as("cell"), col("centroid"))))
+      .select(col("vec_id"), col("emb"),
+        struct((-cosine(s, "emb", "centroid")).as("nc"), col("cell")).as("sc"))
+    val assigned = scoredCells.groupBy("vec_id")
+      .agg(min("sc").as("m"), first("emb").as("emb"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("emb"))
+    val qv = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qemb")))
+    val qCells = broadcast(cent.crossJoin(qv)
+      .select(col("label").as("cell"), cosine(s, "centroid", "qemb").as("qc"))
+      .orderBy(desc("qc"), col("cell")).limit(2).select("cell"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(qCells, Seq("cell"))
+      .crossJoin(qv)
+      .select(col("vec_id"), col("cell"), cosine(s, "emb", "qemb").as("cos"))
+      .orderBy(desc("cos"), col("vec_id")).limit(5)
+      .select(col("vec_id"), col("cell"), round(col("cos"), 6).as("cos"))
+  }
+
+  val oracleKnnIvf: String =
+    s"""WITH flat AS (
+       |  SELECT label, unnest(embedding)::DOUBLE AS v,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label AS cell, list(av ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos, avg(v) AS av FROM flat GROUP BY 1, 2) GROUP BY label),
+       |ac AS (
+       |  SELECT e.vec_id, e.embedding, cent.cell, ${cosSql("e.embedding", "cent.centroid")} AS cos_c
+       |  FROM embeddings e CROSS JOIN cent),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS rn
+       |    FROM ac) WHERE rn = 1),
+       |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+       |qc AS (
+       |  SELECT cell FROM cent, q
+       |  ORDER BY ${cosSql("centroid", "qemb")} DESC, cell LIMIT 2)
+       |SELECT vec_id, cell, round(${cosSql("a.embedding", "qemb")}, 6) AS cos
+       |FROM assigned a JOIN qc USING (cell), q
+       |WHERE vec_id <> 0
+       |ORDER BY ${cosSql("a.embedding", "qemb")} DESC, vec_id LIMIT 5""".stripMargin
+  def qKnnCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val cent = centroids(e)
     val scored = e.join(broadcast(cent), Seq("label"))
       .select(col("label"), col("vec_id"),
         cosine(s, "emb", "centroid").as("cos"))

@@ -23,6 +23,17 @@ class MultimodalSpec extends AnyFunSpec with SparkTestBase {
       }
     }
 
+    it("batched decode produces identical features to per-record decode") {
+      val media = Multimodal.mediaTable(spark, sfDir)
+      val a = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+      val b = Multimodal.decodeFeaturesBatched(media, batchSize = 7).collect().sortBy(_.doc_id)
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.doc_id == y.doc_id && x.byte_len == y.byte_len &&
+          x.frame_hashes == y.frame_hashes)
+      }
+    }
+
     it("is deterministic (stub codec is a pure function of the payload)") {
       val a = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
         .collect().sortBy(_.doc_id).take(20)

@@ -66,14 +66,17 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
     it("no query plans a cartesian product or an unbounded nested-loop join") {
       // the O(n²) killers at 100 TB: every candidate-pair generator must
       // ride an equality join. Skip the entries that run side-effecting
-      // writes at plan-build time; q_knn_brute's 1-row broadcast query
-      // vector legitimately plans a (bounded) nested loop.
+      // writes at plan-build time. Bounded broadcast nested loops are
+      // legitimate where the broadcast side is tiny BY CONSTRUCTION:
+      // q_knn_brute/q_knn_ivf broadcast a 1-row query vector / #cells-row
+      // centroid table.
       val skip = Set("q_lineage_selfcheck", "q_source_csv", "q_source_json")
+      val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
           assert(countNodes(plan, "CartesianProduct") == 0, s"$name plans a cartesian product")
-          if (name != "q_knn_brute")
+          if (!boundedBroadcast(name))
             assert(countNodes(plan, "BroadcastNestedLoopJoin") == 0,
               s"$name plans a nested-loop join")
         }

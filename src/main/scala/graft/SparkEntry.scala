@@ -58,8 +58,9 @@ object SparkEntry {
     // sources: non-parquet formats, value-fidelity round-trips
     "q_source_csv"  -> ((s, d) => graft.sources.Sources.qSourceCsv(s, d)),
     "q_source_json" -> ((s, d) => graft.sources.Sources.qSourceJson(s, d)),
-    // scale patterns
-    "q_skew_salted_join" -> SkewOps.qSkewSaltedJoin _
+    // scale patterns + pipeline composition
+    "q_skew_salted_join" -> SkewOps.qSkewSaltedJoin _,
+    "q_corpus_curate"    -> Pipeline.qCorpusCurate _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,6 +198,7 @@ object SparkEntry {
     "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck,
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,
     "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
-    "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin
+    "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
+    "q_corpus_curate"     -> Pipeline.oracleCorpusCurate
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.HashFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation shape, as ONE declarative plan:
+  * quality gate → exact-dedup keeper filter → deterministic hash split →
+  * per-split stats. This is the composition a production corpus pipeline
+  * runs nightly; expressing it as a single plan lets Catalyst share the
+  * documents scan across the quality and dedup branches and push the
+  * split assignment into the same stage as the filters.
+  *
+  * Scale notes: two shuffles total (dedup keeper hash-agg, final
+  * per-split agg); the quality gate is a pure projection fused into the
+  * scan; the split is a stateless hash — reproducible across reruns and
+  * engines, which is what makes train/val/test assignment auditable.
+  */
+object Pipeline {
+
+  private val QUALITY_T = 0.42 // keeps ~60% of the driver corpus
+
+  def qCorpusCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // quality gate (same signals as q_text_quality)
+    val words  = split(col("text"), " ")
+    val nWords = size(words).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct  = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double")
+    val nStop  = size(expr("filter(split(text, ' '), w -> w IN ('the','a','or','and','of'))")).cast("double")
+    val quality = round(lit(0.5) * (nStop / nWords) +
+      lit(0.3) * (lit(1.0) - punct / nChars) +
+      lit(0.2) * least(nWords / 100.0, lit(1.0)), 6)
+    // exact-dedup keepers: first doc_id per distinct text
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    // deterministic split on the doc id hash: 80/10/10
+    val bucket = h60(col("doc_id").cast("string")) % 100
+    val split_ = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    docs.select(col("doc_id"), quality.as("quality"), size(words).cast("long").as("n_words"))
+      .filter(col("quality") >= QUALITY_T)
+      .join(keepers, Seq("doc_id")) // left-semi shape: keeper ids only
+      .select(col("doc_id"), col("quality"), col("n_words"), split_.as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        round(avg("quality"), 6).as("avg_quality"))
+      .orderBy("split")
+  }
+
+  val oracleCorpusCurate: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    round(0.5 * (len(list_filter(string_split(text, ' '), w -> w IN ('the','a','or','and','of')))::DOUBLE / len(string_split(text, ' ')))
+       |        + 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text))
+       |        + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0), 6) AS quality,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |  FROM documents),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |curated AS (
+       |  SELECT q.doc_id, quality, n_words,
+       |    CASE WHEN ${h60Sql("CAST(q.doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |         WHEN ${h60Sql("CAST(q.doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM q JOIN keepers ON q.doc_id = keepers.doc_id
+       |  WHERE quality >= $QUALITY_T)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words,
+       |  round(avg(quality), 6) AS avg_quality
+       |FROM curated GROUP BY split ORDER BY split""".stripMargin
+}

@@ -43,7 +43,6 @@ object Similarity {
     * oracle's list_sum(list_transform(...)) fold order). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** The §2.8 native kernel: same IEEE fold order as dot/norm above but
     * one fused codegen loop (see [[graft.functions.CosineSimilarity]]). */

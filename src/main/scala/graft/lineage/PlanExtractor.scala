@@ -19,6 +19,13 @@ object PlanExtractor {
     * to the full output for pass-through scans like count(*) over *).
     */
   def inputs(plan: LogicalPlan): Seq[InputEntity] = {
+    // subquery expressions (scalar / IN / EXISTS) hold whole plans of
+    // their own — their scans are inputs too
+    val plans = plan +: plan.subqueriesAll
+    plans.flatMap(inputsOf).distinct
+  }
+
+  private def inputsOf(plan: LogicalPlan): Seq[InputEntity] = {
     // union of attributes referenced by any non-leaf expression
     val referenced = AttributeSet(plan.collect {
       case p if p.children.nonEmpty => p.expressions.flatMap(_.references)
@@ -66,7 +73,15 @@ object PlanExtractor {
       Some(OutputEntity("table", c.table.identifier.unquotedString,
         c.table.provider, Some(c.mode.toString.toLowerCase)))
     case c: SaveIntoDataSourceCommand =>
-      Some(OutputEntity("path", c.dataSource.toString, None, Some(c.mode.toString.toLowerCase)))
+      // dataSource.toString is an object ref (unstable across runs);
+      // prefer the target path/table/url from the save options
+      val name = c.options.get("path")
+        .orElse(c.options.get("dbtable"))
+        .orElse(c.options.get("url"))
+        .getOrElse(c.dataSource.getClass.getName)
+      Some(OutputEntity("path", name,
+        Some(c.dataSource.getClass.getSimpleName.toLowerCase),
+        Some(c.mode.toString.toLowerCase)))
     case a: AppendData =>
       Some(OutputEntity("v2", a.table.name, None, Some("append")))
     case o: OverwriteByExpression =>

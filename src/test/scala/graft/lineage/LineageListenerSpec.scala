@@ -83,6 +83,31 @@ class LineageListenerSpec extends AnyFunSpec with SparkTestBase {
       } finally Lineage.uninstall(spark, l)
     }
 
+    it("collects inputs from scalar/EXISTS subqueries, not just the main plan") {
+      val sink = new InMemorySink
+      val l = Lineage.installSync(spark, sink)
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet").createOrReplaceTempView("li_v")
+        spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("o_v")
+        spark.sql(
+          """SELECT l_orderkey FROM li_v
+            |WHERE l_quantity > (SELECT avg(o_totalprice) / 10000 FROM o_v)
+            |LIMIT 5""".stripMargin).collect()
+        assert(eventually()(sink.records.exists(_.inputs.size >= 2)),
+          s"subquery input missing: ${sink.records.map(_.inputs.map(_.name))}")
+        val rec = sink.records.find(_.inputs.size >= 2).get
+        assert(rec.inputs.exists(_.name.contains("lineitem.parquet")))
+        assert(rec.inputs.exists(_.name.contains("orders.parquet")),
+          "the scalar subquery's scan must appear as an input")
+        // pruning still applies per branch
+        val ordIn = rec.inputs.find(_.name.contains("orders.parquet")).get
+        assert(ordIn.columnsRead == Seq("o_totalprice"))
+      } finally {
+        Lineage.uninstall(spark, l)
+        spark.catalog.dropTempView("li_v"); spark.catalog.dropTempView("o_v")
+      }
+    }
+
     it("never fails the query when a sink throws") {
       val throwing = new LineageSink {
         override def emit(r: LineageRecord): Unit = throw new IllegalStateException("sink down")

@@ -73,6 +73,14 @@ object ColumnLineage {
       case None     => resolve(attr, child)
     }
 
-  private def resolveRefs(ne: NamedExpression, child: LogicalPlan): Set[String] =
-    ne.references.toSeq.flatMap(a => resolve(a, child)).toSet
+  private def resolveRefs(ne: NamedExpression, child: LogicalPlan): Set[String] = {
+    val direct = ne.references.toSeq.flatMap(a => resolve(a, child)).toSet
+    // a column computed FROM a subquery (SELECT (SELECT max(x) FROM t))
+    // derives from the subquery plan's own sources
+    val fromSubqueries = ne.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        s.plan.output.flatMap(a => resolve(a, s.plan)).toSet
+    }.flatten.toSet
+    direct ++ fromSubqueries
+  }
 }

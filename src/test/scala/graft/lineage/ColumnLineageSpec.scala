@@ -69,6 +69,23 @@ class ColumnLineageSpec extends AnyFunSpec with SparkTestBase {
       assert(lin("sum_price").map(_.split('.').last) == Set("l_extendedprice"))
     }
 
+    it("resolves columns computed from scalar subqueries") {
+      ord.createOrReplaceTempView("cl_orders")
+      li.createOrReplaceTempView("cl_lineitem")
+      try {
+        val df = spark.sql(
+          """SELECT l_orderkey,
+            |  l_quantity * (SELECT max(o_totalprice) FROM cl_orders) AS scaled
+            |FROM cl_lineitem""".stripMargin)
+        val lin = lineage(df)
+        assert(lin("scaled").map(_.split('.').last) == Set("l_quantity", "o_totalprice"),
+          s"got ${lin("scaled")}")
+      } finally {
+        spark.catalog.dropTempView("cl_orders")
+        spark.catalog.dropTempView("cl_lineitem")
+      }
+    }
+
     it("resolves transitively through stacked operators") {
       val df = li
         .select(col("l_orderkey"), (col("l_extendedprice") * lit(2)).as("p2"))

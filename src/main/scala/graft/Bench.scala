@@ -11,6 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cache) and 3 timed runs with the SQL cache cleared before each, and we
   * report the median — single-shot timings swung 4.9x run-to-run on
   * identical code in r01/r02.
+  *
+  * Self-diagnosis (VERDICT r3 §7): besides the flat `queries` map the
+  * driver parses, the line carries per-query `{median,min,max}` in
+  * `stats` — a contended co-tenant window (r3 saw one query report 10×
+  * its clean-run time) shows up as max >> min without a rerun. A query
+  * whose run throws is listed in `errors` and excluded from the total —
+  * a fast failure must not read as a fast query.
   */
 object Bench {
 
@@ -29,21 +36,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       def once(): Double = {
         spark.catalog.clearCache() // each run recomputes; no cross-run reuse
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup
       val runs = Seq(once(), once(), once()).sorted
-      name -> runs(1) // median of 3
+      (name, runs, failed)
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filterNot(_._3)
+    val errors = results.filter(_._3).map(_._1)
+    val qs = ok.map { case (k, runs, _) => "\"" + k + "\":" + runs(1) }.mkString("{", ",", "}")
+    val stats = ok.map { case (k, runs, _) =>
+      "\"" + k + "\":{\"median\":" + runs(1) + ",\"min\":" + runs(0) + ",\"max\":" + runs(2) + "}"
+    }.mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2(1)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics match the composed `aggregate(zip_with(...))` column tree it
   * replaces bit-for-bit: left-to-right IEEE-754 double accumulation per
   * accumulator, `dot / (sqrt(aa) * sqrt(bb))`, NULL when either vector is
-  * NULL, has a NULL element, or has zero norm.
+  * NULL, has a NULL element, has zero norm, or when the lengths differ
+  * (`zip_with` null-pads the shorter side, so the composed tree yields
+  * NULL on ragged inputs — a truncated partial dot product would be a
+  * silently-wrong similarity).
   *
   * This is the §2.8 scale path: on a 100 TB corpus the similarity kernel
   * runs inside the generated stage alongside the scan and filter — the
@@ -44,7 +47,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -64,17 +68,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val bb = ctx.freshName("bb"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $ab = 0.0, $aa = 0.0, $bb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
-         |}
-         |if (!${ev.isNull}) {
-         |  double $denom = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
-         |  if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $ab / $denom; }
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $ab = 0.0, $aa = 0.0, $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $ab / $denom; }
+         |  }
          |}
        """.stripMargin
     })

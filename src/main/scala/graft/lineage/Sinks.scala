@@ -40,10 +40,16 @@ final class Slf4jSink extends LineageSink {
   * daemon thread, so the query path never blocks on sink I/O (a slow
   * HTTP/file sink costs the query an array offer, nothing more). Records
   * are dropped, never blocked on, if the buffer is full — lineage must
-  * not backpressure the workload.
+  * not backpressure the workload — but every drop is COUNTED and logged,
+  * so lost lineage is distinguishable from no lineage: `droppedCount` is
+  * offers rejected by a full queue, `abandonedCount` is records still
+  * queued when close()'s bounded drain gave up.
   */
 final class AsyncSink(delegate: LineageSink, capacity: Int = 4096) extends LineageSink {
   private val queue = new java.util.concurrent.LinkedBlockingQueue[LineageRecord](capacity)
+  private val dropped = new java.util.concurrent.atomic.AtomicLong()
+  private val abandoned = new java.util.concurrent.atomic.AtomicLong()
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.lineage")
   @volatile private var running = true
   private val worker = new Thread(new Runnable {
     def run(): Unit = while (running || !queue.isEmpty) {
@@ -54,7 +60,20 @@ final class AsyncSink(delegate: LineageSink, capacity: Int = 4096) extends Linea
   worker.setDaemon(true)
   worker.start()
 
-  override def emit(r: LineageRecord): Unit = queue.offer(r)
+  override def emit(r: LineageRecord): Unit =
+    if (!queue.offer(r)) {
+      val n = dropped.incrementAndGet()
+      // log the first and every 1000th drop — a flood of drops must not
+      // itself become the backpressure it exists to prevent
+      if (n == 1L || n % 1000L == 0L)
+        log.warn(s"AsyncSink queue full: $n lineage records dropped so far")
+    }
+
+  /** Offers rejected because the queue was full (records never enqueued). */
+  def droppedCount: Long = dropped.get()
+
+  /** Records still queued when close() abandoned its bounded drain. */
+  def abandonedCount: Long = abandoned.get()
 
   /** Block (bounded) until everything enqueued so far is delivered. */
   def drain(timeoutMs: Long = 5000): Unit = {
@@ -62,5 +81,14 @@ final class AsyncSink(delegate: LineageSink, capacity: Int = 4096) extends Linea
     while (!queue.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(5)
   }
 
-  override def close(): Unit = { drain(); running = false; delegate.close() }
+  override def close(): Unit = {
+    drain()
+    val left = queue.size()
+    if (left > 0) {
+      abandoned.addAndGet(left.toLong)
+      log.warn(s"AsyncSink closed with $left undelivered lineage records (drain timed out)")
+    }
+    running = false
+    delegate.close()
+  }
 }

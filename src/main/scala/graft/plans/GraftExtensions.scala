@@ -4,8 +4,6 @@ import graft.functions.CosineSimilarity
 import graft.lineage.{Lineage, LineageListener}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import java.util.concurrent.ConcurrentHashMap
-
 /** One-line enablement of the whole engine surface:
   *
   * {{{
@@ -31,12 +29,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private val installed = new ConcurrentHashMap[SparkSession, LineageListener]()
+  // Weak keys: a long-lived JVM that churns through sessions
+  // (newSession() per job, Thrift server) must not have every session
+  // pinned against GC by this registry. The listener value holds no
+  // reference back to the session, so the entry dies with the session.
+  // Collections.synchronizedMap overrides computeIfAbsent with a
+  // synchronized delegate, so once-per-session install stays atomic.
+  private val installed: java.util.Map[SparkSession, LineageListener] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, LineageListener]())
 
-  private[plans] def ensureListener(session: SparkSession): Unit =
+  private[graft] def ensureListener(session: SparkSession): Unit =
     installed.computeIfAbsent(session, s => Lineage.install(s))
 
   /** The listener attached to `session` by the extension, if any (tests). */
   def listenerFor(session: SparkSession): Option[LineageListener] =
     Option(installed.get(session))
+
+  /** Live entry count — for leak specs only (weak entries vanish on GC). */
+  private[graft] def installedCount: Int = installed.size()
 }

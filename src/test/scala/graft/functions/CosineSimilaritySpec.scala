@@ -45,15 +45,22 @@ class CosineSimilaritySpec extends AnyFunSpec with SparkTestBase {
       }
     }
 
-    it("returns NULL for zero vectors and NULL inputs, and errors on bad types") {
+    it("returns NULL for zero vectors, NULL inputs and ragged lengths, and errors on bad types") {
       CosineSimilarity.register(spark)
       val r = spark.sql(
         """SELECT graft_cosine(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zero,
           |       graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS nul,
-          |       graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS self
+          |       graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS self,
+          |       graft_cosine(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)) AS ragged,
+          |       aggregate(zip_with(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d),
+          |                          (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS ragged_composed
           |""".stripMargin).collect().head
       assert(r.isNullAt(0) && r.isNullAt(1))
       assert(r.getDouble(2) == 1.0)
+      // zip_with null-pads the shorter vector, so the composed tree is
+      // NULL on ragged inputs — the native kernel must agree, not
+      // silently truncate to the common prefix
+      assert(r.isNullAt(3) && r.isNullAt(4))
       val err = intercept[Exception] {
         spark.sql("SELECT graft_cosine('a', 'b')").collect()
       }
@@ -87,6 +94,25 @@ class CosineSimilaritySpec extends AnyFunSpec with SparkTestBase {
         SparkSession.setDefaultSession(base)
         SparkSession.setActiveSession(base)
       }
+    }
+
+    it("does not pin sessions against GC (weak-keyed install registry)") {
+      val before = graft.plans.GraftExtensions.installedCount
+      // churn short-lived child sessions the way a Thrift server would;
+      // ensureListener is the same path the check-rule hook takes
+      var i = 0
+      while (i < 8) {
+        val child = spark.newSession()
+        graft.plans.GraftExtensions.ensureListener(child)
+        i += 1
+      }
+      SparkSession.clearActiveSession()
+      val shrunk = eventually(timeoutMs = 20000, intervalMs = 100) {
+        System.gc()
+        graft.plans.GraftExtensions.installedCount <= before + 1
+      }
+      assert(shrunk,
+        s"weak map retained ${graft.plans.GraftExtensions.installedCount} entries (started at $before)")
     }
   }
 }

@@ -63,5 +63,26 @@ class SinksSpec extends AnyFunSpec with SparkTestBase {
       async.drain()
       async.close() // no exception reaches the caller
     }
+
+    it("counts drops when the queue is full instead of losing them silently") {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val mem = new InMemorySink
+      val blocking = new LineageSink {
+        override def emit(r: LineageRecord): Unit = { gate.await(); mem.emit(r) }
+      }
+      val async = new AsyncSink(blocking, capacity = 4)
+      // worker takes 1 record and blocks in emit; 4 fill the queue; the
+      // rest must be rejected-and-counted, never blocked on
+      val sent = 20
+      (0 until sent).foreach(i => async.emit(record(s"d-$i")))
+      assert(eventually() { async.droppedCount > 0 })
+      val droppedAtPeak = async.droppedCount
+      assert(droppedAtPeak >= sent - 4 - 1 - 1) // queue + in-flight + race slack
+      gate.countDown()
+      async.drain()
+      assert(eventually() { mem.records.size.toLong == sent - async.droppedCount })
+      async.close()
+      assert(async.abandonedCount == 0)
+    }
   }
 }

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *  - Exact dedup is a single hash-aggregate (map-side combined).
   *  - MinHash signatures are computed in one pass over the exploded
   *    shingle table (12 min-aggregates, no per-hash re-scan).
-  *  - Hot shingles could be capped (stop-shingle removal) at extreme
-  *    scale; the driver corpus peaks at ~25 docs/shingle so we keep exact
-  *    semantics here.
+  *  - Exact duplicates are collapsed to one representative per distinct
+  *    text BEFORE any signature/banding pass ([[collapseExact]]): a
+  *    duplicate cluster shares every band across every copy, so banding
+  *    raw docs pays k² candidate rows per k-copy cluster. Hot shingles
+  *    are additionally df-capped for Jaccard ([[MAX_SHINGLE_DF]]).
   */
 object Dedup {
 
@@ -40,8 +42,41 @@ object Dedup {
     * over the stop-filtered shingle sets — the standard near-dup recipe).
     * The driver corpus peaks at ~25 docs/shingle, so the cap is inert at
     * test SF and purely a scale guard.
+    *
+    * Interplay with [[collapseExact]] (spec'd in DedupScaleSpec): the cap
+    * counts document frequency over distinct-text REPRESENTATIVES, so a
+    * million-copy boilerplate cluster contributes df=1 per shingle — it
+    * can never trip the cap and silently vanish from Jaccard. Only a
+    * shingle genuinely shared by >MAX_SHINGLE_DF distinct texts is
+    * dropped, which is exactly the hot-boilerplate-fragment case the cap
+    * exists for.
     */
-  private val MAX_SHINGLE_DF = 100
+  private[graft] val MAX_SHINGLE_DF = 100
+
+  // -------------------------------------------------- exact-dup collapse
+  /** Collapse exact duplicates to one representative per distinct text:
+    * (doc_id = min member, text, copies). EVERY near-dup candidate
+    * generator below runs over these representatives, not raw documents —
+    * a k-copy duplicate cluster (web boilerplate routinely reaches 10⁵
+    * copies) shares all MinHash/SimHash bands across every copy, so
+    * running banding over raw docs emits k² candidate rows out of a
+    * single bucket. Collapsing first is one extra map-side-combinable
+    * hash-aggregate (keyed on md5(text), not the text itself, so the
+    * shuffle carries 32 bytes + one text per distinct value) and bounds
+    * every band bucket by DISTINCT texts. Pair results carry `copies` per
+    * side; `q_dedup_exact` is the member-level expansion.
+    */
+  private[graft] def collapseExact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+        count(lit(1)).as("copies"))
+      .drop("text_hash")
+
+  private val repsCte =
+    """reps AS (
+      |  SELECT min(doc_id) AS doc_id, min(text) AS text, count(*) AS copies
+      |  FROM documents GROUP BY md5(text))""".stripMargin
 
   // ---------------------------------------------------------------- exact
   /** Exact duplicate clusters by md5(text): one row per distinct text. */
@@ -70,26 +105,28 @@ object Dedup {
   }
 
   // -------------------------------------------------------- ngram jaccard
-  /** (doc_id, sh) exploded distinct-shingle table, shingles already
-    * HASHED to 60-bit longs: the string leaves the plan at the scan edge
-    * and every downstream shuffle/join/agg keys on 8 bytes instead of a
-    * ~30-byte string — at 100 TB the candidate join's shuffle volume is
-    * the dedup bill. The hash is mirrored in the oracle, so even the
-    * (astronomically unlikely) collision behaves identically in both
-    * engines.
+  /** (doc_id, sh) exploded distinct-shingle table over the given docs
+    * frame (callers pass [[collapseExact]] representatives), shingles
+    * already HASHED to 60-bit longs: the string leaves the plan at the
+    * scan edge and every downstream shuffle/join/agg keys on 8 bytes
+    * instead of a ~30-byte string — at 100 TB the candidate join's
+    * shuffle volume is the dedup bill. The hash is mirrored in the
+    * oracle, so even the (astronomically unlikely) collision behaves
+    * identically in both engines.
     */
-  private def shingleTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private[graft] def shingleTable(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(wordShingles(col("text"))).as("shingle"))
       .select(col("doc_id"), h60(col("shingle")).as("sh"))
 
   private val shingleCte =
     s"""sh AS (
        |  SELECT doc_id, ${h60Sql("shingle")} AS sh
-       |  FROM (SELECT doc_id, unnest(${wordShinglesSql("text")}) AS shingle FROM documents)
+       |  FROM (SELECT doc_id, unnest(${wordShinglesSql("text")}) AS shingle FROM reps)
        |)""".stripMargin
 
-  /** Word-3-gram Jaccard near-duplicate pairs (threshold 0.8).
+  /** Word-3-gram Jaccard near-duplicate pairs (threshold 0.8) over
+    * distinct-text representatives ([[collapseExact]]).
     * Candidates = pairs sharing >=1 non-stop shingle (equality join on
     * the doc-frequency-capped shingle table — see [[MAX_SHINGLE_DF]]),
     * then exact Jaccard from the capped distinct-shingle counts.
@@ -100,7 +137,7 @@ object Dedup {
     // a second join back (result identical; the oracle keeps the
     // equivalent HAVING formulation)
     val dfw = Window.partitionBy("sh")
-    val sh = shingleTable(s, dir)
+    val sh = shingleTable(collapseExact(Tables.documents(s, dir)))
       .withColumn("df", count(lit(1)).over(dfw))
       .filter(col("df") <= MAX_SHINGLE_DF).drop("df").cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
@@ -118,7 +155,8 @@ object Dedup {
   }
 
   val oracleNgramJaccard: String =
-    s"""WITH ${shingleCte.replace("sh AS (", "sh0 AS (")},
+    s"""WITH $repsCte,
+       |${shingleCte.replace("sh AS (", "sh0 AS (")},
        |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $MAX_SHINGLE_DF),
        |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (sh)),
        |cnt AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
@@ -145,11 +183,30 @@ object Dedup {
 
   /** MinHash signature frame: doc_id, mh0..mh11 (affine hashes over the
     * shingle table's precomputed h60 — zero digests in this pass). */
-  private def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashSignatures(sh: DataFrame): DataFrame = {
     val h = col("sh") % MH_P
     val aggs = (0 until MINHASH_K).map(i =>
       min((h * mhA(i) + mhB(i)) % MH_P).as(s"mh$i"))
-    shingleTable(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band-equality candidate pairs (doc_a < doc_b) from a signature
+    * frame. Bucket population is bounded by distinct texts when callers
+    * feed [[collapseExact]]-ed docs — the k²-per-duplicate-cluster
+    * blowup is structurally impossible here, which DedupScaleSpec proves
+    * with an injected 1,000-copy cluster.
+    */
+  private[graft] def minhashBandCandidates(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.h1").as("h1"), col("b.h2").as("h2"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   private val sigCte: String = {
@@ -159,30 +216,28 @@ object Dedup {
     s"sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id)"
   }
 
-  /** MinHash + LSH banding near-dup pairs.
+  /** MinHash + LSH banding near-dup pairs over distinct-text
+    * representatives ([[collapseExact]] — exact copies never reach the
+    * band join, so no bucket can exceed distinct-text cardinality).
     * Bands of 2 rows; candidates agree on a whole band (plain integer
     * equality on the two minhashes — no digest needed for the band key);
     * estimated Jaccard = fraction of equal minhashes; keep est >= 0.5.
+    * `copies_a`/`copies_b` carry each side's exact-dup cluster size, so
+    * member-level pairs remain derivable without materializing them.
     */
   def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir).cache()
-    val bandCols = (0 until BANDS).map { b =>
-      struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.h1").as("h1"), col("b.h2").as("h2"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
-          col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val reps = collapseExact(Tables.documents(s, dir)).cache()
+    val sig = minhashSignatures(shingleTable(reps)).cache()
     val eq = (0 until MINHASH_K).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0)).reduce(_ + _)
-    cand
+    minhashBandCandidates(sig)
       .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), round(eq.cast("double") / MINHASH_K, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+      .join(reps.select(col("doc_id").as("doc_a"), col("copies").as("copies_a")), Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"), col("copies").as("copies_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("copies_a"), col("copies_b"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -191,24 +246,26 @@ object Dedup {
       s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig").mkString(" UNION ALL ")
     val eq = (0 until MINHASH_K).map(i =>
       s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH $shingleCte,
+    s"""WITH $repsCte,
+       |$shingleCte,
        |$sigCte,
        |bands AS ($bandSel),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b, round(($eq) / ${MINHASH_K}.0, 6) AS est_jaccard
+       |SELECT doc_a, doc_b, round(($eq) / ${MINHASH_K}.0, 6) AS est_jaccard,
+       |  ra.copies AS copies_a, rb.copies AS copies_b
        |FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+       | JOIN reps ra ON ra.doc_id = doc_a JOIN reps rb ON rb.doc_id = doc_b
        |WHERE ($eq) / ${MINHASH_K}.0 >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // -------------------------------------------------------------- simhash
-  /** 60-bit SimHash per document over the word multiset: bit i is set when
-    * at least half the words have bit i set in h60(word).
-    */
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+  /** (doc_id, simhash) over the given docs frame: bit i is set when at
+    * least half the words have bit i set in h60(word). */
+  private[graft] def simhashFrame(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", h60(col("w")))
     val bitSums = (0 until SIM_BITS).map(i =>
@@ -217,27 +274,34 @@ object Dedup {
       .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
     val simhash = (0 until SIM_BITS).map(i =>
       when(col(s"s$i") * 2 >= col("n"), shiftleft(lit(1L), i)).otherwise(0L)).reduce(_ + _)
-    agg.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    agg.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  private def simhashCtes: String = {
+  /** 60-bit SimHash per document (full member-level listing). */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashFrame(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private def simhashCtes(src: String): String = {
     val sums = (0 until SIM_BITS).map(i => s"sum((h >> $i) & 1) AS s$i").mkString(", ")
     val assemble = (0 until SIM_BITS).map(i =>
       s"CASE WHEN s$i * 2 >= n THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END").mkString(" + ")
     s"""words AS (
-       |  SELECT doc_id, ${h60Sql("unnest(string_split(text, ' '))")} AS h FROM documents),
+       |  SELECT doc_id, ${h60Sql("unnest(string_split(text, ' '))")} AS h FROM $src),
        |bitsums AS (SELECT doc_id, $sums, count(*) AS n FROM words GROUP BY doc_id),
        |simhashes AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bitsums)""".stripMargin
   }
 
   val oracleSimhash: String =
-    s"WITH $simhashCtes SELECT doc_id, simhash FROM simhashes ORDER BY doc_id"
+    s"WITH ${simhashCtes("documents")} SELECT doc_id, simhash FROM simhashes ORDER BY doc_id"
 
-  /** SimHash near-dup pairs: 4 bands of 15 bits; any pair at hamming
-    * distance <= 3 must share a band (pigeonhole), verified by bit_count.
+  /** Band-equality candidate pairs (doc_a, doc_b, hamming) from a
+    * (doc_id, simhash) frame: 4 bands of 15 bits — any pair at hamming
+    * distance <= 3 must share a band (pigeonhole). Feed
+    * [[collapseExact]]-ed docs: identical texts have identical simhashes
+    * (sharing ALL bands), so raw-doc banding pays k² per duplicate
+    * cluster.
     */
-  def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = qDedupSimhash(s, dir).cache()
+  private[graft] def simhashBandCandidates(sh: DataFrame): DataFrame = {
     val bandCols = (0 until SIM_BANDS).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL).as("bv")))
@@ -249,7 +313,18 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
+  }
+
+  /** SimHash near-dup pairs over distinct-text representatives, verified
+    * by bit_count; `copies_*` carry exact-cluster sizes (see
+    * [[qDedupMinhashLsh]] for the collapse rationale). */
+  def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val reps = collapseExact(Tables.documents(s, dir)).cache()
+    simhashBandCandidates(simhashFrame(reps))
       .filter(col("hamming") <= 3)
+      .join(reps.select(col("doc_id").as("doc_a"), col("copies").as("copies_a")), Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"), col("copies").as("copies_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("copies_a"), col("copies_b"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -257,12 +332,16 @@ object Dedup {
     val bandSel = (0 until SIM_BANDS).map(b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS bv FROM simhashes")
       .mkString(" UNION ALL ")
-    s"""WITH $simhashCtes,
-       |bands AS ($bandSel)
-       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
-       |FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    s"""WITH $repsCte,
+       |${simhashCtes("reps")},
+       |bands AS ($bandSel),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming, ra.copies AS copies_a, rb.copies AS copies_b
+       |FROM cand JOIN reps ra ON ra.doc_id = doc_a JOIN reps rb ON rb.doc_id = doc_b
+       |WHERE hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funspec.AnyFunSpec
+
+/** Proves the exact-dup pre-collapse bounds near-dup candidate
+  * generation by DISTINCT texts, not documents — the one quadratic a
+  * web-scale corpus (10⁵-copy boilerplate clusters) would otherwise hit
+  * in the MinHash/SimHash band joins.
+  */
+class DedupScaleSpec extends AnyFunSpec with SparkTestBase {
+
+  private val CLUSTER = 1000 // copies of one boilerplate text
+  private val UNIQUE  = 20
+
+  /** CLUSTER copies of one text + UNIQUE distinct docs (>=3 words each,
+    * no shared shingles between distinct docs). */
+  private def docs: DataFrame = {
+    val cluster = spark.range(CLUSTER)
+      .selectExpr("id AS doc_id",
+        "'subscribe to our newsletter for daily updates and offers' AS text")
+    val unique = spark.range(CLUSTER, CLUSTER + UNIQUE)
+      .selectExpr("id AS doc_id",
+        "concat('uniq', id, ' alpha', id, ' beta', id, ' gamma', id, ' delta', id) AS text")
+    cluster.union(unique)
+  }
+
+  describe("exact-dup pre-collapse") {
+
+    it("collapses a 1000-copy cluster to one representative with its size") {
+      val reps = Dedup.collapseExact(docs).collect()
+      assert(reps.length == UNIQUE + 1)
+      val cluster = reps.filter(_.getAs[Long]("copies") == CLUSTER.toLong)
+      assert(cluster.length == 1)
+      assert(cluster.head.getAs[Long]("doc_id") == 0L) // min member is the rep
+      assert(reps.count(_.getAs[Long]("copies") == 1L) == UNIQUE)
+    }
+
+    it("keeps MinHash band candidates O(distinct texts) where raw docs pay k^2") {
+      val maxDistinctPairs = (UNIQUE + 1) * UNIQUE / 2
+      val collapsed = Dedup.minhashBandCandidates(
+        Dedup.minhashSignatures(Dedup.shingleTable(Dedup.collapseExact(docs)))).count()
+      assert(collapsed <= maxDistinctPairs,
+        s"collapsed candidates $collapsed exceed distinct-pair bound $maxDistinctPairs")
+      // the counterfactual: identical texts share all bands, so the raw
+      // path emits every pair within the cluster — C(1000,2) rows
+      val raw = Dedup.minhashBandCandidates(
+        Dedup.minhashSignatures(Dedup.shingleTable(docs))).count()
+      assert(raw >= CLUSTER.toLong * (CLUSTER - 1) / 2)
+    }
+
+    it("keeps SimHash band candidates O(distinct texts) where raw docs pay k^2") {
+      val maxDistinctPairs = (UNIQUE + 1) * UNIQUE / 2
+      val collapsed = Dedup.simhashBandCandidates(
+        Dedup.simhashFrame(Dedup.collapseExact(docs))).count()
+      assert(collapsed <= maxDistinctPairs)
+      val raw = Dedup.simhashBandCandidates(Dedup.simhashFrame(docs)).count()
+      assert(raw >= CLUSTER.toLong * (CLUSTER - 1) / 2)
+    }
+
+    it("keeps duplicate clusters visible to the Jaccard df-cap (df counts distinct texts)") {
+      import org.apache.spark.sql.functions._
+      // raw path: every cluster shingle has df=1000 > MAX_SHINGLE_DF, so
+      // the cap would silently drop the cluster from Jaccard entirely
+      val rawMaxDf = Dedup.shingleTable(docs)
+        .groupBy("sh").count().agg(max("count")).collect().head.getLong(0)
+      assert(rawMaxDf == CLUSTER.toLong)
+      assert(rawMaxDf > Dedup.MAX_SHINGLE_DF)
+      // collapsed path: one representative per text -> df=1 everywhere
+      // here; a shingle only exceeds the cap when >MAX_SHINGLE_DF
+      // DISTINCT texts share it (the hot-boilerplate-fragment case the
+      // cap is for)
+      val collapsedMaxDf = Dedup.shingleTable(Dedup.collapseExact(docs))
+        .groupBy("sh").count().agg(max("count")).collect().head.getLong(0)
+      assert(collapsedMaxDf == 1L)
+    }
+  }
+}

@@ -2,7 +2,8 @@ package graft.lineage
 
 import graft.meta.MetadataExtractor
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** The engine's heart: a `QueryExecutionListener` that turns every Spark
@@ -13,7 +14,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Guarantees: never throws into the query path; extraction is
   * driver-side plan walking only (zero executor/data-path overhead).
   */
-final class LineageListener(sinks: Seq[LineageSink]) extends QueryExecutionListener {
+final class LineageListener(private[lineage] val sinks: Seq[LineageSink]) extends QueryExecutionListener {
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     safeEmit(build(funcName, qe, durationNs, None))
@@ -24,6 +25,21 @@ final class LineageListener(sinks: Seq[LineageSink]) extends QueryExecutionListe
   private def safeEmit(r: => Option[LineageRecord]): Unit =
     try r.foreach(rec => sinks.foreach(s => try s.emit(rec) catch { case _: Throwable => () }))
     catch { case _: Throwable => () }
+
+  /** Every node of the executed plan, INCLUDING the subtrees hidden
+    * behind adaptive-execution leaves: `AdaptiveSparkPlanExec` and each
+    * `QueryStageExec` are leaf nodes to `collect`, so any write whose
+    * child contains an exchange (AQE wraps it by default) would
+    * otherwise hide all of its scans — exactly the expensive queries
+    * whose metrics matter. The listener fires post-execution, so the
+    * adaptive plan is final.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec        => q +: allNodes(q.plan)
+      case n                        => Seq(n)
+    }
 
   private def build(
       funcName: String,
@@ -42,12 +58,34 @@ final class LineageListener(sinks: Seq[LineageSink]) extends QueryExecutionListe
     val bytesOut = try {
       qe.executedPlan.metrics.get("numOutputBytes").map(_.value)
     } catch { case _: Throwable => None }
-    val bytesIn = try {
-      val vals = qe.executedPlan.collect {
+    val planNodes = try allNodes(qe.executedPlan) catch { case _: Throwable => Seq.empty }
+    val bytesIn = {
+      val vals = planNodes.collect {
         case p if p.metrics.contains("filesSize") => p.metrics("filesSize").value
       }
       if (vals.nonEmpty) Some(vals.sum) else None
-    } catch { case _: Throwable => None }
+    }
+    // Per-entity attribution: each file scan's (filesSize, numOutputRows)
+    // keyed by the same name PlanExtractor derives from the logical
+    // relation — table identifier when cataloged, root path(s) otherwise.
+    // Two scans of one entity (self-join) sum.
+    val scanStats: Map[String, (Long, Long)] = planNodes
+      .collect {
+        case f: FileSourceScanExec =>
+          val name = f.tableIdentifier.map(_.unquotedString)
+            .getOrElse(f.relation.location.rootPaths.map(_.toString).mkString(","))
+          val bytes = f.metrics.get("filesSize").map(_.value).getOrElse(0L)
+          val rows = f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          (name, bytes, rows)
+      }
+      .groupBy(_._1)
+      .map { case (n, xs) => n -> (xs.map(_._2).sum, xs.map(_._3).sum) }
+    val inputs = PlanExtractor.inputs(analyzed).map { in =>
+      scanStats.get(in.name) match {
+        case Some((b, r)) => in.copy(bytesRead = Some(b), rowsRead = Some(r))
+        case None         => in
+      }
+    }
     Some(LineageRecord(
       appId = spark.sparkContext.applicationId,
       appName = spark.sparkContext.appName,
@@ -57,7 +95,7 @@ final class LineageListener(sinks: Seq[LineageSink]) extends QueryExecutionListe
       error = error.map(e => Option(e.getMessage).getOrElse(e.getClass.getName)),
       durationNs = durationNs,
       timestampMs = System.currentTimeMillis(),
-      inputs = PlanExtractor.inputs(analyzed),
+      inputs = inputs,
       output = PlanExtractor.output(analyzed),
       outputColumns = body.output.map(_.name),
       columnLineage = ColumnLineage.forPlan(analyzed),
@@ -71,25 +109,40 @@ final class LineageListener(sinks: Seq[LineageSink]) extends QueryExecutionListe
 /** One-line enablement, mirroring the reference's install-and-forget UX.
   * Sinks are wrapped in [[AsyncSink]] so emission is non-blocking for the
   * query path; use `installSync` when deterministic in-line delivery is
-  * wanted (tests).
+  * wanted (tests). Both variants also attach a
+  * [[StreamingLineageListener]] to the same sinks, so Structured
+  * Streaming writes (invisible to `QueryExecutionListener`) appear in
+  * the same lineage feed.
   */
 object Lineage {
+  // batch listener -> its paired streaming listener, so uninstall can
+  // detach both given only the value install returned
+  private val streamingFor =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[LineageListener, StreamingLineageListener]())
+
   def install(spark: SparkSession, sinks: LineageSink*): LineageListener = {
     val effective = if (sinks.nonEmpty) sinks else Seq(new Slf4jSink)
-    val l = new LineageListener(effective.map(new AsyncSink(_)))
-    spark.listenerManager.register(l)
-    l
+    register(spark, new LineageListener(effective.map(new AsyncSink(_))))
   }
 
   /** Synchronous variant: records reach the given sinks on the listener
     * bus thread itself (still off the query's action thread). */
   def installSync(spark: SparkSession, sinks: LineageSink*): LineageListener = {
     val effective = if (sinks.nonEmpty) sinks else Seq(new Slf4jSink)
-    val l = new LineageListener(effective)
+    register(spark, new LineageListener(effective))
+  }
+
+  private def register(spark: SparkSession, l: LineageListener): LineageListener = {
     spark.listenerManager.register(l)
+    val sl = new StreamingLineageListener(spark, l.sinks)
+    spark.streams.addListener(sl)
+    streamingFor.put(l, sl)
     l
   }
 
-  def uninstall(spark: SparkSession, l: LineageListener): Unit =
+  def uninstall(spark: SparkSession, l: LineageListener): Unit = {
     spark.listenerManager.unregister(l)
+    Option(streamingFor.remove(l)).foreach(spark.streams.removeListener)
+  }
 }

@@ -7,7 +7,9 @@ final case class InputEntity(
     kind: String,            // "path" | "table" | "v2" | "inline"
     name: String,            // path(s) or catalog identifier
     format: Option[String],  // parquet/csv/... when known
-    columnsRead: Seq[String] // pruned column set actually referenced
+    columnsRead: Seq[String],// pruned column set actually referenced
+    bytesRead: Option[Long] = None, // this entity's scan filesSize (post-pruning)
+    rowsRead: Option[Long] = None   // rows its scan produced (post-pushdown)
 )
 
 final case class OutputEntity(
@@ -54,8 +56,10 @@ final case class LineageRecord(
     } + "\""
     def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
     def opt(o: Option[String]): String = o.map(q).getOrElse("null")
+    def num(o: Option[Long]): String = o.map(_.toString).getOrElse("null")
     val ins = arr(inputs.map(i =>
-      s"""{"kind":${q(i.kind)},"name":${q(i.name)},"format":${opt(i.format)},"columnsRead":${arr(i.columnsRead.map(q))}}"""))
+      s"""{"kind":${q(i.kind)},"name":${q(i.name)},"format":${opt(i.format)},"columnsRead":${arr(i.columnsRead.map(q))},""" +
+        s""""bytesRead":${num(i.bytesRead)},"rowsRead":${num(i.rowsRead)}}"""))
     val out = output.map(o =>
       s"""{"kind":${q(o.kind)},"name":${q(o.name)},"format":${opt(o.format)},"mode":${opt(o.mode)}}""").getOrElse("null")
     val colLin = arr(columnLineage.map(m =>

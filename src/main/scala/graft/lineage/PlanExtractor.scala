@@ -20,8 +20,12 @@ object PlanExtractor {
     */
   def inputs(plan: LogicalPlan): Seq[InputEntity] = {
     // subquery expressions (scalar / IN / EXISTS) hold whole plans of
-    // their own — their scans are inputs too
-    val plans = plan +: plan.subqueriesAll
+    // their own — their scans are inputs too. V2 CTAS/RTAS are
+    // AnalysisOnlyCommands whose children are HIDDEN post-analysis, so
+    // the query body must be walked explicitly or their sources vanish.
+    val body = queryBody(plan)
+    val roots = if (body eq plan) Seq(plan) else Seq(plan, body)
+    val plans = roots ++ roots.flatMap(_.subqueriesAll)
     plans.flatMap(inputsOf).distinct
   }
 
@@ -89,11 +93,20 @@ object PlanExtractor {
     case o: OverwritePartitionsDynamic =>
       Some(OutputEntity("v2", o.table.name, None, Some("overwrite_dynamic")))
     case c: CreateTableAsSelect =>
-      Some(OutputEntity("v2", c.name.toString, None, Some("create")))
+      Some(OutputEntity("v2", v2IdentName(c.name), None, Some("create")))
     case r: ReplaceTableAsSelect =>
-      Some(OutputEntity("v2", r.name.toString, None, Some("replace")))
+      Some(OutputEntity("v2", v2IdentName(r.name), None, Some("replace")))
     case other =>
       other.children.iterator.map(output).collectFirst { case Some(o) => o }
+  }
+
+  /** Catalog-qualified name for a V2 CTAS/RTAS target (the `name` child
+    * is a ResolvedIdentifier after analysis; its toString is an object
+    * dump, not an identifier). */
+  private def v2IdentName(name: LogicalPlan): String = name match {
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      s"${r.catalog.name}.${r.identifier}"
+    case o => o.toString
   }
 
   /** The "query body" below any write command — what column lineage and

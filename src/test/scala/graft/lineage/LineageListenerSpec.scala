@@ -108,6 +108,35 @@ class LineageListenerSpec extends AnyFunSpec with SparkTestBase {
       }
     }
 
+    it("attributes bytes/rows read per input entity through an AQE-wrapped join write") {
+      val sink = new InMemorySink
+      val l = Lineage.installSync(spark, sink)
+      try withTempDir { dir =>
+        val out = s"${dir.getAbsolutePath}/joined"
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        // the join forces an exchange, so AQE (on by default) wraps the
+        // write's child in AdaptiveSparkPlanExec — the case where a
+        // naive executedPlan.collect sees no scans at all
+        orders.join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(out)
+
+        assert(eventually()(sink.records.exists(r =>
+          r.output.isDefined && r.inputs.size == 2)), "no 2-input write record")
+        val rec = sink.records.find(r => r.output.isDefined && r.inputs.size == 2).get
+
+        val oIn = rec.inputs.find(_.name.contains("orders.parquet")).get
+        val cIn = rec.inputs.find(_.name.contains("customer.parquet")).get
+        assert(oIn.bytesRead.exists(_ > 0L), s"orders bytesRead=${oIn.bytesRead}")
+        assert(cIn.bytesRead.exists(_ > 0L), s"customer bytesRead=${cIn.bytesRead}")
+        assert(oIn.rowsRead.contains(orders.count()), s"orders rowsRead=${oIn.rowsRead}")
+        assert(cIn.rowsRead.contains(cust.count()), s"customer rowsRead=${cIn.rowsRead}")
+        // the record-level total is the sum over scans, AQE included
+        assert(rec.bytesRead.contains(oIn.bytesRead.get + cIn.bytesRead.get))
+      } finally Lineage.uninstall(spark, l)
+    }
+
     it("never fails the query when a sink throws") {
       val throwing = new LineageSink {
         override def emit(r: LineageRecord): Unit = throw new IllegalStateException("sink down")

@@ -45,6 +45,7 @@ object SparkEntry {
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
     "q_knn_centroid" -> Similarity.qKnnCentroid _,
     "q_knn_ivf"      -> Similarity.qKnnIvf _,
+    "q_knn_recall"   -> Similarity.qKnnRecall _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -186,6 +187,7 @@ object SparkEntry {
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,
     "q_knn_centroid" -> Similarity.oracleKnnCentroid,
     "q_knn_ivf"      -> Similarity.oracleKnnIvf,
+    "q_knn_recall"   -> Similarity.oracleKnnRecall,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

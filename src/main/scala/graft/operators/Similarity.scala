@@ -160,7 +160,8 @@ object Similarity {
       .stripMargin.replace("\n", " ")
 
   /** Per-label centroids as a (label, centroid) frame — the coarse
-    * quantizer shared by `qKnnCentroid` and `qKnnIvf`. */
+    * quantizer for `qKnnCentroid` (a per-label medoid query by
+    * definition; `qKnnIvf` uses the TRAINED quantizer below). */
   private def centroids(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy("label", "pos").agg(avg("v").as("av"))
@@ -168,28 +169,100 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
         x => x.getField("av")).as("centroid"))
 
-  /** IVF search: (1) assign EVERY vector to its nearest centroid cell
+  /** IVF coarse-quantizer knobs. IVF_K is the 100 TB dial: #cells ≈ √n
+    * in production (each probe then touches ~n/K vectors); the training
+    * plan below is K-independent in shape — per Lloyd iteration one
+    * broadcast of K centroids + one map-side-combinable argmin + one
+    * (cell,pos)-keyed mean, the classic distributed k-means. */
+  private[graft] val IVF_K     = 8
+  private[graft] val IVF_ITERS = 2
+
+  /** Trained coarse quantizer: IVF_ITERS Lloyd iterations from a
+    * deterministic seed (the K lowest vec_ids), entirely declarative.
+    * Centroid coordinates are rounded to 6 dp after each mean — mirrored
+    * in the oracle — so cross-engine float drift (summation order in
+    * avg()) cannot flip later argmin assignments; cosine itself is
+    * bit-identical on identical inputs (same left-to-right fold both
+    * engines). Cells that lose every vector simply vanish (standard
+    * non-splitting Lloyd).
+    */
+  private[graft] def trainedCentroids(s: SparkSession, e: DataFrame): DataFrame = {
+    val w = Window.orderBy("vec_id")
+    var cent = e.orderBy("vec_id").limit(IVF_K)
+      .withColumn("cell", row_number().over(w) - 1)
+      .select(col("cell"), col("emb").as("centroid"))
+    for (_ <- 1 to IVF_ITERS) {
+      val assigned = assignCells(s, e, cent)
+      cent = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(round(avg("v"), 6).as("av"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+          x => x.getField("av")).as("centroid"))
+    }
+    cent
+  }
+
+  /** Nearest-cell assignment for every vector: broadcast the K centroids,
+    * map-side-combinable struct-min argmin (no per-vector window
+    * shuffle), ties to the lowest cell id — mirrored by the oracle's
+    * ORDER BY cos DESC, cell. */
+  private def assignCells(s: SparkSession, e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("emb"),
+        struct((-cosine(s, "emb", "centroid")).as("nc"), col("cell")).as("sc"))
+      .groupBy("vec_id")
+      .agg(min("sc").as("m"), first("emb").as("emb"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("emb"))
+
+  /** DuckDB mirror of [[trainedCentroids]]: seed + IVF_ITERS unrolled
+    * assign/mean rounds as chained CTEs, ending in `cent(cell, centroid)`
+    * and reusable `e(vec_id, emb)`. */
+  private[graft] def kmeansCtes: String = {
+    def assignCte(centSrc: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT e.vec_id, e.emb, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cell) AS rn
+         |    FROM e CROSS JOIN $centSrc c) WHERE rn = 1)""".stripMargin
+    def meanCte(assignSrc: String, out: String): String =
+      s"""$out AS (
+         |  SELECT cell, list(av ORDER BY pos) AS centroid FROM (
+         |    SELECT cell, pos, round(avg(v), 6) AS av FROM (
+         |      SELECT cell, unnest(emb) AS v,
+         |             unnest(generate_series(1, len(emb))) AS pos
+         |      FROM $assignSrc) GROUP BY cell, pos) GROUP BY cell)""".stripMargin
+    val iters = (1 to IVF_ITERS).map { i =>
+      val centSrc = if (i == 1) "cent0" else s"cent${i - 1}"
+      s"${assignCte(centSrc, s"asg$i")},\n${meanCte(s"asg$i", s"cent$i")}"
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS centroid
+       |  FROM e ORDER BY vec_id LIMIT $IVF_K),
+       |$iters,
+       |cent AS (SELECT cell, centroid FROM cent$IVF_ITERS)""".stripMargin
+  }
+
+  /** IVF search with the TRAINED quantizer ([[trainedCentroids]]):
+    * (1) assign EVERY vector to its nearest of IVF_K k-means cells
     * (argmin via a map-side-combinable struct-min — no per-vector window
     * shuffle); (2) pick the query's top-2 cells (nprobe=2); (3) exact
     * cosine re-rank only within the probed cells. At 100 TB the probed
     * cells are the only data touched after assignment — the classic
-    * IVF recall/cost dial (nprobe, #cells) without changing plan shape.
+    * IVF recall/cost dial (nprobe, IVF_K) without changing plan shape.
     */
   def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
-    val cent = centroids(e)
-    // argmin assignment: min over (negated cos, cell) mirrors the
-    // oracle's ORDER BY cos DESC, cell ASC tie-break exactly
-    val scoredCells = e.crossJoin(broadcast(cent.select(col("label").as("cell"), col("centroid"))))
-      .select(col("vec_id"), col("emb"),
-        struct((-cosine(s, "emb", "centroid")).as("nc"), col("cell")).as("sc"))
-    val assigned = scoredCells.groupBy("vec_id")
-      .agg(min("sc").as("m"), first("emb").as("emb"))
-      .select(col("vec_id"), col("m.cell").as("cell"), col("emb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = trainedCentroids(s, e).cache()
+    val assigned = assignCells(s, e, cent)
     val qv = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qemb")))
     val qCells = broadcast(cent.crossJoin(qv)
-      .select(col("label").as("cell"), cosine(s, "centroid", "qemb").as("qc"))
+      .select(col("cell"), cosine(s, "centroid", "qemb").as("qc"))
       .orderBy(desc("qc"), col("cell")).limit(2).select("cell"))
     assigned.filter(col("vec_id") =!= 0)
       .join(qCells, Seq("cell"))
@@ -200,29 +273,124 @@ object Similarity {
   }
 
   val oracleKnnIvf: String =
-    s"""WITH flat AS (
-       |  SELECT label, unnest(embedding)::DOUBLE AS v,
-       |         unnest(generate_series(1, len(embedding))) AS pos
-       |  FROM embeddings),
-       |cent AS (
-       |  SELECT label AS cell, list(av ORDER BY pos) AS centroid
-       |  FROM (SELECT label, pos, avg(v) AS av FROM flat GROUP BY 1, 2) GROUP BY label),
-       |ac AS (
-       |  SELECT e.vec_id, e.embedding, cent.cell, ${cosSql("e.embedding", "cent.centroid")} AS cos_c
-       |  FROM embeddings e CROSS JOIN cent),
+    s"""WITH $kmeansCtes,
        |assigned AS (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT vec_id, embedding, cell,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell) AS rn
-       |    FROM ac) WHERE rn = 1),
-       |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
        |qc AS (
        |  SELECT cell FROM cent, q
        |  ORDER BY ${cosSql("centroid", "qemb")} DESC, cell LIMIT 2)
-       |SELECT vec_id, cell, round(${cosSql("a.embedding", "qemb")}, 6) AS cos
+       |SELECT vec_id, CAST(cell AS INT) AS cell, round(${cosSql("a.emb", "qemb")}, 6) AS cos
        |FROM assigned a JOIN qc USING (cell), q
        |WHERE vec_id <> 0
-       |ORDER BY ${cosSql("a.embedding", "qemb")} DESC, vec_id LIMIT 5""".stripMargin
+       |ORDER BY ${cosSql("a.emb", "qemb")} DESC, vec_id LIMIT 5""".stripMargin
+  /** Recall gauge for the approximate searches: recall@3 of LSH banding
+    * and IVF (nprobe=2, trained cells) against exact brute-force ground
+    * truth, over a deterministic sample of query vectors. This is the
+    * measurement that makes BITS / IVF_K / nprobe tunable at 100 TB —
+    * without it the ANN knobs are blind guesses. Both methods and the
+    * truth are deterministic, so the whole gauge is oracle-checked.
+    */
+  private[graft] val RECALL_QS = 10 // sample: vec_id < 10
+  private[graft] val RECALL_K  = 3
+
+  def qKnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val qs = broadcast(e.filter(col("vec_id") < RECALL_QS)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb")))
+    // exact ground truth: brute-force top-3 per sampled query (one scan,
+    // broadcast sample — the correct exact plan at any scale)
+    val truthW = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    val truth = e.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
+      .withColumn("rn", row_number().over(truthW)).filter(col("rn") <= RECALL_K)
+      .select(col("qid"), col("vec_id"))
+    // LSH top-3 (same candidates qKnnLsh ranks, restricted to the sample)
+    val lshW = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
+    val lshTop = lshCandidates(s, dir).filter(col("vec_id") < RECALL_QS)
+      .withColumn("rn", row_number().over(lshW)).filter(col("rn") <= RECALL_K)
+      .select(col("vec_id").as("qid"), col("cand_id").as("vec_id"))
+    // IVF top-3: probe each query's top-2 trained cells, rank within
+    val cent = trainedCentroids(s, e).cache()
+    val assigned = assignCells(s, e, cent)
+    val qCellW = Window.partitionBy("qid").orderBy(desc("qc"), col("cell"))
+    val qCells = qs.crossJoin(broadcast(cent))
+      .select(col("qid"), col("cell"), cosine(s, "centroid", "qemb").as("qc"))
+      .withColumn("rn", row_number().over(qCellW)).filter(col("rn") <= 2)
+      .select(col("qid"), col("cell"))
+    val ivfW = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    val ivfTop = assigned.join(qCells, Seq("cell"))
+      .join(qs, Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
+      .withColumn("rn", row_number().over(ivfW)).filter(col("rn") <= RECALL_K)
+      .select(col("qid"), col("vec_id"))
+    val approx = lshTop.withColumn("method", lit("lsh"))
+      .unionByName(ivfTop.withColumn("method", lit("ivf")))
+    val hits = approx.join(truth, Seq("qid", "vec_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+    // a method with ZERO hits must still report 0.0 — at sf0.01 the
+    // 2x8-bit LSH banding genuinely scores recall 0 (the knob insight
+    // this gauge exists to surface), and dropping its row would read as
+    // "not measured" instead
+    import s.implicits._
+    val methods = Seq("ivf", "lsh").toDF("method")
+    methods.join(hits, Seq("method"), "left")
+      .select(col("method"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(RECALL_QS * RECALL_K.toDouble), 4).as("recall_at_3"))
+      .orderBy("method")
+  }
+
+  val oracleKnnRecall: String =
+    s"""WITH $kmeansCtes,
+       |$lshCandidatesSql,
+       |qs AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $RECALL_QS),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("e.emb", "q.qemb")} DESC, e.vec_id) AS rn
+       |    FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid) WHERE rn <= $RECALL_K),
+       |lshtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT vec_id AS qid, cand_id AS vec_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rn
+       |    FROM cand WHERE vec_id < $RECALL_QS) WHERE rn <= $RECALL_K),
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("c.centroid", "q.qemb")} DESC, c.cell) AS rn
+       |    FROM cent c CROSS JOIN qs q) WHERE rn <= 2),
+       |ivftop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qc.qid, a.vec_id,
+       |      row_number() OVER (PARTITION BY qc.qid
+       |        ORDER BY ${cosSql("a.emb", "q.qemb")} DESC, a.vec_id) AS rn
+       |    FROM assigned a JOIN qcells qc USING (cell) JOIN qs q ON q.qid = qc.qid
+       |    WHERE a.vec_id <> qc.qid) WHERE rn <= $RECALL_K),
+       |approx AS (
+       |  SELECT 'lsh' AS method, qid, vec_id FROM lshtop
+       |  UNION ALL SELECT 'ivf' AS method, qid, vec_id FROM ivftop),
+       |hits AS (
+       |  SELECT method, count(*) AS hits
+       |  FROM approx JOIN truth USING (qid, vec_id) GROUP BY method),
+       |methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh' AS method)
+       |SELECT m.method, coalesce(h.hits, 0) AS hits,
+       |  round(coalesce(h.hits, 0) / ${RECALL_QS * RECALL_K}.0, 4) AS recall_at_3
+       |FROM methods m LEFT JOIN hits h USING (method) ORDER BY method""".stripMargin
+
   def qKnnCentroid(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))

@@ -69,9 +69,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       // writes at plan-build time. Bounded broadcast nested loops are
       // legitimate where the broadcast side is tiny BY CONSTRUCTION:
       // q_knn_brute/q_knn_ivf broadcast a 1-row query vector / #cells-row
-      // centroid table.
+      // centroid table; q_knn_recall broadcasts the RECALL_QS-row sample
+      // and the IVF_K-row trained centroids.
       val skip = Set("q_lineage_selfcheck", "q_source_csv", "q_source_json")
-      val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf")
+      val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

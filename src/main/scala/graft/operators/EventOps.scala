@@ -70,9 +70,7 @@ object EventOps {
     val ev = events(s, dir)
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
-        col("event_id").as("pid"), lit(0).as("is_purchase"))
-      .withColumn("view_id", col("view_id")) // keep schema aligned
-      .select(col("user_id"), col("ts"), col("view_id"), lit(null).cast("long").as("purchase_id"), col("is_purchase"))
+        lit(null).cast("long").as("purchase_id"), lit(0).as("is_purchase"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(null).cast("long").as("view_id"),
         col("event_id").as("purchase_id"), lit(1).as("is_purchase"))

@@ -37,6 +37,7 @@ object SparkEntry {
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
     "q_dedup_ngram_jaccard" -> Dedup.qDedupNgramJaccard _,
     "q_dedup_minhash_lsh"   -> Dedup.qDedupMinhashLsh _,
+    "q_dedup_clusters"      -> Dedup.qDedupClusters _,
     "q_dedup_simhash"       -> Dedup.qDedupSimhash _,
     "q_dedup_simhash_pairs" -> Dedup.qDedupSimhashPairs _,
     "q_dedup_embedding"     -> Dedup.qDedupEmbedding _,
@@ -60,8 +61,9 @@ object SparkEntry {
     "q_source_csv"  -> ((s, d) => graft.sources.Sources.qSourceCsv(s, d)),
     "q_source_json" -> ((s, d) => graft.sources.Sources.qSourceJson(s, d)),
     // scale patterns + pipeline composition
-    "q_skew_salted_join" -> SkewOps.qSkewSaltedJoin _,
-    "q_corpus_curate"    -> Pipeline.qCorpusCurate _
+    "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
+    "q_corpus_curate"     -> Pipeline.qCorpusCurate _,
+    "q_sample_stratified" -> Pipeline.qSampleStratified _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -179,6 +181,7 @@ object SparkEntry {
     "q_dedup_fingerprint"   -> Dedup.oracleFingerprint,
     "q_dedup_ngram_jaccard" -> Dedup.oracleNgramJaccard,
     "q_dedup_minhash_lsh"   -> Dedup.oracleMinhashLsh,
+    "q_dedup_clusters"      -> Dedup.oracleClusters,
     "q_dedup_simhash"       -> Dedup.oracleSimhash,
     "q_dedup_simhash_pairs" -> Dedup.oracleSimhashPairs,
     "q_dedup_embedding"     -> Dedup.oracleEmbedding,
@@ -201,6 +204,7 @@ object SparkEntry {
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,
     "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
-    "q_corpus_curate"     -> Pipeline.oracleCorpusCurate
+    "q_corpus_curate"     -> Pipeline.oracleCorpusCurate,
+    "q_sample_stratified" -> Pipeline.oracleSampleStratified
   )
 }

@@ -225,9 +225,10 @@ object Dedup {
     * `copies_a`/`copies_b` carry each side's exact-dup cluster size, so
     * member-level pairs remain derivable without materializing them.
     */
-  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val reps = collapseExact(Tables.documents(s, dir)).cache()
-    val sig = minhashSignatures(shingleTable(reps)).cache()
+  /** Rep-level near-dup pairs (doc_a, doc_b, est_jaccard >= 0.5) — the
+    * shared edge generator for [[qDedupMinhashLsh]] and
+    * [[qDedupClusters]]. */
+  private def minhashPairs(sig: DataFrame): DataFrame = {
     val eq = (0 until MINHASH_K).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0)).reduce(_ + _)
     minhashBandCandidates(sig)
@@ -235,30 +236,108 @@ object Dedup {
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), round(eq.cast("double") / MINHASH_K, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+  }
+
+  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val reps = collapseExact(Tables.documents(s, dir)).cache()
+    val sig = minhashSignatures(shingleTable(reps)).cache()
+    minhashPairs(sig)
       .join(reps.select(col("doc_id").as("doc_a"), col("copies").as("copies_a")), Seq("doc_a"))
       .join(reps.select(col("doc_id").as("doc_b"), col("copies").as("copies_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("copies_a"), col("copies_b"))
       .orderBy("doc_a", "doc_b")
   }
 
-  val oracleMinhashLsh: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b, est_jaccard)` — the oracle
+    * twin of [[minhashPairs]] over [[repsCte]]. */
+  private val minhashPairsCtes: String = {
     val bandSel = (0 until BANDS).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig").mkString(" UNION ALL ")
     val eq = (0 until MINHASH_K).map(i =>
       s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH $repsCte,
+    s"""$repsCte,
        |$shingleCte,
        |$sigCte,
        |bands AS ($bandSel),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b, round(($eq) / ${MINHASH_K}.0, 6) AS est_jaccard,
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2 AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, round(($eq) / ${MINHASH_K}.0, 6) AS est_jaccard
+       |  FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+       |  WHERE ($eq) / ${MINHASH_K}.0 >= 0.5)""".stripMargin
+  }
+
+  val oracleMinhashLsh: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, est_jaccard,
        |  ra.copies AS copies_a, rb.copies AS copies_b
-       |FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
-       | JOIN reps ra ON ra.doc_id = doc_a JOIN reps rb ON rb.doc_id = doc_b
-       |WHERE ($eq) / ${MINHASH_K}.0 >= 0.5
+       |FROM pairs JOIN reps ra ON ra.doc_id = doc_a JOIN reps rb ON rb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------- dedup clusters (CC)
+  /** Label-propagation rounds for connected components. Labels converge
+    * for components of diameter <= CC_ITERS — ample for near-dup
+    * clusters (tight cliques from banding); a production run on adversarial
+    * long chains would switch to pointer-doubling (large-star/small-star,
+    * O(log d) rounds), same per-round plan shape.
+    */
+  private[graft] val CC_ITERS = 3
+
+  /** Near-duplicate CLUSTERS: pairs are not a dedup verdict — to keep
+    * one document per near-dup group you need the connected components
+    * of the pair graph. Edges = [[minhashPairs]] over distinct-text
+    * representatives; components via CC_ITERS rounds of min-label
+    * propagation, each round one equality join + one min-aggregate on
+    * the (bounded) edge list — fully declarative, unrolled identically
+    * in the oracle. Output: one row per cluster with its keeper (min
+    * doc_id), distinct-text count, and total document count including
+    * exact copies.
+    */
+  /** CC_ITERS rounds of min-label propagation over an undirected pair
+    * list (doc_a, doc_b) → (id, label) for every endpoint. */
+  private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to CC_ITERS) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy("src").agg(min("label").as("nl"))
+      labels = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+    }
+    labels
+  }
+
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val reps = collapseExact(Tables.documents(s, dir)).cache()
+    val sig = minhashSignatures(shingleTable(reps)).cache()
+    ccLabels(minhashPairs(sig).cache())
+      .join(reps.select(col("doc_id").as("id"), col("copies")), Seq("id"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_texts"), sum("copies").as("n_docs"))
+      .orderBy("cluster_id")
+  }
+
+  val oracleClusters: String = {
+    val props = (1 to CC_ITERS).map { i =>
+      s"""l$i AS (
+         |  SELECT l.id, least(l.label, coalesce(min(x.label), l.label)) AS label
+         |  FROM l${i - 1} l
+         |  LEFT JOIN edges e ON e.src = l.id
+         |  LEFT JOIN l${i - 1} x ON x.id = e.dst
+         |  GROUP BY l.id, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+       |$props
+       |SELECT label AS cluster_id, count(*) AS n_texts, CAST(sum(copies) AS BIGINT) AS n_docs
+       |FROM l$CC_ITERS l JOIN reps r ON r.doc_id = l.id
+       |GROUP BY label ORDER BY cluster_id""".stripMargin
   }
 
   // -------------------------------------------------------------- simhash

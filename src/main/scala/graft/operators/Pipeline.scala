@@ -50,6 +50,33 @@ object Pipeline {
       .orderBy("split")
   }
 
+  /** Deterministic stratified sampling — the standard mixture-control op
+    * when assembling a training corpus from unevenly-sized sources:
+    * within every stratum (here `lang`) keep the documents whose id hash
+    * falls under the target rate. Pure projection + one aggregate (no
+    * shuffle before the stats), trivially reproducible across reruns,
+    * engines, and cluster sizes — which is what makes the sampled corpus
+    * auditable. Output verifies the realized rate per stratum.
+    */
+  private val SAMPLE_PCT = 10
+
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keep = h60(concat_ws(":", col("lang"), col("doc_id"))) % 100 < SAMPLE_PCT
+    docs.select(col("lang"), keep.cast("long").as("k"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum("k").as("n_sampled"))
+      .select(col("lang"), col("n_total"), col("n_sampled"),
+        round(col("n_sampled") * 100.0 / col("n_total"), 2).as("pct"))
+      .orderBy("lang")
+  }
+
+  val oracleSampleStratified: String =
+    s"""SELECT lang, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN ${h60Sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 < $SAMPLE_PCT THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  round(sum(CASE WHEN ${h60Sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 < $SAMPLE_PCT THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracleCorpusCurate: String =
     s"""WITH q AS (
        |  SELECT doc_id,

@@ -59,6 +59,19 @@ class DedupScaleSpec extends AnyFunSpec with SparkTestBase {
       assert(raw >= CLUSTER.toLong * (CLUSTER - 1) / 2)
     }
 
+    it("resolves connected components over near-dup pairs (chain, triangle, isolated pair)") {
+      // chain 1-2-3-4 (diameter 3 = CC_ITERS), triangle 10-11-12, pair 20-21
+      val pairs = spark.createDataFrame(Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L),
+        (10L, 11L), (11L, 12L), (10L, 12L),
+        (20L, 21L))).toDF("doc_a", "doc_b")
+      val labels = Dedup.ccLabels(pairs).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      assert(Seq(1L, 2L, 3L, 4L).map(labels) == Seq(1L, 1L, 1L, 1L))
+      assert(Seq(10L, 11L, 12L).map(labels) == Seq(10L, 10L, 10L))
+      assert(Seq(20L, 21L).map(labels) == Seq(20L, 20L))
+    }
+
     it("keeps duplicate clusters visible to the Jaccard df-cap (df counts distinct texts)") {
       import org.apache.spark.sql.functions._
       // raw path: every cluster shingle has df=1000 > MAX_SHINGLE_DF, so

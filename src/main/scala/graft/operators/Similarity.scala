@@ -29,14 +29,23 @@ object Similarity {
   /** Random-hyperplane LSH geometry: PLANES sign bits split into BANDS
     * bands of BITS bits. Candidates must agree on at least one FULL band
     * (classic banding), so quadratic work is confined to 2^BITS buckets
-    * per band. 2^BITS is the scale knob: at the driver corpus (500–5000
-    * vectors) 8-bit bands keep recall non-trivial; at 100 TB you'd raise
-    * BITS to ~log2(n / target_bucket_size) (e.g. 24 bits → 16M buckets)
-    * and/or add bands — the plan shape (explode → band-equality shuffle
-    * join → per-bucket re-rank) is unchanged, only the key gets wider.
+    * per band. (BANDS, BITS) is the recall/cost dial, and `qKnnRecall`
+    * is how it was set: this corpus's true top-3 neighbors sit at
+    * cos≈0.3–0.4 (bit-agreement p≈0.61), where the r3 geometry (2 bands
+    * of 8) measured recall@3 = 0.0. Re-measured over the real planes:
+    * 6×4 → recall 0.70 at ~39% of n² candidate volume; 4×6 → 0.17 at 7%;
+    * 8×4 → 0.80 at 52%. 6×4 is the chosen operating point. The honest
+    * conclusion the gauge surfaces: at moderate neighbor cosine,
+    * sign-LSH discriminates weakly (random pairs collide per band at
+    * 0.5^BITS vs 0.61^BITS for true pairs) and trained-IVF dominates
+    * (0.9 recall touching 25% of data); banding wins when neighbor
+    * cos ≥ ~0.7, the regime of real near-dup embedding corpora. At
+    * 100 TB raise BITS to ~log2(n / target_bucket_size) and add bands —
+    * the plan shape (explode → band-equality shuffle join → per-bucket
+    * re-rank) is unchanged, only the key gets wider.
     */
-  private[graft] val PLANES = 16
-  private[graft] val BANDS  = 2
+  private[graft] val PLANES = 24
+  private[graft] val BANDS  = 6
   private[graft] val BITS   = PLANES / BANDS
 
   /** cosine(a, b) with left-to-right double summation (matches the
@@ -334,10 +343,10 @@ object Similarity {
       .unionByName(ivfTop.withColumn("method", lit("ivf")))
     val hits = approx.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("hits"))
-    // a method with ZERO hits must still report 0.0 — at sf0.01 the
-    // 2x8-bit LSH banding genuinely scores recall 0 (the knob insight
-    // this gauge exists to surface), and dropping its row would read as
-    // "not measured" instead
+    // a method with ZERO hits must still report 0.0 — the r3 2x8-bit
+    // LSH banding genuinely scored recall 0 (the knob insight this gauge
+    // exists to surface; 6x4 was chosen from its measurements), and
+    // dropping a zero row would read as "not measured" instead
     import s.implicits._
     val methods = Seq("ivf", "lsh").toDF("method")
     methods.join(hits, Seq("method"), "left")

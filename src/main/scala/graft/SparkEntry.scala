@@ -25,6 +25,7 @@ object SparkEntry {
     "q_semi_join"         -> Relational.qSemiJoin _,
     "q_anti_join"         -> Relational.qAntiJoin _,
     "q_distinct_agg"      -> Relational.qDistinctAgg _,
+    "q_sketch_distinct"   -> Relational.qSketchDistinct _,
     "q_conditional_pivot" -> Relational.qConditionalPivot _,
     "q_rollup"            -> Relational.qRollup _,
     "q_percentiles"       -> Relational.qPercentiles _,
@@ -32,6 +33,7 @@ object SparkEntry {
     "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
     "q_asof_join"         -> EventOps.qAsofJoin _,
+    "q_events_funnel"     -> EventOps.qEventsFunnel _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -41,6 +43,7 @@ object SparkEntry {
     "q_dedup_simhash"       -> Dedup.qDedupSimhash _,
     "q_dedup_simhash_pairs" -> Dedup.qDedupSimhashPairs _,
     "q_dedup_embedding"     -> Dedup.qDedupEmbedding _,
+    "q_decontaminate"       -> Dedup.qDecontaminate _,
     // §2.4 similarity
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
@@ -53,6 +56,7 @@ object SparkEntry {
     "q_text_langid"       -> TextAnalysis.qTextLangid _,
     "q_text_ngrams"       -> TextAnalysis.qTextNgrams _,
     "q_text_rolling_hash" -> TextAnalysis.qTextRollingHash _,
+    "q_text_repetition"   -> TextAnalysis.qTextRepetition _,
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
     "q_meta_profile"       -> ((s, d) => MetadataExtractor.qMetaProfile(s, d)),
@@ -177,6 +181,9 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.purchase_id""".stripMargin,
 
+    "q_events_funnel"   -> EventOps.oracleEventsFunnel,
+    "q_sketch_distinct" -> Relational.oracleSketchDistinct,
+
     "q_dedup_exact"         -> Dedup.oracleExact,
     "q_dedup_fingerprint"   -> Dedup.oracleFingerprint,
     "q_dedup_ngram_jaccard" -> Dedup.oracleNgramJaccard,
@@ -185,6 +192,7 @@ object SparkEntry {
     "q_dedup_simhash"       -> Dedup.oracleSimhash,
     "q_dedup_simhash_pairs" -> Dedup.oracleSimhashPairs,
     "q_dedup_embedding"     -> Dedup.oracleEmbedding,
+    "q_decontaminate"       -> Dedup.oracleDecontaminate,
 
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,
@@ -197,6 +205,7 @@ object SparkEntry {
     "q_text_langid"       -> TextAnalysis.oracleLangid,
     "q_text_ngrams"       -> TextAnalysis.oracleNgrams,
     "q_text_rolling_hash" -> TextAnalysis.oracleRollingHash,
+    "q_text_repetition"   -> TextAnalysis.oracleRepetition,
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
     "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,

@@ -71,4 +71,26 @@ object HashFns {
        | THEN list_transform(generate_series(1, len(string_split($textExpr, ' ')) - 2),
        |   i -> string_split($textExpr, ' ')[i] || ' ' || string_split($textExpr, ' ')[i+1] || ' ' || string_split($textExpr, ' ')[i+2])
        | ELSE [] END)""".stripMargin.replace("\n", " ")
+
+  /** Distinct n-word shingles for arbitrary n (decontamination wants
+    * longer grams than near-dup: a shared 3-gram is usually just a
+    * common phrase, a shared 5+-gram is copied text). Docs with fewer
+    * than n words produce no shingles, mirrored by the oracle guard. */
+  def wordShinglesN(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", (1 to n).map(k => element_at(words, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB fragment: distinct n-word shingles as a list (1-indexed). */
+  def wordShinglesNSql(textExpr: String, n: Int): String = {
+    val w = s"string_split($textExpr, ' ')"
+    val gram = (0 until n).map(k => s"$w[i+$k]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len($w) >= $n
+       | THEN list_transform(generate_series(1, len($w) - ${n - 1}), i -> $gram)
+       | ELSE [] END)""".stripMargin.replace("\n", " ")
+  }
 }

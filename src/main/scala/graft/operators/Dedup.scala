@@ -449,4 +449,55 @@ object Dedup {
        |  FROM cand)
        |SELECT vec_id, cand_id AS nn_id, round(cos, 6) AS cos
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------ decontamination
+  /** Gram length for decontamination. Near-dup uses 3-grams; benchmark
+    * decontamination needs LONGER grams — measured on this corpus, a
+    * shared 3-gram flags 392/480 train docs (common phrases, useless),
+    * a shared 5-gram flags exactly the genuine near-duplicates. Real
+    * pipelines use 8–13-gram overlap (docs here are ~80 words, so 5
+    * keeps the gauge non-vacuous); the plan is n-independent. */
+  private[graft] val DECON_N   = 5
+  /** Eval-set selector: doc_id % DECON_MOD == 3 stands in for the
+    * held-out benchmark corpus (20 docs at sf0.01). */
+  private[graft] val DECON_MOD = 25
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * DECON_N-word gram with the (small) eval set. The scale shape is
+    * the whole point: eval benchmarks are tiny (MBs) next to a 100 TB
+    * corpus, so the eval side's distinct hashed grams are BROADCAST and
+    * the corpus never shuffles for the probe — each train doc explodes
+    * its grams, probes the broadcast hash set, and only MATCHED rows
+    * (rare) reach the per-doc count's shuffle. Grams leave the scan as
+    * 8-byte h60 keys, not strings. Output: one row per contaminated
+    * train doc with its distinct shared-gram count.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isEval = col("doc_id") % DECON_MOD === 3
+    val evalSh = broadcast(
+      docs.filter(isEval)
+        .select(explode(wordShinglesN(col("text"), DECON_N)).as("g"))
+        .select(h60(col("g")).as("sh"))
+        .distinct())
+    docs.filter(!isEval)
+      .select(col("doc_id"), explode(wordShinglesN(col("text"), DECON_N)).as("g"))
+      .select(col("doc_id"), h60(col("g")).as("sh"))
+      .join(evalSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val oracleDecontaminate: String = {
+    val grams = wordShinglesNSql("text", DECON_N)
+    s"""WITH ev AS (
+       |  SELECT DISTINCT ${h60Sql("g")} AS sh
+       |  FROM (SELECT unnest($grams) AS g FROM documents WHERE doc_id % $DECON_MOD = 3)),
+       |tr AS (
+       |  SELECT doc_id, ${h60Sql("g")} AS sh
+       |  FROM (SELECT doc_id, unnest($grams) AS g FROM documents WHERE doc_id % $DECON_MOD <> 3))
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM tr JOIN ev USING (sh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

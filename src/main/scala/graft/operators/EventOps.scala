@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,4 +90,58 @@ object EventOps {
         round(col("ts").cast("double") - col("last_view_ts").cast("double"), 6).as("lag_sec"))
       .orderBy("purchase_id")
   }
+
+  /** Per-stage conversion horizon for [[qEventsFunnel]]: the next stage
+    * must happen within a day of the previous one (chosen so the funnel
+    * is non-trivial on the driver corpus: 150 → 60 → 25 users). */
+  private[graft] val FUNNEL_HORIZON_SEC = 86400d
+
+  /** Ordered funnel: first view → first click within a day of it →
+    * first purchase within a day of that. Spark-first sequential-pattern
+    * shape: ONE shuffle on user_id, then three stacked whole-partition
+    * `min(when(...))` window steps (each may reference the previous
+    * stage's timestamp — Window nodes stack over the same partitioning,
+    * so the exchange is reused, no self-joins per stage), then a
+    * per-user collapse and a global count. At 100 TB the cost is one
+    * repartition of events by user plus map-side work — the classic
+    * funnel query without a single join.
+    */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val tsSec = col("ts").cast("double")
+    val within = (prev: Column) =>
+      tsSec >= prev && tsSec - prev <= FUNNEL_HORIZON_SEC
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "view", tsSec)).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && within(col("t1")), tsSec)).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && within(col("t2")), tsSec)).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+      .agg(
+        count("t1").as("users_view"),
+        count("t2").as("users_click_1d"),
+        count("t3").as("users_purchase_1d"),
+        round(avg(col("t3") - col("t1")), 2).as("avg_sec_to_convert"))
+  }
+
+  val oracleEventsFunnel: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    epoch(make_timestamp(epoch_ns(ts) // 1000)) AS es
+       |  FROM events),
+       |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN es END)
+       |  OVER (PARTITION BY user_id) AS t1 FROM e),
+       |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND es >= t1
+       |    AND es - t1 <= ${FUNNEL_HORIZON_SEC} THEN es END)
+       |  OVER (PARTITION BY user_id) AS t2 FROM a),
+       |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND es >= t2
+       |    AND es - t2 <= ${FUNNEL_HORIZON_SEC} THEN es END)
+       |  OVER (PARTITION BY user_id) AS t3 FROM b),
+       |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+       |  FROM c GROUP BY user_id)
+       |SELECT count(t1) AS users_view, count(t2) AS users_click_1d,
+       |  count(t3) AS users_purchase_1d,
+       |  round(avg(t3 - t1), 2) AS avg_sec_to_convert
+       |FROM u""".stripMargin
 }

@@ -119,6 +119,39 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** HLL++ relative standard deviation for [[qSketchDistinct]] and the
+    * (looser) tolerance the result is oracle-checked against. */
+  private[graft] val SKETCH_RSD = 0.02
+  private[graft] val SKETCH_TOL = 0.05
+
+  /** Sketch aggregate gauge: HyperLogLog++ `approx_count_distinct`
+    * against the exact distinct count, per group, asserting the sketch
+    * lands within ±5% (rsd 2%). This is the 100 TB distinct-count path:
+    * exact distinct shuffles the full (group, key) set — at web scale
+    * that's the whole corpus keyed by value — while the HLL partial is a
+    * constant-size buffer per group, map-side combinable, one narrow
+    * shuffle of sketches. The exact branch here exists only as the
+    * gauge; the oracle pins the exact counts and the within-tolerance
+    * verdict (the sketch estimate itself is engine-specific, so it is
+    * asserted, not emitted).
+    */
+  def qSketchDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), SKETCH_RSD).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * SKETCH_TOL).as("within_tol"))
+      .orderBy("l_returnflag")
+
+  val oracleSketchDistinct: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      | count(*) AS n, TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Pivot-style conditional aggregation (orders by status per priority). */
   def qConditionalPivot(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

@@ -161,4 +161,65 @@ object TextAnalysis {
       |  FROM documents)
       |SELECT bigram, count(*) AS n FROM b GROUP BY 1
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  /** Gopher-style intra-document repetition signals — the quality gates
+    * real curation pipelines run alongside [[qTextQuality]]: distinct-word
+    * ratio, top-word frequency fraction, and duplicated-bigram fraction
+    * (1 − distinct bigrams / total bigrams). Boilerplate and degenerate
+    * generations score high on the last two.
+    *
+    * Scale shape: distinct-word and distinct-bigram counts are pure
+    * projections (array ops on the words array, no shuffle); only the
+    * top-word count needs distributed counting — explode → (doc, word)
+    * count → per-doc max, two map-side-combinable aggregates, linear in
+    * corpus size (the per-doc scalars ride along as grouping keys, which
+    * adds no cardinality: doc_id determines them).
+    */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val perWord = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct"),
+      size(HashFns.wordShinglesN(col("text"), 2)).cast("long").as("n_distinct_bigrams"),
+      explode(words).as("word"))
+    perWord
+      .groupBy("doc_id", "n_words", "n_distinct", "n_distinct_bigrams", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n_words", "n_distinct", "n_distinct_bigrams")
+      .agg(max("cnt").as("top_cnt"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(col("n_distinct") / col("n_words"), 6).as("distinct_word_ratio"),
+        round(col("top_cnt") / col("n_words"), 6).as("top_word_frac"),
+        round(when(col("n_words") >= 2,
+          lit(1.0) - col("n_distinct_bigrams") / (col("n_words") - 1))
+          .otherwise(0.0), 6).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val oracleRepetition: String = {
+    val bigrams = HashFns.wordShinglesNSql("text", 2)
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(len($bigrams) AS BIGINT) AS n_distinct_bigrams,
+       |    unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_words, n_distinct, n_distinct_bigrams, word, count(*) AS cnt
+       |  FROM w GROUP BY doc_id, n_words, n_distinct, n_distinct_bigrams, word),
+       |t AS (
+       |  SELECT doc_id, n_words, n_distinct, n_distinct_bigrams, max(cnt) AS top_cnt
+       |  FROM c GROUP BY doc_id, n_words, n_distinct, n_distinct_bigrams)
+       |SELECT doc_id, n_words,
+       |  round(n_distinct::DOUBLE / n_words, 6) AS distinct_word_ratio,
+       |  round(top_cnt::DOUBLE / n_words, 6) AS top_word_frac,
+       |  round(CASE WHEN n_words >= 2
+       |    THEN 1.0 - n_distinct_bigrams::DOUBLE / (n_words - 1)
+       |    ELSE 0.0 END, 6) AS dup_bigram_frac
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
 }

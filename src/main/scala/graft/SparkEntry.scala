@@ -26,6 +26,7 @@ object SparkEntry {
     "q_anti_join"         -> Relational.qAntiJoin _,
     "q_distinct_agg"      -> Relational.qDistinctAgg _,
     "q_sketch_distinct"   -> Relational.qSketchDistinct _,
+    "q_sketch_quantile"   -> Relational.qSketchQuantile _,
     "q_conditional_pivot" -> Relational.qConditionalPivot _,
     "q_rollup"            -> Relational.qRollup _,
     "q_percentiles"       -> Relational.qPercentiles _,
@@ -67,7 +68,8 @@ object SparkEntry {
     // scale patterns + pipeline composition
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
     "q_corpus_curate"     -> Pipeline.qCorpusCurate _,
-    "q_sample_stratified" -> Pipeline.qSampleStratified _
+    "q_sample_stratified" -> Pipeline.qSampleStratified _,
+    "q_corpus_mixture"    -> Pipeline.qCorpusMixture _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -183,6 +185,7 @@ object SparkEntry {
 
     "q_events_funnel"   -> EventOps.oracleEventsFunnel,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
+    "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 
     "q_dedup_exact"         -> Dedup.oracleExact,
     "q_dedup_fingerprint"   -> Dedup.oracleFingerprint,
@@ -214,6 +217,7 @@ object SparkEntry {
     "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
     "q_corpus_curate"     -> Pipeline.oracleCorpusCurate,
-    "q_sample_stratified" -> Pipeline.oracleSampleStratified
+    "q_sample_stratified" -> Pipeline.oracleSampleStratified,
+    "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture
   )
 }

@@ -472,8 +472,7 @@ object Dedup {
     * 8-byte h60 keys, not strings. Output: one row per contaminated
     * train doc with its distinct shared-gram count.
     */
-  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  private[graft] def decontaminate(docs: DataFrame): DataFrame = {
     val isEval = col("doc_id") % DECON_MOD === 3
     val evalSh = broadcast(
       docs.filter(isEval)
@@ -487,6 +486,9 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(s, dir))
 
   val oracleDecontaminate: String = {
     val grams = wordShinglesNSql("text", DECON_N)

@@ -106,12 +106,12 @@ object EventOps {
     * repartition of events by user plus map-side work — the classic
     * funnel query without a single join.
     */
-  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def funnel(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     val tsSec = col("ts").cast("double")
     val within = (prev: Column) =>
       tsSec >= prev && tsSec - prev <= FUNNEL_HORIZON_SEC
-    events(s, dir)
+    ev
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t1", min(when(col("event_type") === "view", tsSec)).over(w))
       .withColumn("t2", min(when(col("event_type") === "click" && within(col("t1")), tsSec)).over(w))
@@ -124,6 +124,9 @@ object EventOps {
         count("t3").as("users_purchase_1d"),
         round(avg(col("t3") - col("t1")), 2).as("avg_sec_to_convert"))
   }
+
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
+    funnel(events(s, dir))
 
   val oracleEventsFunnel: String =
     s"""WITH e AS (

@@ -77,6 +77,36 @@ object Pipeline {
        |  round(sum(CASE WHEN ${h60Sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 < $SAMPLE_PCT THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Corpus mixture report — what share of documents and tokens each
+    * (source, lang) cell contributes. The first question asked of any
+    * assembled training mix, and the input to re-weighting decisions
+    * (paired with [[qSampleStratified]] as the actuator). One map-side-
+    * combinable aggregate over a narrow projection; the global token
+    * total is a window over the ALREADY-AGGREGATED frame (|sources|×
+    * |langs| rows), so the second pass is over dozens of rows at any
+    * corpus size. */
+  def qCorpusMixture(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs"), sum("w").as("words"))
+    cells
+      .withColumn("total", sum("words").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("source"), col("lang"), col("docs"), col("words"),
+        round(col("words") / col("total"), 6).as("word_share"))
+      .orderBy("source", "lang")
+  }
+
+  val oracleCorpusMixture: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words
+      |  FROM documents GROUP BY source, lang)
+      |SELECT source, lang, docs, words,
+      |  round(words::DOUBLE / (SELECT sum(words) FROM cells), 6) AS word_share
+      |FROM cells ORDER BY source, lang""".stripMargin
+
   val oracleCorpusCurate: String =
     s"""WITH q AS (
        |  SELECT doc_id,

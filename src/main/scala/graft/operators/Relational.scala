@@ -152,6 +152,37 @@ object Relational {
       | count(*) AS n, TRUE AS within_tol
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Quantile-sketch gauge, same contract as [[qSketchDistinct]]:
+    * `approx_percentile` (Greenwald–Khanna style sketch, bounded memory,
+    * map-side combinable) against the exact interpolated quantile, per
+    * group, oracle-pinning the exact values and a ±2% relative verdict.
+    * At 100 TB exact quantiles need a full sort per group; the sketch is
+    * one narrow pass. The approx value is asserted, not emitted (the
+    * sketch element is engine-specific). */
+  private[graft] val QSKETCH_ACC = 10000
+  private[graft] val QSKETCH_TOL = 0.02
+
+  def qSketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    val exact = qPercentiles(s, dir)
+    val approx = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(QSKETCH_ACC)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(QSKETCH_ACC)).as("a90"))
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50"), col("p90"),
+        (abs(col("a50") - col("p50")) <= col("p50") * QSKETCH_TOL &&
+          abs(col("a90") - col("p90")) <= col("p90") * QSKETCH_TOL).as("within_tol"))
+      .orderBy("l_returnflag")
+  }
+
+  val oracleSketchQuantile: String =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      | TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Pivot-style conditional aggregation (orders by status per priority). */
   def qConditionalPivot(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

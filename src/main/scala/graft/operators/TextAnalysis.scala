@@ -175,9 +175,9 @@ object TextAnalysis {
     * corpus size (the per-doc scalars ride along as grouping keys, which
     * adds no cardinality: doc_id determines them).
     */
-  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def repetitionSignals(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    val perWord = Tables.documents(s, dir).select(
+    val perWord = docs.select(
       col("doc_id"),
       size(words).cast("long").as("n_words"),
       size(array_distinct(words)).cast("long").as("n_distinct"),
@@ -198,6 +198,9 @@ object TextAnalysis {
           .otherwise(0.0), 6).as("dup_bigram_frac"))
       .orderBy("doc_id")
   }
+
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(s, dir))
 
   val oracleRepetition: String = {
     val bigrams = HashFns.wordShinglesNSql("text", 2)

@@ -177,12 +177,23 @@ object TextAnalysis {
     */
   private[graft] def repetitionSignals(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    val perWord = docs.select(
+    // The scalars MUST be materialized in their own projection below the
+    // explode: `ExtractGenerator` leaves non-generator expressions in the
+    // Project ABOVE the Generate, so putting them in the same select as
+    // the explode re-evaluates each O(W) array expression once per
+    // exploded word — O(W²) work per document (the bigram builder's
+    // element_at(split(text), i) lambda gets no subexpression
+    // elimination, making it O(W²) on its own, so O(W³) combined; ~180 s
+    // at sf0.1 vs ~3 s in this shape).
+    val scalars = docs.select(
       col("doc_id"),
+      col("text"),
       size(words).cast("long").as("n_words"),
       size(array_distinct(words)).cast("long").as("n_distinct"),
-      size(HashFns.wordShinglesN(col("text"), 2)).cast("long").as("n_distinct_bigrams"),
-      explode(words).as("word"))
+      size(HashFns.wordShinglesN(col("text"), 2)).cast("long").as("n_distinct_bigrams"))
+    val perWord = scalars.select(
+      col("doc_id"), col("n_words"), col("n_distinct"), col("n_distinct_bigrams"),
+      explode(split(col("text"), " ")).as("word"))
     perWord
       .groupBy("doc_id", "n_words", "n_distinct", "n_distinct_bigrams", "word")
       .agg(count(lit(1)).as("cnt"))

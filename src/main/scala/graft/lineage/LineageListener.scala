@@ -133,14 +133,44 @@ object Lineage {
     register(spark, new LineageListener(effective))
   }
 
-  private def register(spark: SparkSession, l: LineageListener): LineageListener = {
+  /** Batch-only install for the auto-attach extensions path: the
+    * streaming listener is NOT registered here. `spark.streams
+    * .addListener` pins the session's StreamingQueryListenerBus onto the
+    * SparkContext-wide LiveListenerBus with no automatic detach, so a
+    * JVM churning through sessions that never stream would accumulate a
+    * bus registration per session. The extension attaches streaming
+    * lazily via [[attachStreaming]] on the first analyzed streaming
+    * plan instead (see `GraftExtensions`). */
+  private[graft] def installBatch(spark: SparkSession): LineageListener = {
+    val l = new LineageListener(Seq(new AsyncSink(new Slf4jSink)))
     spark.listenerManager.register(l)
-    val sl = new StreamingLineageListener(spark, l.sinks)
-    spark.streams.addListener(sl)
-    streamingFor.put(l, sl)
     l
   }
 
+  /** Idempotent: attach the streaming bridge for `l` to this session's
+    * streaming listener bus (at most once per batch listener). */
+  private[graft] def attachStreaming(spark: SparkSession, l: LineageListener): Unit =
+    streamingFor.computeIfAbsent(l, _ => {
+      val sl = new StreamingLineageListener(spark, l.sinks)
+      spark.streams.addListener(sl)
+      sl
+    })
+
+  /** Whether `l` has a streaming bridge attached (leak/laziness specs). */
+  private[graft] def streamingAttached(l: LineageListener): Boolean =
+    streamingFor.containsKey(l)
+
+  private def register(spark: SparkSession, l: LineageListener): LineageListener = {
+    spark.listenerManager.register(l)
+    attachStreaming(spark, l)
+    l
+  }
+
+  /** Fully detaches both listeners. NOTE for explicitly-installed
+    * listeners this is required for complete detach: the streaming bus
+    * registration (context-wide) is not weakly held by Spark, so a
+    * session dropped without `uninstall` leaves its streaming listener
+    * on the shared bus. */
   def uninstall(spark: SparkSession, l: LineageListener): Unit = {
     spark.listenerManager.unregister(l)
     Option(streamingFor.remove(l)).foreach(spark.streams.removeListener)

@@ -83,12 +83,20 @@ final class AsyncSink(delegate: LineageSink, capacity: Int = 4096) extends Linea
 
   override def close(): Unit = {
     drain()
-    val left = queue.size()
-    if (left > 0) {
-      abandoned.addAndGet(left.toLong)
-      log.warn(s"AsyncSink closed with $left undelivered lineage records (drain timed out)")
-    }
+    // Stop the worker BEFORE closing the delegate and counting leftovers:
+    // its loop keeps draining while the queue is non-empty, so counting
+    // first would (a) overcount abandonment for records it still delivers
+    // and (b) let it emit into an already-closed delegate. After the join
+    // the queue is frozen; what drainTo removes is exactly what was
+    // discarded.
     running = false
+    worker.join(1000)
+    val left = new java.util.ArrayList[LineageRecord]()
+    queue.drainTo(left)
+    if (!left.isEmpty) {
+      abandoned.addAndGet(left.size.toLong)
+      log.warn(s"AsyncSink closed with ${left.size} undelivered lineage records (drain timed out)")
+    }
     delegate.close()
   }
 }

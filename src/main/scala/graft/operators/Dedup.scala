@@ -276,13 +276,24 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------- dedup clusters (CC)
-  /** Label-propagation rounds for connected components. Labels converge
-    * for components of diameter <= CC_ITERS — ample for near-dup
-    * clusters (tight cliques from banding); a production run on adversarial
-    * long chains would switch to pointer-doubling (large-star/small-star,
-    * O(log d) rounds), same per-round plan shape.
+  /** Rounds the ORACLE unrolls for connected components (fixed CTE chain
+    * — SQL can't express a data-dependent loop). The Spark side iterates
+    * UNTIL CONVERGED (no label changed in a round, see [[ccLabels]]), so
+    * its result is the true fixpoint regardless of chain length; min-label
+    * propagation is monotone, so once both sides reach the fixpoint extra
+    * oracle rounds are no-ops and parity holds. If a corpus ever produced
+    * chains deeper than the oracle's unroll, the hash gate would go red —
+    * the mismatch is detectable, not silent.
     */
   private[graft] val CC_ITERS = 3
+
+  /** Safety cap on the Spark-side convergence loop. Eccentricity above
+    * this means adversarially long chains — pointer-doubling
+    * (large-star/small-star, O(log d) rounds, same per-round join+min-agg
+    * plan shape) is the production move there; we log and stop rather
+    * than loop unbounded.
+    */
+  private[graft] val CC_MAX_ITERS = 20
 
   /** Near-duplicate CLUSTERS: pairs are not a dedup verdict — to keep
     * one document per near-dup group you need the connected components
@@ -294,19 +305,42 @@ object Dedup {
     * doc_id), distinct-text count, and total document count including
     * exact copies.
     */
-  /** CC_ITERS rounds of min-label propagation over an undirected pair
-    * list (doc_a, doc_b) → (id, label) for every endpoint. */
+  /** Min-label propagation over an undirected pair list (doc_a, doc_b)
+    * → (id, label) for every endpoint, iterated UNTIL CONVERGED (no
+    * label changed in a round; each round is one equality join + one
+    * min-aggregate, each convergence check one tiny count over the
+    * cached round result). Capped at [[CC_MAX_ITERS]] with a logged
+    * warning — a cap hit means labels may still be split and chains are
+    * deep enough that pointer-doubling is the right algorithm.
+    */
   private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    for (_ <- 1 to CC_ITERS) {
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < CC_MAX_ITERS) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("label").as("nl"))
-      labels = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // localCheckpoint (eager) TRUNCATES lineage each round: `labels`
+      // appears twice per round, so without truncation the logical plan
+      // doubles per iteration — 2^rounds nodes — and analysis/planning
+      // itself blows up long before the data does. Standard move for
+      // iterative algorithms on Spark.
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select("id", "label")
+      rounds += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"ccLabels hit CC_MAX_ITERS=$CC_MAX_ITERS without converging; " +
+          "component labels may be split (switch to pointer-doubling for chains this deep)")
     labels
   }
 

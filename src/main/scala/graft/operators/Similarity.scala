@@ -367,9 +367,9 @@ object Similarity {
        |    FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid) WHERE rn <= $RECALL_K),
        |lshtop AS (
        |  SELECT qid, vec_id FROM (
-       |    SELECT vec_id AS qid, cand_id AS vec_id,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rn
-       |    FROM cand WHERE vec_id < $RECALL_QS) WHERE rn <= $RECALL_K),
+       |    SELECT c.vec_id AS qid, c.cand_id AS vec_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY c.cos DESC, c.cand_id) AS rn
+       |    FROM cand c WHERE c.vec_id < $RECALL_QS) WHERE rn <= $RECALL_K),
        |assigned AS (
        |  SELECT vec_id, emb, cell FROM (
        |    SELECT e.vec_id, e.emb, c.cell,

@@ -22,8 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSimilarity.descriptor)
     ext.injectFunction(graft.functions.HashFns.h60Descriptor)
     ext.injectCheckRule { session =>
-      GraftExtensions.ensureListener(session)
-      _ => ()
+      val listener = GraftExtensions.ensureListener(session)
+      // Streaming lineage attaches LAZILY, on the first analyzed plan
+      // that is actually streaming: spark.streams.addListener pins the
+      // session's streaming listener bus onto the context-wide
+      // LiveListenerBus with no automatic detach, so auto-installing it
+      // on every session would leak one bus registration per churned
+      // session in long-lived JVMs. Sessions that never stream never
+      // touch the shared bus.
+      plan => if (plan.isStreaming) graft.lineage.Lineage.attachStreaming(session, listener)
     }
   }
 }
@@ -39,8 +46,8 @@ object GraftExtensions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, LineageListener]())
 
-  private[graft] def ensureListener(session: SparkSession): Unit =
-    installed.computeIfAbsent(session, s => Lineage.install(s))
+  private[graft] def ensureListener(session: SparkSession): LineageListener =
+    installed.computeIfAbsent(session, s => Lineage.installBatch(s))
 
   /** The listener attached to `session` by the extension, if any (tests). */
   def listenerFor(session: SparkSession): Option[LineageListener] =

@@ -96,6 +96,35 @@ class CosineSimilaritySpec extends AnyFunSpec with SparkTestBase {
       }
     }
 
+    it("attaches streaming lineage lazily — only once a streaming plan is analyzed") {
+      val base = spark
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try {
+        val s2 = SparkSession.builder()
+          .master("local[4]")
+          .withExtensions(new graft.plans.GraftExtensions())
+          .config("spark.sql.shuffle.partitions", "4")
+          .getOrCreate()
+        s2.range(5).count() // batch work trips the check rule -> batch listener
+        val l = graft.plans.GraftExtensions.listenerFor(s2)
+          .getOrElse(fail("batch listener not installed"))
+        // no streaming plan analyzed yet -> no context-wide bus registration
+        assert(!graft.lineage.Lineage.streamingAttached(l),
+          "streaming listener attached before any streaming plan")
+        import s2.implicits._
+        implicit val sqlCtx = s2.sqlContext
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+        stream.toDF().select(col("value") + 1) // analyzing a streaming plan trips the lazy attach
+        assert(graft.lineage.Lineage.streamingAttached(l),
+          "streaming listener not attached after a streaming plan was analyzed")
+      } finally {
+        SparkSession.clearActiveSession()
+        SparkSession.setDefaultSession(base)
+        SparkSession.setActiveSession(base)
+      }
+    }
+
     it("does not pin sessions against GC (weak-keyed install registry)") {
       val before = graft.plans.GraftExtensions.installedCount
       // churn short-lived child sessions the way a Thrift server would;

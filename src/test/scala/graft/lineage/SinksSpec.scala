@@ -84,5 +84,34 @@ class SinksSpec extends AnyFunSpec with SparkTestBase {
       async.close()
       assert(async.abandonedCount == 0)
     }
+
+    it("close() freezes the queue: abandoned records are never also delivered") {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val mem = new InMemorySink
+      val blockFirst = new LineageSink {
+        private val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+        override def emit(r: LineageRecord): Unit = {
+          if (first.getAndSet(false)) gate.await()
+          mem.emit(r)
+        }
+      }
+      val async = new AsyncSink(blockFirst)
+      val sent = 6
+      (0 until sent).foreach(i => async.emit(record(s"c-$i")))
+      // worker blocks inside emit on the first record; the rest stay
+      // queued, so close()'s bounded drain gives up and must DISCARD
+      // them — the pre-fix worker loop kept draining after close counted
+      // them abandoned, delivering into a closed delegate (overcount)
+      async.close()
+      val abandonedAtClose = async.abandonedCount
+      assert(abandonedAtClose >= sent - 2, s"abandoned=$abandonedAtClose")
+      gate.countDown() // in-flight record (at most one) may still complete
+      assert(eventually() {
+        mem.records.size.toLong + async.abandonedCount == sent.toLong
+      }, s"delivered=${mem.records.size} abandoned=${async.abandonedCount}")
+      Thread.sleep(300) // and the accounting must STAY exact — no late redelivery
+      assert(mem.records.size.toLong + async.abandonedCount == sent.toLong,
+        s"late redelivery: delivered=${mem.records.size} abandoned=${async.abandonedCount}")
+    }
   }
 }

@@ -72,6 +72,19 @@ class DedupScaleSpec extends AnyFunSpec with SparkTestBase {
       assert(Seq(20L, 21L).map(labels) == Seq(20L, 20L))
     }
 
+    it("converges on chains deeper than the oracle's unroll (iterate-until-fixed)") {
+      // a 10-node path: min-label needs 9 rounds to reach the far end —
+      // a fixed 3-round unroll would silently split this component into
+      // several labels; the convergence loop must not
+      val pairs = spark.createDataFrame((1L to 9L).map(i => (i, i + 1)))
+        .toDF("doc_a", "doc_b")
+      val labels = Dedup.ccLabels(pairs).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      assert(labels.size == 10)
+      assert(labels.values.toSet == Set(1L),
+        s"chain split into ${labels.values.toSet.size} labels: $labels")
+    }
+
     it("keeps duplicate clusters visible to the Jaccard df-cap (df counts distinct texts)") {
       import org.apache.spark.sql.functions._
       // raw path: every cluster shingle has df=1000 > MAX_SHINGLE_DF, so

@@ -58,6 +58,8 @@ object SparkEntry {
     "q_text_ngrams"       -> TextAnalysis.qTextNgrams _,
     "q_text_rolling_hash" -> TextAnalysis.qTextRollingHash _,
     "q_text_repetition"   -> TextAnalysis.qTextRepetition _,
+    "q_inverted_index"    -> TextAnalysis.qInvertedIndex _,
+    "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
     "q_meta_profile"       -> ((s, d) => MetadataExtractor.qMetaProfile(s, d)),
@@ -69,7 +71,8 @@ object SparkEntry {
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
     "q_corpus_curate"     -> Pipeline.qCorpusCurate _,
     "q_sample_stratified" -> Pipeline.qSampleStratified _,
-    "q_corpus_mixture"    -> Pipeline.qCorpusMixture _
+    "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
+    "q_pack_sequences"    -> Pipeline.qPackSequences _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -209,6 +212,8 @@ object SparkEntry {
     "q_text_ngrams"       -> TextAnalysis.oracleNgrams,
     "q_text_rolling_hash" -> TextAnalysis.oracleRollingHash,
     "q_text_repetition"   -> TextAnalysis.oracleRepetition,
+    "q_inverted_index"    -> TextAnalysis.oracleInvertedIndex,
+    "q_pii_redact"        -> Privacy.oraclePiiRedact,
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
     "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,
@@ -218,6 +223,7 @@ object SparkEntry {
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
     "q_corpus_curate"     -> Pipeline.oracleCorpusCurate,
     "q_sample_stratified" -> Pipeline.oracleSampleStratified,
-    "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture
+    "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
+    "q_pack_sequences"    -> Pipeline.oraclePackSequences
   )
 }

@@ -107,6 +107,61 @@ object Pipeline {
       |  round(words::DOUBLE / (SELECT sum(words) FROM cells), 6) AS word_share
       |FROM cells ORDER BY source, lang""".stripMargin
 
+  /** Sequence packing — concatenate-and-chunk assignment of documents to
+    * fixed token-budget training contexts: lay the corpus out as one
+    * deterministic token stream per (source, shard) and cut every
+    * PACK_BUDGET tokens; a document belongs to the context window its
+    * first token lands in. This is the GPT-style packing recipe
+    * expressed as ONE window cumsum — no sequential driver loop, no
+    * state: bin = floor(start_offset / budget) where start_offset is the
+    * running token count before the doc.
+    *
+    * Scale shape: the window partitions on (source, shard) — the shard
+    * key caps per-partition window size, so one giant source cannot
+    * serialize the cumsum onto one task (production would use
+    * shard = h60(doc_id) % K with K sized to ~budget·10⁴ tokens per
+    * shard; packing across shards is embarrassingly parallel because
+    * context windows are independent units). One shuffle for the window,
+    * one map-side-combinable aggregate for the per-bin report.
+    */
+  private[graft] val PACK_BUDGET = 256L
+  private val PACK_SHARDS = 4L
+
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id"), lit(PACK_SHARDS)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("source"), col("shard"),
+        floor((col("cum") - col("n_tokens")) / lit(PACK_BUDGET).cast("double")).as("bin"),
+        col("n_tokens"))
+      .groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        round(sum("n_tokens") / lit(PACK_BUDGET.toDouble), 4).as("fill"))
+      .orderBy("source", "shard", "bin")
+  }
+
+  val oraclePackSequences: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, doc_id % $PACK_SHARDS AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT source, shard,
+       |  CAST(floor((cum - n_tokens) / ${PACK_BUDGET}.0) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       |  round(sum(n_tokens) / ${PACK_BUDGET}.0, 4) AS fill
+       |FROM c GROUP BY source, shard, bin
+       |ORDER BY source, shard, bin""".stripMargin
+
   val oracleCorpusCurate: String =
     s"""WITH q AS (
        |  SELECT doc_id,

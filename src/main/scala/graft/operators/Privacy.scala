@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.HashFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PII detection/redaction over text columns — the scrub pass every
+  * LLM-training corpus runs before tokenization (emails, phone numbers,
+  * IP addresses → typed placeholder tokens).
+  *
+  * Scale shape: a pure per-row projection — three codegen'd
+  * `regexp_replace` passes, no shuffle, no UDF — so it rides along with
+  * the scan at any corpus size. The patterns are deliberately
+  * ASCII-class-only (`[0-9]`-equivalent `\d`, explicit char classes) so
+  * Java regex (Spark) and RE2 (DuckDB oracle) match byte-for-byte.
+  *
+  * The driver corpus contains no digits at all, so the query plants a
+  * DETERMINISTIC PII fixture first (doc_id-derived emails / phones /
+  * IPs appended to a doc_id-selected subset), mirrored exactly in the
+  * oracle — redaction is then measured against known-dirty rows instead
+  * of vacuously scrubbing clean text. The redactor itself
+  * ([[scrub]]/[[piiCounts]]) is the reusable operator.
+  */
+object Privacy {
+
+  /** Redaction order matters: emails first (an address's host part would
+    * otherwise be left looking like a dotted quad), then phones, then
+    * bare IPs. */
+  private[graft] val EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
+  private[graft] val IP_RE    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Replace every email/phone/IP occurrence with a typed placeholder. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>"),
+      IP_RE, "<IP>")
+
+  /** (emails, phones, ips) match counts for a text column. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EMAIL_RE)),
+      regexp_count(regexp_replace(text, EMAIL_RE, "<EMAIL>"), lit(PHONE_RE)),
+      regexp_count(regexp_replace(text, EMAIL_RE, "<EMAIL>"), lit(IP_RE)))
+
+  /** Deterministic dirty fixture: every 5th doc gains an email and a
+    * phone, every 7th an IP (doc_id-derived, so both engines plant the
+    * identical bytes). */
+  private def dirtyCol: Column = {
+    val id = col("doc_id").cast("string")
+    val withEmail = when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(col("text"), lit(" contact user"), id, lit("@example.com or 555-010-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(withEmail, lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+      .otherwise(withEmail)
+  }
+
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.documents(s, dir).select(col("doc_id"), dirtyCol.as("dirty"))
+    val (emails, phones, ips) = piiCounts(col("dirty"))
+    val clean = scrub(col("dirty"))
+    dirty.select(
+      col("doc_id"),
+      emails.cast("long").as("n_emails"),
+      phones.cast("long").as("n_phones"),
+      ips.cast("long").as("n_ips"),
+      // post-scrub residual MUST be 0 — the oracle computes it too, so a
+      // pattern that misses its own output shape goes red, not unnoticed
+      (regexp_count(clean, lit(EMAIL_RE)) + regexp_count(clean, lit(PHONE_RE))
+        + regexp_count(clean, lit(IP_RE))).cast("long").as("residual"),
+      HashFns.h60(clean).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val oraclePiiRedact: String = {
+    // DuckDB single-quoted strings keep backslashes literal, so the
+    // runtime pattern values interpolate into RE2 unchanged
+    val email = EMAIL_RE
+    val phone = PHONE_RE
+    val ip = IP_RE
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN base || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+       |         ELSE base END AS dirty
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 5 = 0
+       |        THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |        ELSE text END AS base
+       |    FROM documents)),
+       |scrubbed AS (
+       |  SELECT doc_id, dirty,
+       |    regexp_replace(regexp_replace(regexp_replace(dirty,
+       |      '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS clean
+       |  FROM dirty)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(regexp_replace(dirty, '$email', '<EMAIL>', 'g'), '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(regexp_replace(dirty, '$email', '<EMAIL>', 'g'), '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(clean, '$email')) + len(regexp_extract_all(clean, '$phone'))
+       |     + len(regexp_extract_all(clean, '$ip')) AS BIGINT) AS residual,
+       |  ${HashFns.h60Sql("clean")} AS clean_fp
+       |FROM scrubbed ORDER BY doc_id""".stripMargin
+  }
+}

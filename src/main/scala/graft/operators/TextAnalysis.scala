@@ -162,6 +162,49 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS n FROM b GROUP BY 1
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** Inverted index over the corpus vocabulary: term → document
+    * frequency, total term frequency, and the head of the posting list.
+    * The retrieval-side primitive (BM25/keyword search, decontamination
+    * probes) a curation stack builds next to its embeddings index.
+    *
+    * Scale shape: per-(term, doc) term frequencies from one hash
+    * aggregate over the exploded words (map-side combinable); the
+    * posting-list HEAD is bounded before collection — a row_number
+    * window per term keeps only the first POSTINGS_HEAD doc_ids, so
+    * aggregation state stays O(head), never O(df), even for a term
+    * appearing in every document of a 100 TB corpus. Emitted as a
+    * comma-joined string (engine-portable, hash-stable).
+    */
+  private val POSTINGS_HEAD = 5
+  private val INDEX_TOP = 20
+
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val td = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val headW = Window.partitionBy("term").orderBy("doc_id")
+    td.withColumn("rn", row_number().over(headW))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"),
+        concat_ws(",", sort_array(collect_list(when(col("rn") <= POSTINGS_HEAD, col("doc_id"))))
+          .cast("array<string>")).as("postings_head"))
+      .orderBy(desc("df"), col("term"))
+      .limit(INDEX_TOP)
+  }
+
+  val oracleInvertedIndex: String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents),
+       |td AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY term, doc_id),
+       |r AS (
+       |  SELECT term, doc_id, tf,
+       |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |  FROM td)
+       |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+       |  array_to_string(list_transform(list_sort(list(doc_id) FILTER (WHERE rn <= $POSTINGS_HEAD)), x -> CAST(x AS VARCHAR)), ',') AS postings_head
+       |FROM r GROUP BY term ORDER BY df DESC, term LIMIT $INDEX_TOP""".stripMargin
+
   /** Gopher-style intra-document repetition signals — the quality gates
     * real curation pipelines run alongside [[qTextQuality]]: distinct-word
     * ratio, top-word frequency fraction, and duplicated-bigram fraction

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** Round-5 curation operators: PII redaction, sequence packing, inverted
+  * index. Oracle parity is the driver gate; these specs pin the
+  * SEMANTICS (redaction completeness, packing invariants, bounded
+  * posting heads) that a hash-compare alone wouldn't explain.
+  */
+class CurationOpsSpec extends AnyFunSpec with SparkTestBase {
+
+  describe("Privacy.scrub") {
+    it("redacts emails, phones and IPs to typed placeholders") {
+      import spark.implicits._
+      val in = Seq(
+        "mail bob.smith_1@sub.example.org now",
+        "call 555-123-4567 or 555-000-1111",
+        "host 192.168.0.1 and 10.0.0.255",
+        "mixed a@b.co 111-222-3333 1.2.3.4",
+        "clean text with no pii at all").toDF("t")
+      val out = in.select(Privacy.scrub(col("t")).as("c")).as[String].collect()
+      assert(out(0) == "mail <EMAIL> now")
+      assert(out(1) == "call <PHONE> or <PHONE>")
+      assert(out(2) == "host <IP> and <IP>")
+      assert(out(3) == "mixed <EMAIL> <PHONE> <IP>")
+      assert(out(4) == "clean text with no pii at all")
+    }
+
+    it("leaves zero residual PII on the dirty-fixture corpus") {
+      val rows = Privacy.qPiiRedact(spark, sfDir).collect()
+      assert(rows.length > 0)
+      assert(rows.forall(_.getAs[Long]("residual") == 0L), "post-scrub PII survived")
+      // the fixture is non-vacuous: every 5th doc carries an email+phone,
+      // every 7th an IP
+      rows.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        assert(r.getAs[Long]("n_emails") == (if (id % 5 == 0) 1L else 0L), s"doc $id emails")
+        assert(r.getAs[Long]("n_phones") == (if (id % 5 == 0) 1L else 0L), s"doc $id phones")
+        assert(r.getAs[Long]("n_ips") == (if (id % 7 == 0) 1L else 0L), s"doc $id ips")
+      }
+    }
+  }
+
+  describe("Pipeline.qPackSequences") {
+    it("packs every document exactly once into contiguous zero-based bins per shard") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      val bins = Pipeline.qPackSequences(spark, sfDir).collect()
+      assert(bins.map(_.getAs[Long]("n_docs")).sum == docs, "packing dropped or duplicated docs")
+      // per (source, shard): bins are 0..max with no gaps (concatenate-
+      // and-chunk cannot skip a window), and every bin holds tokens
+      bins.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard"))).foreach {
+        case ((src, sh), rs) =>
+          val ids = rs.map(_.getAs[Long]("bin")).sorted
+          assert(ids.head == 0L, s"$src/$sh first bin ${ids.head}")
+          assert(ids.toSeq == (0L until ids.length).toSeq, s"$src/$sh gap in bins: ${ids.toSeq}")
+      }
+      assert(bins.forall(_.getAs[Long]("bin_tokens") > 0L))
+    }
+
+    it("matches a sequential concatenate-and-chunk replay (docs assigned by start offset)") {
+      val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(4)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .filter(col("shard") === 0)
+        .collect()
+      val expected = scala.collection.mutable.Map.empty[(String, Long), Long].withDefaultValue(0L)
+      toks.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+        var cum = 0L
+        rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          expected((src, cum / Pipeline.PACK_BUDGET)) += 1
+          cum += r.getAs[Long]("n")
+        }
+      }
+      val actual = Pipeline.qPackSequences(spark, sfDir)
+        .filter(col("shard") === 0).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin")) -> r.getAs[Long]("n_docs"))
+        .toMap
+      assert(actual == expected.toMap, "window-cumsum packing diverged from the sequential replay")
+    }
+  }
+
+  describe("TextAnalysis.qInvertedIndex") {
+    it("returns the vocabulary head with bounded posting lists") {
+      val rows = TextAnalysis.qInvertedIndex(spark, sfDir).collect()
+      assert(rows.length == 20)
+      // df is sorted descending with term tiebreak
+      val dfs = rows.map(_.getAs[Long]("df")).toSeq
+      assert(dfs == dfs.sorted.reverse, s"df not descending: $dfs")
+      rows.foreach { r =>
+        val head = r.getAs[String]("postings_head").split(",")
+        assert(head.length <= 5, s"posting head too long for ${r.getAs[String]("term")}")
+        val ids = head.map(_.toLong).toSeq
+        assert(ids == ids.sorted, "posting head not sorted")
+        assert(r.getAs[Long]("tf_total") >= r.getAs[Long]("df"))
+      }
+    }
+  }
+}

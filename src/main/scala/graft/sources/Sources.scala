@@ -42,6 +42,20 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Bucketed catalog-table write: pre-shuffles the data into `buckets`
+    * hash buckets on `key` (sorted within each bucket) at WRITE time, so
+    * every later equality join or aggregation on `key` between
+    * same-bucketed tables runs with ZERO exchanges — the shuffle is paid
+    * once at layout time instead of per query. This is the single
+    * biggest repeated-join lever at 100 TB: a fact table joined nightly
+    * against another fact on the same key should be bucketed on it
+    * (bucket count sized so one bucket ≈ one task's worth of data).
+    * Asserted shuffle-free in BucketedJoinSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   // ------------------------------------------------------ roundtrip queries
   /** Orders → CSV → re-read → aggregate. The aggregate over the re-read
     * CSV must equal the oracle computed on the original parquet — an

@@ -35,6 +35,7 @@ object SparkEntry {
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
     "q_asof_join"         -> EventOps.qAsofJoin _,
     "q_events_funnel"     -> EventOps.qEventsFunnel _,
+    "q_range_join"        -> EventOps.qRangeJoin _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -187,6 +188,7 @@ object SparkEntry {
         |ORDER BY p.purchase_id""".stripMargin,
 
     "q_events_funnel"   -> EventOps.oracleEventsFunnel,
+    "q_range_join"      -> EventOps.oracleRangeJoin,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 

@@ -128,6 +128,59 @@ object EventOps {
   def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
     funnel(events(s, dir))
 
+  /** Band width for [[qRangeJoin]] — must be >= the range span so every
+    * probe interval covers at most two bands. */
+  private[graft] val RANGE_SEC = 3600d
+
+  /** Banded RANGE JOIN — the big-big interval join Spark has no native
+    * operator for: for every purchase, count the system-wide `error`
+    * events in the preceding hour (an ops-health attribution query with
+    * no shared key between the sides).
+    *
+    * A naive formulation is a cross join with a range predicate —
+    * O(n·m) and banned by the plan audit. The scale-safe shape BANDS
+    * the time axis: each error keys to its hour band; each purchase
+    * probes its own band and the previous one (a window of width W
+    * overlaps at most two W-wide bands), so the join is a plain
+    * EQUALITY shuffle join on the band key with the exact range
+    * predicate as a residual condition, and total work is
+    * O(pairs-within-band), never O(n·m). The residual lives in the ON
+    * clause so unmatched purchases survive the LEFT join (zero-error
+    * hours are data, not dropped rows); each real match satisfies
+    * exactly one of the probe's two band keys, so counts need no
+    * dedup. Fan-out is the fixed factor 2 regardless of scale; band
+    * width is the knob (size it ~range span; skewed hot bands salt
+    * like any other shuffle key).
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("es", col("ts").cast("double"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(floor(col("es") / RANGE_SEC).cast("long").as("band"),
+        col("es").as("err_es"), col("event_id").as("err_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("es"),
+        floor(col("es") / RANGE_SEC).cast("long").as("pband"))
+      .withColumn("band", explode(array(col("pband"), col("pband") - 1)))
+    purchases.join(errors,
+        purchases("band") === errors("band") &&
+          col("err_es") >= col("es") - RANGE_SEC && col("err_es") <= col("es"),
+        "left")
+      .groupBy("purchase_id")
+      .agg(count(col("err_id")).as("n_errors_1h"))
+      .orderBy("purchase_id")
+  }
+
+  val oracleRangeJoin: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    epoch(make_timestamp(epoch_ns(ts) // 1000)) AS es
+       |  FROM events)
+       |SELECT p.event_id AS purchase_id, count(x.event_id) AS n_errors_1h
+       |FROM e p LEFT JOIN e x
+       |  ON x.event_type = 'error' AND x.es >= p.es - $RANGE_SEC AND x.es <= p.es
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+
   val oracleEventsFunnel: String =
     s"""WITH e AS (
        |  SELECT user_id, event_type,

@@ -46,6 +46,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> Dedup.qDedupSimhashPairs _,
     "q_dedup_embedding"     -> Dedup.qDedupEmbedding _,
     "q_decontaminate"       -> Dedup.qDecontaminate _,
+    "q_dedup_recall"        -> Dedup.qDedupRecall _,
     // §2.4 similarity
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
@@ -201,6 +202,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> Dedup.oracleSimhashPairs,
     "q_dedup_embedding"     -> Dedup.oracleEmbedding,
     "q_decontaminate"       -> Dedup.oracleDecontaminate,
+    "q_dedup_recall"        -> Dedup.oracleDedupRecall,
 
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,

@@ -275,6 +275,75 @@ object Dedup {
        |FROM pairs JOIN reps ra ON ra.doc_id = doc_a JOIN reps rb ON rb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ----------------------------------------------- minhash recall gauge
+  /** Quality gauge for the MinHash-LSH near-dup pipeline — the dedup
+    * twin of `q_knn_recall`: without it the (BANDS, rows-per-band,
+    * est-threshold) knobs are untunable guesses. Ground truth = exact
+    * shingle-set Jaccard over every pair sharing ≥1 shingle (UNCAPPED —
+    * a pair with J > 0 must share a shingle, so the equality join IS
+    * exhaustive; on a full 100 TB corpus this gauge runs over a sampled
+    * stratum, which is exactly how the production knob-tuning loop
+    * works). Reports recall (true pairs found), precision (reported
+    * pairs that are true), and the mean |est − exact| Jaccard error of
+    * the estimator itself. One row; every count also emitted raw so a
+    * ratio regression is attributable.
+    */
+  def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val reps = collapseExact(Tables.documents(s, dir)).cache()
+    val sh = shingleTable(reps).cache()
+    val est = minhashPairs(minhashSignatures(sh))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val exact = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("cnt").as("ca")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("cnt").as("cb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / (col("ca") + col("cb") - col("shared"))).as("j"))
+    val truth = exact.filter(col("j") >= 0.5).select(col("doc_a"), col("doc_b"), col("j").as("jt"))
+    val estx = est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        coalesce(col("j"), lit(0.0)).as("jx"))
+    estx.join(truth, Seq("doc_a", "doc_b"), "full")
+      .agg(
+        count(col("jt")).as("n_true"),
+        count(col("est_jaccard")).as("n_lsh"),
+        count(when(col("est_jaccard").isNotNull && col("jt").isNotNull, 1)).as("n_hits"),
+        round(avg(when(col("est_jaccard").isNotNull, abs(col("est_jaccard") - col("jx")))), 4)
+          .as("mean_abs_err"))
+      .select(col("n_true"), col("n_lsh"), col("n_hits"),
+        round(col("n_hits") / col("n_true"), 4).as("recall"),
+        round(col("n_hits") / col("n_lsh"), 4).as("precision"),
+        col("mean_abs_err"))
+  }
+
+  val oracleDedupRecall: String =
+    s"""WITH $minhashPairsCtes,
+       |cnt AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT doc_a, doc_b, shared * 1.0 / (ca.cnt + cb.cnt - shared) AS j
+       |  FROM shared JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b),
+       |truth AS (SELECT doc_a, doc_b, j AS jt FROM exact WHERE j >= 0.5),
+       |estx AS (
+       |  SELECT p.doc_a, p.doc_b, p.est_jaccard, coalesce(e.j, 0) AS jx
+       |  FROM pairs p LEFT JOIN exact e USING (doc_a, doc_b)),
+       |o AS (SELECT * FROM estx FULL JOIN truth USING (doc_a, doc_b)),
+       |agg AS (
+       |  SELECT count(jt) AS n_true, count(est_jaccard) AS n_lsh,
+       |    count(CASE WHEN est_jaccard IS NOT NULL AND jt IS NOT NULL THEN 1 END) AS n_hits,
+       |    round(avg(CASE WHEN est_jaccard IS NOT NULL THEN abs(est_jaccard - jx) END), 4) AS mean_abs_err
+       |  FROM o)
+       |SELECT n_true, n_lsh, n_hits,
+       |  round(n_hits::DOUBLE / n_true, 4) AS recall,
+       |  round(n_hits::DOUBLE / n_lsh, 4) AS precision,
+       |  mean_abs_err
+       |FROM agg""".stripMargin
+
   // ------------------------------------------------- dedup clusters (CC)
   /** Rounds the ORACLE unrolls for connected components (fixed CTE chain
     * — SQL can't express a data-dependent loop). The Spark side iterates
@@ -287,11 +356,11 @@ object Dedup {
     */
   private[graft] val CC_ITERS = 3
 
-  /** Safety cap on the Spark-side convergence loop. Eccentricity above
-    * this means adversarially long chains — pointer-doubling
-    * (large-star/small-star, O(log d) rounds, same per-round join+min-agg
-    * plan shape) is the production move there; we log and stop rather
-    * than loop unbounded.
+  /** Safety cap on the Spark-side convergence loop. With the
+    * pointer-doubling shortcut ([[ccLabelsWithRounds]]) rounds grow
+    * O(log diameter), so 20 covers components of diameter ~10⁵ — a cap
+    * hit means something pathological; we log and stop rather than loop
+    * unbounded.
     */
   private[graft] val CC_MAX_ITERS = 20
 
@@ -305,15 +374,27 @@ object Dedup {
     * doc_id), distinct-text count, and total document count including
     * exact copies.
     */
-  /** Min-label propagation over an undirected pair list (doc_a, doc_b)
-    * → (id, label) for every endpoint, iterated UNTIL CONVERGED (no
-    * label changed in a round; each round is one equality join + one
-    * min-aggregate, each convergence check one tiny count over the
-    * cached round result). Capped at [[CC_MAX_ITERS]] with a logged
-    * warning — a cap hit means labels may still be split and chains are
-    * deep enough that pointer-doubling is the right algorithm.
+  /** Min-label propagation WITH a pointer-doubling shortcut over an
+    * undirected pair list (doc_a, doc_b) → (id, label) for every
+    * endpoint, iterated UNTIL CONVERGED (no label changed in a round).
+    * Each round: (1) propagate — every node takes the min of its own
+    * and its neighbours' labels (one equality join + one min-agg);
+    * (2) shortcut — every node then jumps to its label's label
+    * (`label ← label(label)`, one self-join), the pointer-doubling step
+    * that makes label distance roughly DOUBLE per round, so a chain of
+    * diameter d converges in O(log d) rounds instead of O(d)
+    * (CcConvergenceSpec measures it: a 64-node path resolves in ≤10
+    * rounds where pure propagation needs 63). Shortcutting never
+    * changes the fixpoint — labels only ever decrease toward the
+    * component min. Convergence is checked with one tiny count per
+    * round on the checkpointed result; the cap at [[CC_MAX_ITERS]]
+    * (logged) is a pathology guard, not an expected exit.
     */
-  private[graft] def ccLabels(pairs: DataFrame): DataFrame = {
+  private[graft] def ccLabels(pairs: DataFrame): DataFrame =
+    ccLabelsWithRounds(pairs)._1
+
+  /** [[ccLabels]] plus the number of rounds it ran (spec hook). */
+  private[graft] def ccLabelsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -324,14 +405,19 @@ object Dedup {
     while (!converged && rounds < CC_MAX_ITERS) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("label").as("nl"))
-      // localCheckpoint (eager) TRUNCATES lineage each round: `labels`
-      // appears twice per round, so without truncation the logical plan
-      // doubles per iteration — 2^rounds nodes — and analysis/planning
-      // itself blows up long before the data does. Standard move for
-      // iterative algorithms on Spark.
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+      val prop = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // localCheckpoint (eager) TRUNCATES lineage each round: `labels`
+      // appears several times per round, so without truncation the
+      // logical plan doubles per iteration — 2^rounds nodes — and
+      // analysis/planning itself blows up long before the data does.
+      // Standard move for iterative algorithms on Spark.
+      val next = prop.as("c")
+        .join(prop.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
+          col("c.label") === col("pid"), "left")
+        .select(col("c.id").as("id"), col("c.prev").as("prev"),
+          least(col("c.label"), coalesce(col("plabel"), col("c.label"))).as("label"))
         .localCheckpoint()
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select("id", "label")
@@ -340,8 +426,8 @@ object Dedup {
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"ccLabels hit CC_MAX_ITERS=$CC_MAX_ITERS without converging; " +
-          "component labels may be split (switch to pointer-doubling for chains this deep)")
-    labels
+          "component labels may be split")
+    (labels, rounds)
   }
 
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {

@@ -85,6 +85,19 @@ class DedupScaleSpec extends AnyFunSpec with SparkTestBase {
         s"chain split into ${labels.values.toSet.size} labels: $labels")
     }
 
+    it("pointer-doubling makes rounds O(log diameter): a 64-node path needs <=10") {
+      val pairs = spark.createDataFrame((1L to 63L).map(i => (i, i + 1)))
+        .toDF("doc_a", "doc_b")
+      val (labelsDf, rounds) = Dedup.ccLabelsWithRounds(pairs)
+      val labels = labelsDf.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      assert(labels.size == 64)
+      assert(labels.values.toSet == Set(1L), s"split: ${labels.values.toSet}")
+      // pure propagation needs 63 rounds (> CC_MAX_ITERS); the shortcut
+      // must land well under the cap
+      assert(rounds <= 10, s"took $rounds rounds — shortcut not doubling")
+    }
+
     it("keeps duplicate clusters visible to the Jaccard df-cap (df counts distinct texts)") {
       import org.apache.spark.sql.functions._
       // raw path: every cluster shingle has df=1000 > MAX_SHINGLE_DF, so

@@ -71,6 +71,7 @@ object SparkEntry {
     "q_source_json" -> ((s, d) => graft.sources.Sources.qSourceJson(s, d)),
     // scale patterns + pipeline composition
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
+    "q_zorder_layout"     -> Layout.qZorderLayout _,
     "q_corpus_curate"     -> Pipeline.qCorpusCurate _,
     "q_sample_stratified" -> Pipeline.qSampleStratified _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
@@ -225,6 +226,7 @@ object SparkEntry {
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,
     "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
+    "q_zorder_layout"     -> Layout.oracleZorderLayout,
     "q_corpus_curate"     -> Pipeline.oracleCorpusCurate,
     "q_sample_stratified" -> Pipeline.oracleSampleStratified,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,

@@ -47,6 +47,7 @@ object SparkEntry {
     "q_dedup_embedding"     -> Dedup.qDedupEmbedding _,
     "q_decontaminate"       -> Dedup.qDecontaminate _,
     "q_dedup_recall"        -> Dedup.qDedupRecall _,
+    "q_bloom_decontaminate" -> Dedup.qBloomDecontaminate _,
     // §2.4 similarity
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
@@ -204,6 +205,7 @@ object SparkEntry {
     "q_dedup_embedding"     -> Dedup.oracleEmbedding,
     "q_decontaminate"       -> Dedup.oracleDecontaminate,
     "q_dedup_recall"        -> Dedup.oracleDedupRecall,
+    "q_bloom_decontaminate" -> Dedup.oracleDecontaminate,
 
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,

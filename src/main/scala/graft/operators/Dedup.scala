@@ -610,6 +610,46 @@ object Dedup {
   def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(s, dir))
 
+  /** Bloom-prefiltered decontamination — same RESULT as [[decontaminate]]
+    * (hence the same oracle), different scale regime: [[decontaminate]]
+    * broadcasts the raw eval gram set, which stops working when the eval
+    * suite grows past broadcast size. Here the eval grams collapse into
+    * ONE bloom filter (`graft_bloom_agg`, bits not values — ~9.6 bits/key
+    * at 1% fp), the fact-side gram stream is pre-filtered by a broadcast
+    * membership probe (`graft_bloom_contains`, fused into the scan
+    * projection), and only the surviving fraction shuffles into the
+    * exact equality join that removes bloom false positives. False
+    * negatives are impossible, so result == exact; the shuffle bill
+    * drops from |corpus grams| to |matches + fp|. This is Spark's own
+    * AQE runtime-filter mechanism, surfaced as a declarative operator.
+    */
+  private[graft] def decontaminateBloom(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.BloomFns.register(s)
+    val isEval = col("doc_id") % DECON_MOD === 3
+    // `might_contain` requires its bloom input as a constant or SCALAR
+    // SUBQUERY (the same way Spark's AQE runtime filters inject theirs),
+    // so the probe is phrased in SQL: the subquery executes once and its
+    // binary result is injected into the fact-side filter as a literal.
+    docs.filter(isEval)
+      .select(explode(wordShinglesN(col("text"), DECON_N)).as("g"))
+      .select(h60(col("g")).as("sh")).distinct()
+      .createOrReplaceTempView("graft_bloom_eval_sh")
+    docs.filter(!isEval)
+      .select(col("doc_id"), explode(wordShinglesN(col("text"), DECON_N)).as("g"))
+      .select(col("doc_id"), h60(col("g")).as("sh"))
+      .createOrReplaceTempView("graft_bloom_train_sh")
+    s.sql(
+      s"""SELECT doc_id, count(*) AS n_shared
+         |FROM (SELECT doc_id, sh FROM graft_bloom_train_sh
+         |      WHERE graft_bloom_contains(
+         |        (SELECT graft_bloom_agg(sh) FROM graft_bloom_eval_sh), sh)) t
+         |JOIN graft_bloom_eval_sh e USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  def qBloomDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateBloom(s, Tables.documents(s, dir))
+
   val oracleDecontaminate: String = {
     val grams = wordShinglesNSql("text", DECON_N)
     s"""WITH ev AS (

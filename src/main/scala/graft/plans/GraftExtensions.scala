@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.descriptor)
     ext.injectFunction(graft.functions.HashFns.h60Descriptor)
+    ext.injectFunction(graft.functions.BloomFns.bloomAggDescriptor)
+    ext.injectFunction(graft.functions.BloomFns.bloomContainsDescriptor)
     ext.injectCheckRule { session =>
       val listener = GraftExtensions.ensureListener(session)
       // Streaming lineage attaches LAZILY, on the first analyzed plan

@@ -73,7 +73,8 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       // and the IVF_K-row trained centroids.
       val skip = Set("q_lineage_selfcheck", "q_source_csv", "q_source_json")
       // q_zorder_layout broadcasts a 1-row domain-stats frame
-      val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall", "q_zorder_layout")
+      val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall",
+        "q_zorder_layout")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -62,6 +62,7 @@ object SparkEntry {
     "q_text_rolling_hash" -> TextAnalysis.qTextRollingHash _,
     "q_text_repetition"   -> TextAnalysis.qTextRepetition _,
     "q_inverted_index"    -> TextAnalysis.qInvertedIndex _,
+    "q_tfidf_top"         -> TextAnalysis.qTfidfTop _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
@@ -220,6 +221,7 @@ object SparkEntry {
     "q_text_rolling_hash" -> TextAnalysis.oracleRollingHash,
     "q_text_repetition"   -> TextAnalysis.oracleRepetition,
     "q_inverted_index"    -> TextAnalysis.oracleInvertedIndex,
+    "q_tfidf_top"         -> TextAnalysis.oracleTfidfTop,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,

@@ -205,6 +205,50 @@ object TextAnalysis {
        |  array_to_string(list_transform(list_sort(list(doc_id) FILTER (WHERE rn <= $POSTINGS_HEAD)), x -> CAST(x AS VARCHAR)), ',') AS postings_head
        |FROM r GROUP BY term ORDER BY df DESC, term LIMIT $INDEX_TOP""".stripMargin
 
+  /** Per-document DISTINCTIVE terms — tf·idf with a rational idf:
+    * score = tf/df (the corpus-size factor N is constant across every
+    * row, so dropping it changes no ranking and keeps the arithmetic
+    * log-free → bit-identical across engines). Top-3 terms per doc,
+    * ties broken lexicographically.
+    *
+    * Scale shape: one hash agg to (term, doc) tf; df as a count window
+    * over the term partition of that ALREADY-AGGREGATED frame (rows =
+    * distinct doc-term pairs, so the window input is the vocabulary
+    * posting count, not the token stream); one more window for the
+    * per-doc top-k. Two shuffles (term, doc_id), both on aggregated
+    * data.
+    */
+  private val TFIDF_TOP = 3
+
+  def qTfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val td = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val withDf = td.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val score = col("tf").cast("double") / col("df")
+    withDf
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(score.desc, col("term"))))
+      .filter(col("rank") <= TFIDF_TOP)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), round(score, 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val oracleTfidfTop: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |td AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+       |d AS (SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM td),
+       |r AS (
+       |  SELECT doc_id, term, tf, df,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tf * 1.0 / df DESC, term) AS rank
+       |  FROM d)
+       |SELECT doc_id, rank, term, tf, df, round(tf * 1.0 / df, 6) AS score
+       |FROM r WHERE rank <= $TFIDF_TOP ORDER BY doc_id, rank""".stripMargin
+
   /** Gopher-style intra-document repetition signals — the quality gates
     * real curation pipelines run alongside [[qTextQuality]]: distinct-word
     * ratio, top-word frequency fraction, and duplicated-bigram fraction

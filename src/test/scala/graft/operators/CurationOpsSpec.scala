@@ -82,6 +82,30 @@ class CurationOpsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("TextAnalysis.qTfidfTop") {
+    it("emits at most 3 ranked distinctive terms per doc with score = tf/df") {
+      val rows = TextAnalysis.qTfidfTop(spark, sfDir).collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+        val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+        assert(ranks == (1L to ranks.length), s"doc $doc ranks $ranks")
+        assert(ranks.length <= 3)
+        // scores are non-increasing with rank and equal tf/df
+        val byRank = rs.sortBy(_.getAs[Long]("rank"))
+        byRank.sliding(2).foreach {
+          case Array(hi, lo) =>
+            assert(hi.getAs[Double]("score") >= lo.getAs[Double]("score"), s"doc $doc")
+          case _ =>
+        }
+        byRank.foreach { r =>
+          val expect = BigDecimal(r.getAs[Long]("tf").toDouble / r.getAs[Long]("df"))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(r.getAs[Double]("score") - expect) < 1e-9)
+        }
+      }
+    }
+  }
+
   describe("TextAnalysis.qInvertedIndex") {
     it("returns the vocabulary head with bounded posting lists") {
       val rows = TextAnalysis.qInvertedIndex(spark, sfDir).collect()

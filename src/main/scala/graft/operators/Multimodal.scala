@@ -81,26 +81,44 @@ object Multimodal {
   }
 
   /** Oracle-checked metadata extraction over the binary payload: byte
-    * length, header hash, and 3 deterministic "frame sample" chunk hashes
-    * (pure SQL arithmetic so DuckDB reproduces it exactly).
+    * length, header hash, 3 deterministic "frame sample" chunk hashes,
+    * and ENDIAN-AWARE fixed-offset header fields (pure SQL arithmetic so
+    * DuckDB reproduces it exactly).
+    *
+    * The header fields are the real media-metadata capability: every
+    * container format (PNG IHDR, WAV fmt, MP4 boxes) stores dimensions /
+    * sample rates as fixed-offset integers, so width-at-offset-N parses
+    * as a declarative byte expression fused into the scan — no codec, no
+    * UDF, nothing leaves codegen. Payload bytes here are ASCII, so
+    * byte(i) == ascii(char i) in both engines; on true binary the same
+    * shape uses substring-on-binary + conv(hex). `magic_u32_be` reads
+    * bytes 1-4 big-endian, `version_u16_le` bytes 5-6 little-endian.
     */
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val chunks = (0 until 3).map(i =>
       md5(expr(s"substring(text, CAST(1 + $i * (length(text) div 4) AS INT), 16)")).as(s"chunk$i"))
+    def byteAt(i: Int) = ascii(substring(col("text"), i, 1)).cast("long")
+    val magic = (((byteAt(1) * 256 + byteAt(2)) * 256 + byteAt(3)) * 256 + byteAt(4))
+      .as("magic_u32_be")
+    val version = (byteAt(5) + byteAt(6) * 256).as("version_u16_le")
     Tables.documents(s, dir)
       .select(Seq(
         col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("byte_len"),
-        md5(substring(col("text"), 1, 32)).as("header_hash")) ++ chunks: _*)
+        md5(substring(col("text"), 1, 32)).as("header_hash"),
+        magic, version) ++ chunks: _*)
       .orderBy("doc_id")
   }
 
   val oracleMultimodalMeta: String = {
     val chunks = (0 until 3).map(i =>
       s"md5(substring(text, 1 + $i * (length(text) // 4), 16)) AS chunk$i").mkString(", ")
+    def byteAt(i: Int) = s"CAST(ascii(substring(text, $i, 1)) AS BIGINT)"
     s"""SELECT doc_id,
        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        |  md5(substring(text, 1, 32)) AS header_hash,
+       |  (((${byteAt(1)} * 256 + ${byteAt(2)}) * 256 + ${byteAt(3)}) * 256 + ${byteAt(4)}) AS magic_u32_be,
+       |  (${byteAt(5)} + ${byteAt(6)} * 256) AS version_u16_le,
        |  $chunks
        |FROM documents ORDER BY doc_id""".stripMargin
   }

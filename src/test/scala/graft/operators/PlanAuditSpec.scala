@@ -63,6 +63,21 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       assert(shuffles <= 1, s"projection query shuffled $shuffles times")
     }
 
+    it("pii redaction and multimodal meta stay scan-side projections (<=1 exchange, the sort)") {
+      val pii = explain(Privacy.qPiiRedact(spark, sfDir))
+      assert(countNodes(pii, "Exchange") <= 1, s"pii redaction shuffled:\n$pii")
+      val mm = explain(Multimodal.qMultimodalMeta(spark, sfDir))
+      assert(countNodes(mm, "Exchange") <= 1, s"multimodal meta shuffled:\n$mm")
+    }
+
+    it("tf-idf windows run over aggregated frames only (<=4 exchanges)") {
+      // tf hash-agg (map-side partial first), term window, doc window,
+      // output sort — each over the aggregated (term, doc) frame, never
+      // the raw token stream
+      val plan = explain(TextAnalysis.qTfidfTop(spark, sfDir))
+      assert(countNodes(plan, "Exchange") <= 4, s"tf-idf over-shuffled:\n$plan")
+    }
+
     it("no query plans a cartesian product or an unbounded nested-loop join") {
       // the O(n²) killers at 100 TB: every candidate-pair generator must
       // ride an equality join. Skip the entries that run side-effecting

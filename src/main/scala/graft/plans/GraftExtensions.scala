@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.HashFns.h60Descriptor)
     ext.injectFunction(graft.functions.BloomFns.bloomAggDescriptor)
     ext.injectFunction(graft.functions.BloomFns.bloomContainsDescriptor)
+    ext.injectOptimizerRule(_ => DimAutoBroadcast)
     ext.injectCheckRule { session =>
       val listener = GraftExtensions.ensureListener(session)
       // Streaming lineage attaches LAZILY, on the first analyzed plan

@@ -169,4 +169,31 @@ class StreamOpsSpec extends AnyFunSpec with SparkTestBase {
       } finally q.stop()
     }
   }
+
+  describe("stateless transforms on streams") {
+    it("Privacy.scrub redacts identically on a stream (projection = stream-safe)") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val inputs = Seq(
+        "reach me at a.b@mail.net",
+        "hotline 555-867-5309 now",
+        "server 10.1.2.3 down",
+        "nothing sensitive here")
+      val stream = MemoryStream[String]
+      val q = stream.toDF().select(graft.operators.Privacy.scrub(col("value")).as("clean"))
+        .writeStream.format("memory").queryName("scrub_out")
+        .outputMode("append").start()
+      try {
+        stream.addData(inputs: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("scrub_out").as[String].collect().sorted.toSeq
+        val batch = inputs.toDF("value")
+          .select(graft.operators.Privacy.scrub(col("value")).as("clean"))
+          .as[String].collect().sorted.toSeq
+        assert(streamed == batch, "stream/batch scrub divergence")
+        assert(streamed.exists(_.contains("<EMAIL>")) &&
+          streamed.exists(_.contains("<PHONE>")) && streamed.exists(_.contains("<IP>")))
+      } finally q.stop()
+    }
+  }
 }

@@ -52,18 +52,30 @@ object HashFns {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Distinct n-word shingles from an ALREADY-MATERIALIZED words-array
+    * column. Callers must pass an attribute (a `split` aliased in its
+    * own projection), not an inline `split(...)`: expressions inside
+    * higher-order-function lambdas get no subexpression elimination, so
+    * an inline split is re-evaluated by every `element_at` — O(W²)
+    * string work per document (the r5 q_text_repetition lesson; fixing
+    * the shingle builders the same way cut the jaccard/decontaminate
+    * family ~2× at sf0.1). CollapseProject never inlines aliases into
+    * lambda bodies, so the materialized attribute is stable.
+    */
+  def shinglesFromWords(words: Column, n: Int): Column =
+    array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", (1 to n).map(k => element_at(words, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+
   /** Distinct 3-word shingles of a whitespace-tokenized text column.
     * Docs with fewer than 3 words produce no shingles (mirrored by the
-    * oracle's len(words) >= 3 guard).
+    * oracle's len(words) >= 3 guard). Prefer [[shinglesFromWords]] over
+    * a materialized words attribute in hot paths (see its scaladoc).
     */
-  def wordShingles(text: Column): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      when(size(words) >= 3,
-        transform(sequence(lit(0), size(words) - 3),
-          i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2), element_at(words, i + 3))))
-        .otherwise(array().cast("array<string>")))
-  }
+  def wordShingles(text: Column): Column =
+    shinglesFromWords(split(text, " "), 3)
 
   /** DuckDB fragment: distinct 3-word shingles as a list (1-indexed). */
   def wordShinglesSql(textExpr: String): String =
@@ -75,15 +87,10 @@ object HashFns {
   /** Distinct n-word shingles for arbitrary n (decontamination wants
     * longer grams than near-dup: a shared 3-gram is usually just a
     * common phrase, a shared 5+-gram is copied text). Docs with fewer
-    * than n words produce no shingles, mirrored by the oracle guard. */
-  def wordShinglesN(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", (1 to n).map(k => element_at(words, i + k)): _*)))
-        .otherwise(array().cast("array<string>")))
-  }
+    * than n words produce no shingles, mirrored by the oracle guard.
+    * Prefer [[shinglesFromWords]] in hot paths (see its scaladoc). */
+  def wordShinglesN(text: Column, n: Int): Column =
+    shinglesFromWords(split(text, " "), n)
 
   /** DuckDB fragment: distinct n-word shingles as a list (1-indexed). */
   def wordShinglesNSql(textExpr: String, n: Int): String = {

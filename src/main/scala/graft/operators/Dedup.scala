@@ -116,7 +116,8 @@ object Dedup {
     */
   private[graft] def shingleTable(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(wordShingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("w"), 3)).as("shingle"))
       .select(col("doc_id"), h60(col("shingle")).as("sh"))
 
   private val shingleCte =
@@ -592,16 +593,18 @@ object Dedup {
     * 8-byte h60 keys, not strings. Output: one row per contaminated
     * train doc with its distinct shared-gram count.
     */
+  /** (doc_id, sh) hashed DECON_N-gram stream for a docs frame, words
+    * materialized before the gram lambda (see shinglesFromWords). */
+  private def deconGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("w"), DECON_N)).as("g"))
+      .select(col("doc_id"), h60(col("g")).as("sh"))
+
   private[graft] def decontaminate(docs: DataFrame): DataFrame = {
     val isEval = col("doc_id") % DECON_MOD === 3
-    val evalSh = broadcast(
-      docs.filter(isEval)
-        .select(explode(wordShinglesN(col("text"), DECON_N)).as("g"))
-        .select(h60(col("g")).as("sh"))
-        .distinct())
-    docs.filter(!isEval)
-      .select(col("doc_id"), explode(wordShinglesN(col("text"), DECON_N)).as("g"))
-      .select(col("doc_id"), h60(col("g")).as("sh"))
+    val evalSh = broadcast(deconGrams(docs.filter(isEval)).select("sh").distinct())
+    deconGrams(docs.filter(!isEval))
       .join(evalSh, Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
@@ -630,13 +633,9 @@ object Dedup {
     // SUBQUERY (the same way Spark's AQE runtime filters inject theirs),
     // so the probe is phrased in SQL: the subquery executes once and its
     // binary result is injected into the fact-side filter as a literal.
-    docs.filter(isEval)
-      .select(explode(wordShinglesN(col("text"), DECON_N)).as("g"))
-      .select(h60(col("g")).as("sh")).distinct()
+    deconGrams(docs.filter(isEval)).select("sh").distinct()
       .createOrReplaceTempView("graft_bloom_eval_sh")
-    docs.filter(!isEval)
-      .select(col("doc_id"), explode(wordShinglesN(col("text"), DECON_N)).as("g"))
-      .select(col("doc_id"), h60(col("g")).as("sh"))
+    deconGrams(docs.filter(!isEval))
       .createOrReplaceTempView("graft_bloom_train_sh")
     s.sql(
       s"""SELECT doc_id, count(*) AS n_shared

@@ -138,14 +138,18 @@ object TextAnalysis {
        |  (acc, x) -> (acc * $RH_B + x) % $RH_P) AS rhash
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Top-20 word bigrams by frequency (multiplicity-preserving). */
+  /** Top-20 word bigrams by frequency (multiplicity-preserving). Words
+    * materialized before the gram lambda (HashFns.shinglesFromWords
+    * rationale) — multiplicity preserved, so no array_distinct here.
+    */
   def qTextNgrams(s: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val bigrams = when(size(words) >= 2,
-      transform(sequence(lit(0), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast("array<string>"))
     Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
       .select(explode(bigrams).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("bigram"))
@@ -263,7 +267,6 @@ object TextAnalysis {
     * adds no cardinality: doc_id determines them).
     */
   private[graft] def repetitionSignals(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
     // The scalars MUST be materialized in their own projection below the
     // explode: `ExtractGenerator` leaves non-generator expressions in the
     // Project ABOVE the Generate, so putting them in the same select as
@@ -272,15 +275,17 @@ object TextAnalysis {
     // element_at(split(text), i) lambda gets no subexpression
     // elimination, making it O(W²) on its own, so O(W³) combined; ~180 s
     // at sf0.1 vs ~3 s in this shape).
-    val scalars = docs.select(
-      col("doc_id"),
-      col("text"),
-      size(words).cast("long").as("n_words"),
-      size(array_distinct(words)).cast("long").as("n_distinct"),
-      size(HashFns.wordShinglesN(col("text"), 2)).cast("long").as("n_distinct_bigrams"))
+    val scalars = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        col("w"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        size(HashFns.shinglesFromWords(col("w"), 2)).cast("long").as("n_distinct_bigrams"))
     val perWord = scalars.select(
       col("doc_id"), col("n_words"), col("n_distinct"), col("n_distinct_bigrams"),
-      explode(split(col("text"), " ")).as("word"))
+      explode(col("w")).as("word"))
     perWord
       .groupBy("doc_id", "n_words", "n_distinct", "n_distinct_bigrams", "word")
       .agg(count(lit(1)).as("cnt"))

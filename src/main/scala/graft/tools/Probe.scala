@@ -3,11 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scratch probe for plan-shape/timing experiments (not part of the
-  * library surface; invoked ad hoc during development).
+  * library surface): times named SparkEntry queries on
+  * SPARK_GRAFT_SF_DIR, optionally printing the optimized plan with
+  * `-explain` as the first arg.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val explain = args.headOption.contains("-explain")
+    val names = args.dropWhile(_ == "-explain")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -17,17 +21,21 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val df = graft.operators.TextAnalysis.qTextRepetition(spark, sfDir)
-    println("=== OPTIMIZED PLAN ===")
-    println(df.queryExecution.optimizedPlan.treeString)
-    def once(): Double = {
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      df.queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      if (explain) {
+        println(s"=== $name OPTIMIZED PLAN ===")
+        println(fn(spark, sfDir).queryExecution.optimizedPlan.treeString)
+      }
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      println(f"$name timings: ${Seq(once(), once(), once()).map(t => f"$t%.2f").mkString(", ")} s")
     }
-    once()
-    println(s"timings: ${Seq(once(), once(), once()).map(t => f"$t%.2f").mkString(", ")} s")
     spark.stop()
   }
 }

@@ -32,7 +32,7 @@ object Layout {
   private val NBUCKETS = 64L
 
   /** Interleave the low [[ZBITS]] bits of x (even positions) and y (odd). */
-  private def morton(x: Column, y: Column): Column =
+  private[graft] def morton(x: Column, y: Column): Column =
     (0 until ZBITS).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)

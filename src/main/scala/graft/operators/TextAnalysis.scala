@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.HashFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -120,16 +120,23 @@ object TextAnalysis {
     * no shuffle; the per-word hash and the fold are identical in both
     * engines (all arithmetic < 2^37, exact in int64).
     */
-  private val RH_P = 2147483647L // 2^31 - 1
-  private val RH_B = 31L
+  private[graft] val RH_P = 2147483647L // 2^31 - 1
+  private[graft] val RH_B = 31L
+
+  /** The rolling-hash column for a words-array column (shared with the
+    * algebraic property spec, which pins h(a⧺b) = h(a)·B^|b| + h(b)
+    * mod P — the identity that makes chunked/streaming fingerprinting
+    * composable). */
+  private[graft] def rollingHash(words: Column): Column =
+    aggregate(
+      transform(words, w => HashFns.h60(w) % RH_P),
+      lit(0L),
+      (acc, x) => (acc * RH_B + x) % RH_P)
 
   def qTextRollingHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      aggregate(
-        transform(split(col("text"), " "), w => HashFns.h60(w) % RH_P),
-        lit(0L),
-        (acc, x) => (acc * RH_B + x) % RH_P).as("rhash"))
+      rollingHash(split(col("text"), " ")).as("rhash"))
       .orderBy("doc_id")
 
   val oracleRollingHash: String =

@@ -42,6 +42,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> Dedup.qDedupNgramJaccard _,
     "q_dedup_minhash_lsh"   -> Dedup.qDedupMinhashLsh _,
     "q_dedup_clusters"      -> Dedup.qDedupClusters _,
+    "q_dedup_verdict"       -> Dedup.qDedupVerdict _,
     "q_dedup_simhash"       -> Dedup.qDedupSimhash _,
     "q_dedup_simhash_pairs" -> Dedup.qDedupSimhashPairs _,
     "q_dedup_embedding"     -> Dedup.qDedupEmbedding _,
@@ -201,6 +202,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> Dedup.oracleNgramJaccard,
     "q_dedup_minhash_lsh"   -> Dedup.oracleMinhashLsh,
     "q_dedup_clusters"      -> Dedup.oracleClusters,
+    "q_dedup_verdict"       -> Dedup.oracleDedupVerdict,
     "q_dedup_simhash"       -> Dedup.oracleSimhash,
     "q_dedup_simhash_pairs" -> Dedup.oracleSimhashPairs,
     "q_dedup_embedding"     -> Dedup.oracleEmbedding,

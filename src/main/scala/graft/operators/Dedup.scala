@@ -441,7 +441,10 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
-  val oracleClusters: String = {
+  /** CTE chain `edges, l0..lCC_ITERS` — the oracle's unrolled min-label
+    * propagation over `pairs` (shared by the clusters and verdict
+    * oracles). */
+  private val ccCtes: String = {
     val props = (1 to CC_ITERS).map { i =>
       s"""l$i AS (
          |  SELECT l.id, least(l.label, coalesce(min(x.label), l.label)) AS label
@@ -450,16 +453,70 @@ object Dedup {
          |  LEFT JOIN l${i - 1} x ON x.id = e.dst
          |  GROUP BY l.id, l.label)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $minhashPairsCtes,
-       |edges AS (
+    s"""edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
-       |$props
+       |$props""".stripMargin
+  }
+
+  val oracleClusters: String =
+    s"""WITH $minhashPairsCtes,
+       |$ccCtes
        |SELECT label AS cluster_id, count(*) AS n_texts, CAST(sum(copies) AS BIGINT) AS n_docs
        |FROM l$CC_ITERS l JOIN reps r ON r.doc_id = l.id
        |GROUP BY label ORDER BY cluster_id""".stripMargin
+
+  // ------------------------------------------------------- dedup verdict
+  /** The dedup subsystem's END PRODUCT: one KEEP/DROP row per document.
+    * Pairs, clusters and gauges are diagnostics; what a curation
+    * pipeline actually applies is this verdict — for every doc_id, the
+    * surviving keeper (exact-dup representative resolved through its
+    * near-dup cluster's elected keeper) and the drop reason. Keep =
+    * the doc IS its cluster's keeper; otherwise `exact_dup` (an exact
+    * copy of a surviving or dropped representative) or `near_dup` (its
+    * representative lost a near-dup election). Composition of
+    * [[collapseExact]] + [[minhashPairs]] + [[ccLabels]] — two extra
+    * equality joins over what `q_dedup_clusters` already computes.
+    */
+  def qDedupVerdict(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val reps = collapseExact(docs).cache()
+    val sig = minhashSignatures(shingleTable(reps)).cache()
+    val labels = ccLabels(minhashPairs(sig).cache())
+    val repKeeper = reps.select(col("doc_id").as("rep"))
+      .join(labels.select(col("id").as("rep"), col("label")), Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("label"), col("rep")).as("keeper"))
+    val repByHash = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("rep"))
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(repByHash, Seq("h"))
+      .join(repKeeper, Seq("rep"))
+      .select(
+        col("doc_id"), col("keeper"),
+        when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("keep"),
+        when(col("doc_id") === col("keeper"), "keep")
+          .when(col("doc_id") =!= col("rep"), "exact_dup")
+          .otherwise("near_dup").as("reason"))
+      .orderBy("doc_id")
   }
+
+  val oracleDedupVerdict: String =
+    s"""WITH $minhashPairsCtes,
+       |$ccCtes,
+       |repmap AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM documents GROUP BY 1),
+       |keepers AS (
+       |  SELECT m.rep, coalesce(l.label, m.rep) AS keeper
+       |  FROM (SELECT DISTINCT rep FROM repmap) m
+       |  LEFT JOIN l$CC_ITERS l ON l.id = m.rep)
+       |SELECT d.doc_id, k.keeper,
+       |  CAST(CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |  CASE WHEN d.doc_id = k.keeper THEN 'keep'
+       |       WHEN d.doc_id <> m.rep THEN 'exact_dup'
+       |       ELSE 'near_dup' END AS reason
+       |FROM documents d
+       |JOIN repmap m ON md5(d.text) = m.h
+       |JOIN keepers k ON k.rep = m.rep
+       |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------- simhash
   /** (doc_id, simhash) over the given docs frame: bit i is set when at

@@ -98,6 +98,24 @@ class DedupScaleSpec extends AnyFunSpec with SparkTestBase {
       assert(rounds <= 10, s"took $rounds rounds — shortcut not doubling")
     }
 
+    it("dedup verdict is internally consistent: keepers keep themselves, drops point at kept docs") {
+      val v = Dedup.qDedupVerdict(spark, sfDir).collect()
+      assert(v.nonEmpty)
+      val byId = v.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      v.foreach { r =>
+        val keeper = r.getAs[Long]("keeper")
+        assert(byId(keeper).getAs[Long]("keep") == 1L,
+          s"doc ${r.getAs[Long]("doc_id")} points at non-kept keeper $keeper")
+        if (r.getAs[Long]("keep") == 1L) {
+          assert(r.getAs[Long]("doc_id") == keeper)
+          assert(r.getAs[String]("reason") == "keep")
+        } else assert(Set("exact_dup", "near_dup")(r.getAs[String]("reason")))
+      }
+      // kept docs are exactly the distinct keepers
+      assert(v.count(_.getAs[Long]("keep") == 1L) ==
+        v.map(_.getAs[Long]("keeper")).distinct.length)
+    }
+
     it("keeps duplicate clusters visible to the Jaccard df-cap (df counts distinct texts)") {
       import org.apache.spark.sql.functions._
       // raw path: every cluster shingle has df=1000 > MAX_SHINGLE_DF, so

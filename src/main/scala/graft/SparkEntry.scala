@@ -36,6 +36,7 @@ object SparkEntry {
     "q_asof_join"         -> EventOps.qAsofJoin _,
     "q_events_funnel"     -> EventOps.qEventsFunnel _,
     "q_range_join"        -> EventOps.qRangeJoin _,
+    "q_retention_cohorts" -> EventOps.qRetentionCohorts _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -194,6 +195,7 @@ object SparkEntry {
 
     "q_events_funnel"   -> EventOps.oracleEventsFunnel,
     "q_range_join"      -> EventOps.oracleRangeJoin,
+    "q_retention_cohorts" -> EventOps.oracleRetentionCohorts,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 

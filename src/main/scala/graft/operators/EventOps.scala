@@ -128,6 +128,47 @@ object EventOps {
   def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
     funnel(events(s, dir))
 
+  /** Weekly retention cohorts — the canonical growth-analytics query:
+    * users bucketed by first-activity week, each cohort's share still
+    * active N weeks later. Shape: one distinct over (user, week) — the
+    * activity matrix is tiny relative to the event stream — then a
+    * per-user min (same shuffle key), a cohort×offset count, and a
+    * broadcast-sized cohort-size join. The raw events reduce to
+    * |users|·|weeks| rows in the FIRST aggregate; everything after is
+    * cheap at any corpus size.
+    */
+  def qRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val activity = events(s, dir)
+      .select(col("user_id"),
+        floor(col("ts").cast("double") / (86400d * 7)).cast("long").as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val sizes = cohorts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // rows already distinct (user, wk)
+      .join(sizes, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active") * 100.0 / col("cohort_size"), 2).as("retention_pct"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val oracleRetentionCohorts: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(floor(epoch(make_timestamp(epoch_ns(ts) // 1000)) / ${86400d * 7}) AS BIGINT) AS wk
+       |  FROM events),
+       |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id),
+       |s AS (SELECT cohort_wk, count(*) AS cohort_size FROM c GROUP BY cohort_wk),
+       |m AS (
+       |  SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset, count(*) AS n_active
+       |  FROM a JOIN c USING (user_id)
+       |  GROUP BY c.cohort_wk, a.wk - c.cohort_wk)
+       |SELECT m.cohort_wk, m.week_offset, m.n_active, s.cohort_size,
+       |  round(m.n_active * 100.0 / s.cohort_size, 2) AS retention_pct
+       |FROM m JOIN s USING (cohort_wk)
+       |ORDER BY cohort_wk, week_offset""".stripMargin
+
   /** Band width for [[qRangeJoin]] — must be >= the range span so every
     * probe interval covers at most two bands. */
   private[graft] val RANGE_SEC = 3600d

@@ -56,6 +56,27 @@ object Sources {
     df.write.format("parquet").mode("overwrite")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** Small-file compaction: rewrite `src` as `files` output files at
+    * `dest`. The small-files problem is THE silent scan killer at
+    * 100 TB — a day of streaming micro-batches leaves thousands of
+    * KB-sized files whose per-file open/footer cost dwarfs the read;
+    * nightly compaction to ~128 MB–1 GB files restores scan throughput.
+    * `repartition(files)` is a full shuffle by design: round-robin
+    * rebalancing gives uniformly-sized outputs regardless of input
+    * skew.
+    */
+  def compact(s: SparkSession, src: String, dest: String, files: Int): Unit =
+    s.read.parquet(src).repartition(files).write.mode("overwrite").parquet(dest)
+
+  /** Schema-evolution read: union the schemas of all files under
+    * `path` (columns added over time come back null-padded for old
+    * files). Off by default in Spark because footer-merging costs a
+    * pass over file metadata — turn it on per-read where drift is
+    * real, pin the merged schema in the catalog after.
+    */
+  def readMerged(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   // ------------------------------------------------------ roundtrip queries
   /** Orders → CSV → re-read → aggregate. The aggregate over the re-read
     * CSV must equal the oracle computed on the original parquet — an

@@ -19,26 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private val QUALITY_T = 0.42 // keeps ~60% of the driver corpus
+  private[graft] val QUALITY_T = 0.42 // keeps ~60% of the driver corpus
 
-  def qCorpusCurate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // quality gate (same signals as q_text_quality)
+  /** The quality score over a `text` column (same signals as
+    * q_text_quality) — shared by the batch curation plan and the
+    * streaming curation composition (`StreamOps.curateStream`). */
+  private[graft] def qualityScore: org.apache.spark.sql.Column = {
     val words  = split(col("text"), " ")
     val nWords = size(words).cast("double")
     val nChars = length(col("text")).cast("double")
     val punct  = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double")
     val nStop  = size(expr("filter(split(text, ' '), w -> w IN ('the','a','or','and','of'))")).cast("double")
-    val quality = round(lit(0.5) * (nStop / nWords) +
+    round(lit(0.5) * (nStop / nWords) +
       lit(0.3) * (lit(1.0) - punct / nChars) +
       lit(0.2) * least(nWords / 100.0, lit(1.0)), 6)
+  }
+
+  /** Deterministic 80/10/10 split assignment on the doc-id hash —
+    * shared with the streaming curation path. */
+  private[graft] def splitCol: org.apache.spark.sql.Column = {
+    val bucket = h60(col("doc_id").cast("string")) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  def qCorpusCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words  = split(col("text"), " ")
+    val quality = qualityScore
     // exact-dedup keepers: first doc_id per distinct text
     val keepers = docs.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     // deterministic split on the doc id hash: 80/10/10
-    val bucket = h60(col("doc_id").cast("string")) % 100
-    val split_ = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    val split_ = splitCol
     docs.select(col("doc_id"), quality.as("quality"), size(words).cast("long").as("n_words"))
       .filter(col("quality") >= QUALITY_T)
       .join(keepers, Seq("doc_id")) // left-semi shape: keeper ids only

@@ -74,6 +74,27 @@ object StreamOps {
     records.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming corpus curation — the incremental twin of
+    * `Pipeline.qCorpusCurate`, composed from the same shared pieces:
+    * quality gate (stateless projection, identical `qualityScore`
+    * expression), exact dedup keyed on md5(text) with watermark-bounded
+    * state, and the identical deterministic h60 80/10/10 split. Emits
+    * one curated row per surviving document as it arrives — the corpus
+    * pipeline running forever on an ingest stream instead of nightly
+    * over a snapshot. State is O(distinct texts per horizon); everything
+    * else is stateless, so the throughput profile is the batch plan's.
+    */
+  def curateStream(docs: DataFrame, delay: String = "1 hour"): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("text"), col("ts"),
+        graft.operators.Pipeline.qualityScore.as("quality"))
+      .filter(col("quality") >= graft.operators.Pipeline.QUALITY_T)
+      .withColumn("text_hash", md5(col("text")))
+    dedupStream(scored, "ts", Seq("text_hash"), delay)
+      .select(col("doc_id"), col("quality"),
+        graft.operators.Pipeline.splitCol.as("split"))
+  }
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): the streaming twin of
     * `EventOps.qEventsSessionize`. A session closes when `gapSec` passes

@@ -170,6 +170,40 @@ class StreamOpsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("curateStream (incremental corpus curation)") {
+    it("applies the batch quality gate, dedup and split rules incrementally") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      // low-quality text (no stopwords, tiny) must be gated; the
+      // duplicated text must survive exactly once; splits must follow
+      // the deterministic h60 rule
+      val good = "the data of a table and the rows of a scan " * 5
+      val docs = Seq(
+        (1L, good + "one", 100L), (2L, "zz", 200L),
+        (3L, good + "three", 300L), (4L, good + "one", 400L)) // dup of doc 1
+      val stream = MemoryStream[(Long, String, Long)]
+      val q = stream.toDF().toDF("doc_id", "text", "sec")
+        .select(col("doc_id"), col("text"),
+          col("sec").cast("timestamp").as("ts"))
+        .transform(StreamOps.curateStream(_))
+        .writeStream.format("memory").queryName("curate_out")
+        .outputMode("append").start()
+      try {
+        stream.addData(docs: _*)
+        q.processAllAvailable()
+        val out = spark.table("curate_out")
+          .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+        // doc 2 fails the quality gate; doc 4 is a duplicate of doc 1
+        assert(out.keySet == Set(1L, 3L), s"curated set wrong: $out")
+        // split matches the shared deterministic rule, engine-independent
+        val expected = Seq(1L, 3L).toDF("doc_id")
+          .select(col("doc_id"), graft.operators.Pipeline.splitCol.as("split"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(out == expected)
+      } finally q.stop()
+    }
+  }
+
   describe("stateless transforms on streams") {
     it("Privacy.scrub redacts identically on a stream (projection = stream-safe)") {
       import spark.implicits._

@@ -25,6 +25,7 @@ object SparkEntry {
     "q_semi_join"         -> Relational.qSemiJoin _,
     "q_anti_join"         -> Relational.qAntiJoin _,
     "q_distinct_agg"      -> Relational.qDistinctAgg _,
+    "q_set_ops"           -> Relational.qSetOps _,
     "q_sketch_distinct"   -> Relational.qSketchDistinct _,
     "q_sketch_quantile"   -> Relational.qSketchQuantile _,
     "q_conditional_pivot" -> Relational.qConditionalPivot _,
@@ -144,6 +145,8 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
         | count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_set_ops" -> Relational.oracleSetOps,
 
     "q_conditional_pivot" ->
       """SELECT o_orderpriority,

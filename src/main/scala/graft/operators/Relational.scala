@@ -119,6 +119,45 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Native set operators (INTERSECT / EXCEPT / UNION): customer-base
+    * segmentation by order status. Spark plans INTERSECT as a left-semi
+    * and EXCEPT as a left-anti over distinct inputs — same
+    * equality-join machinery as every other operator here, so they
+    * scale like the semi/anti joins they compile to. One summary row.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def buyers(status: String) =
+      Tables.orders(s, dir).filter(col("o_orderstatus") === status)
+        .select("o_custkey").distinct()
+    val o = buyers("O")
+    val f = buyers("F")
+    // one declarative plan: tag each segment, union, conditional-agg to
+    // a single row — no driver-side actions, no 1-row cross joins
+    o.intersect(f).select(lit("both").as("k"))
+      .unionByName(o.except(f).select(lit("o_only").as("k")))
+      .unionByName(o.union(f).distinct().select(lit("either").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(when(col("k") === "both", col("cnt")).otherwise(0L)).as("both_o_and_f"),
+        sum(when(col("k") === "o_only", col("cnt")).otherwise(0L)).as("o_only"),
+        sum(when(col("k") === "either", col("cnt")).otherwise(0L)).as("either"))
+  }
+
+  val oracleSetOps: String =
+    """SELECT
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |     INTERSECT
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS both_o_and_f,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |     EXCEPT
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS o_only,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |     UNION
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS either""".stripMargin
+
   /** HLL++ relative standard deviation for [[qSketchDistinct]] and the
     * (looser) tolerance the result is oracle-checked against. */
   private[graft] val SKETCH_RSD = 0.02

@@ -38,6 +38,7 @@ object SparkEntry {
     "q_events_funnel"     -> EventOps.qEventsFunnel _,
     "q_range_join"        -> EventOps.qRangeJoin _,
     "q_retention_cohorts" -> EventOps.qRetentionCohorts _,
+    "q_json_props"        -> EventOps.qJsonProps _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -199,6 +200,7 @@ object SparkEntry {
     "q_events_funnel"   -> EventOps.oracleEventsFunnel,
     "q_range_join"      -> EventOps.oracleRangeJoin,
     "q_retention_cohorts" -> EventOps.oracleRetentionCohorts,
+    "q_json_props"        -> EventOps.oracleJsonProps,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 

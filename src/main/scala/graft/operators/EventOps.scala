@@ -128,6 +128,33 @@ object EventOps {
   def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
     funnel(events(s, dir))
 
+  /** Semi-structured property extraction: the events' JSON `props`
+    * parsed with a SCHEMA-PINNED `from_json` — one parse per row into a
+    * struct the optimizer prunes like any other column. The
+    * per-field alternative (`get_json_object`) re-parses the document
+    * once PER FIELD extracted; at 100 TB with wide property bags that
+    * multiplier is the whole query cost. Inference is likewise banned
+    * for the same reason schema inference is banned on CSV/JSONL reads:
+    * it is a full extra pass.
+    */
+  def qJsonProps(s: SparkSession, dir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    Tables.events(s, dir)
+      .select(col("event_type"), from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+        sum("k").as("sum_k"), countDistinct("k").as("distinct_k"))
+      .orderBy("event_type")
+  }
+
+  val oracleJsonProps: String =
+    """WITH j AS (
+      |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, count(DISTINCT k) AS distinct_k
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Weekly retention cohorts — the canonical growth-analytics query:
     * users bucketed by first-activity week, each cohort's share still
     * active N weeks later. Shape: one distinct over (user, week) — the

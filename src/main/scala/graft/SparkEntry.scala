@@ -80,6 +80,7 @@ object SparkEntry {
     "q_zorder_layout"     -> Layout.qZorderLayout _,
     "q_corpus_curate"     -> Pipeline.qCorpusCurate _,
     "q_sample_stratified" -> Pipeline.qSampleStratified _,
+    "q_sample_balanced"   -> Pipeline.qSampleBalanced _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
     "q_pack_sequences"    -> Pipeline.qPackSequences _
   )
@@ -242,6 +243,7 @@ object SparkEntry {
     "q_zorder_layout"     -> Layout.oracleZorderLayout,
     "q_corpus_curate"     -> Pipeline.oracleCorpusCurate,
     "q_sample_stratified" -> Pipeline.oracleSampleStratified,
+    "q_sample_balanced"   -> Pipeline.oracleSampleBalanced,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
     "q_pack_sequences"    -> Pipeline.oraclePackSequences
   )

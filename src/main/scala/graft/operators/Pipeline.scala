@@ -90,6 +90,48 @@ object Pipeline {
        |  round(sum(CASE WHEN ${h60Sql("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100 < $SAMPLE_PCT THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Mixture REBALANCING — the actuator the mixture report feeds:
+    * deterministically downsample every stratum (lang) to the size of
+    * the smallest, giving an equal-share corpus. Per-stratum rates are
+    * derived from the data (counts → min target → basis-point
+    * threshold), membership from the same h60 hash rule as
+    * [[qSampleStratified]] — reproducible across engines, reruns and
+    * cluster sizes. Plan shape: one aggregate for the counts, a window
+    * min over the ALREADY-AGGREGATED |strata|-row frame, a broadcast
+    * join back onto the corpus, and a final aggregate reporting the
+    * realized rate against target.
+    */
+  def qSampleBalanced(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .withColumn("target",
+        min("n_total").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val threshold = floor(col("target") * 10000.0 / col("n_total"))
+    val kept = (h60(concat_ws(":", col("lang"), col("doc_id"))) % 10000 < threshold)
+      .cast("long")
+    docs.join(broadcast(counts), Seq("lang"))
+      .select(col("lang"), col("n_total"), col("target"), kept.as("k"))
+      .groupBy("lang", "n_total", "target")
+      .agg(sum("k").as("n_kept"))
+      .select(col("lang"), col("n_total"), col("target"), col("n_kept"),
+        round(col("n_kept") * 100.0 / col("n_total"), 2).as("realized_pct"))
+      .orderBy("lang")
+  }
+
+  val oracleSampleBalanced: String = {
+    val h = h60Sql("lang || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+       |t AS (SELECT lang, n_total, (SELECT min(n_total) FROM c) AS target FROM c),
+       |k AS (
+       |  SELECT d.lang, t.n_total, t.target,
+       |    CASE WHEN $h % 10000 < floor(t.target * 10000.0 / t.n_total)
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM documents d JOIN t USING (lang))
+       |SELECT lang, n_total, target, CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  round(sum(kept) * 100.0 / n_total, 2) AS realized_pct
+       |FROM k GROUP BY lang, n_total, target ORDER BY lang""".stripMargin
+  }
+
   /** Corpus mixture report — what share of documents and tokens each
     * (source, lang) cell contributes. The first question asked of any
     * assembled training mix, and the input to re-weighting decisions

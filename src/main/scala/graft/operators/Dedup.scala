@@ -428,6 +428,10 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"ccLabels hit CC_MAX_ITERS=$CC_MAX_ITERS without converging; " +
           "component labels may be split")
+    // `labels` descends only from the last round's checkpoint, so the
+    // edge cache can be released here instead of leaking one cached
+    // frame per invocation in long-lived sessions
+    edges.unpersist()
     (labels, rounds)
   }
 

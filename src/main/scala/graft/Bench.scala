@@ -61,6 +61,11 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2(1)).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of stdout; the detailed line
+    // above outgrew that window in r4/r5, truncating the JSON prefix and
+    // leaving the headline total unparsed. Re-emit a compact total-only line
+    // LAST so it always lands whole inside the tail window.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,12 +70,20 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       assert(countNodes(mm, "Exchange") <= 1, s"multimodal meta shuffled:\n$mm")
     }
 
-    it("tf-idf windows run over aggregated frames only (<=4 exchanges)") {
-      // tf hash-agg (map-side partial first), term window, doc window,
-      // output sort — each over the aggregated (term, doc) frame, never
-      // the raw token stream
-      val plan = explain(TextAnalysis.qTfidfTop(spark, sfDir))
-      assert(countNodes(plan, "Exchange") <= 4, s"tf-idf over-shuffled:\n$plan")
+    it("tf-idf shuffles aggregated frames only and AQE broadcasts the df join") {
+      // tf hash-agg (map-side partial first), df groupBy (term), the
+      // df join-back, doc window, output sort — each over the aggregated
+      // (term, doc) frame, never the raw token stream. The df join costs
+      // one static exchange more than the old term-partitioned window,
+      // but that window was the r5 scale-killer (a stopword's whole
+      // posting stream in one task); the join key is AQE-skew-splittable.
+      val df = TextAnalysis.qTfidfTop(spark, sfDir)
+      assert(countNodes(explain(df), "Exchange") <= 5,
+        s"tf-idf over-shuffled:\n${explain(df)}")
+      // at runtime the vocabulary-sized (term, df) frame broadcasts
+      df.collect()
+      assert(explain(df).contains("BroadcastHashJoin"),
+        s"df join-back did not broadcast under AQE:\n${explain(df)}")
     }
 
     it("no query plans a cartesian product or an unbounded nested-loop join") {

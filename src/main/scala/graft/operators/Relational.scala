@@ -244,46 +244,93 @@ object Relational {
         col("sum_price"), col("n"))
       .orderBy("returnflag", "linestatus")
 
-  /** Exact percentiles per group (interpolated, = DuckDB quantile_cont).
+  /** Exact percentiles per group (interpolated, = DuckDB quantile_cont),
+    * computed in TWO PHASES so no task ever sorts a whole group.
     *
-    * Deliberately NOT the builtin `percentile()` aggregate: that one
-    * buffers a boxed value→count hashmap per partial aggregate and
-    * merges them on the reducer — ~3x slower here and memory-heavy on
-    * high-cardinality values. This plan sorts each group once (window
-    * row_number + count), keeps only the two rows bracketing each
-    * requested quantile, and interpolates: shuffle is one pass, state is
-    * O(1) per group beyond the sort, and the interpolation formula
-    * `v_lo + (pos - lo)·(v_hi - v_lo)` over the sorted multiset is
-    * exactly quantile_cont's.
+    * The r4 shape — `row_number() OVER (PARTITION BY l_returnflag)` —
+    * was correct but sorted the entire fact table in one task per group
+    * (3 tasks at any scale): dead at 100 TB. This plan:
+    *
+    *   Phase 1 (histogram): bucket every value by a monotone range map
+    *   (B buckets between the group's min and max), hash-aggregate
+    *   (group, bucket) counts — map-side combinable, shuffle carries at
+    *   most |groups|·B aggregated rows. A tiny window over that frame
+    *   (≤B rows per group) yields each bucket's cumulative start rank.
+    *   Bucket-assignment precision is irrelevant to exactness: ANY
+    *   monotone bucketing preserves rank order, because ranks are
+    *   computed from actual counts, never from boundary arithmetic,
+    *   and equal values always land in the same bucket.
+    *
+    *   Phase 2 (candidate band scan): only the ≤2·|quantiles| buckets
+    *   per group that contain a bracketing rank are rescanned; rows are
+    *   ranked WITHIN their bucket (a window over ~n/B rows, the knob
+    *   that keeps partitions executor-sized at any scale) and offset by
+    *   the bucket's cumulative start to recover the exact global rank.
+    *   Interpolation `v_lo + frac·(v_hi - v_lo)` is quantile_cont's.
+    *
+    * Deliberately NOT the builtin `percentile()` aggregate either: that
+    * buffers a boxed value→count hashmap per partial aggregate — memory-
+    * heavy on high-cardinality values. The sketch twin
+    * (`q_sketch_quantile`) remains the one-pass approximate path.
     */
-  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
-    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
-    val byGroup = Window.partitionBy("l_returnflag")
-    val w = byGroup.orderBy("l_extendedprice")
-    val ranked = Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(byGroup))
-    // 0-based fractional position of quantile p is (n-1)*p; keep the two
-    // bracketing rows (1-based rn = floor(pos)+1 and +2) for ANY p
-    def pos(p: Double): Column = (col("n") - 1) * p
-    def isBracket(p: Double): Column =
-      col("rn") === floor(pos(p)) + 1 || col("rn") === floor(pos(p)) + 2
-    val brackets = ranked.filter(ps.map(x => isBracket(x._2)).reduce(_ || _))
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    percentilesTwoPhase(
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+
+  /** B=256 keeps phase-1 state trivial while bounding phase-2 windows
+    * to ~n/256 rows; raise with data volume (n/B ≈ a task's row budget). */
+  private val PCT_BUCKETS = 256
+
+  private[graft] def percentilesTwoPhase(
+      src: DataFrame, g: String, v: String, ps: Seq[(String, Double)],
+      buckets: Int = PCT_BUCKETS): DataFrame = {
+    // group stats: min/max drive the bucket map, n the target ranks
+    val stats = src.groupBy(g)
+      .agg(min(v).as("v_min"), max(v).as("v_max"), count(lit(1)).as("n"))
+    val span = col("v_max") - col("v_min")
+    val bucketed = src.join(broadcast(stats), g)
+      .withColumn("bucket",
+        when(span === 0d, lit(0)).otherwise(
+          least(floor((col(v) - col("v_min")) / span * buckets),
+            lit(buckets - 1))).cast("int"))
+    // phase 1: (group, bucket) histogram + cumulative start ranks
+    val hist = bucketed.groupBy(col(g), col("bucket"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(g).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("cnt").over(cumW), lit(0L)))
+    // bracketing global ranks for quantile p: floor((n-1)p)+1 and +2
+    def loRank(p: Double): Column = floor((col("n") - 1) * p) + 1
+    def inBucket(r: Column): Column =
+      col("cum_before") < r && r <= col("cum_before") + col("cnt")
+    val isCandidate = ps.map { case (_, p) =>
+      inBucket(loRank(p)) || inBucket(loRank(p) + 1)
+    }.reduce(_ || _)
+    val cands = cum.filter(isCandidate).select(col(g), col("bucket"), col("cum_before"))
+    // phase 2: rank candidate-bucket rows locally, offset to global rank
+    val inB = Window.partitionBy(g, "bucket").orderBy(v)
+    val ranked = bucketed.join(broadcast(cands), Seq(g, "bucket"))
+      .withColumn("rn", col("cum_before") + row_number().over(inB))
+    val brackets = ranked.filter(ps.map { case (_, p) =>
+      col("rn") === loRank(p) || col("rn") === loRank(p) + 1
+    }.reduce(_ || _))
     val aggs = ps.flatMap { case (name, p) =>
       Seq(
-        max(when(col("rn") === floor(pos(p)) + 1, col("l_extendedprice"))).as(s"${name}_lo"),
-        max(when(col("rn") === floor(pos(p)) + 2, col("l_extendedprice"))).as(s"${name}_hi"))
+        max(when(col("rn") === loRank(p), col(v))).as(s"${name}_lo"),
+        max(when(col("rn") === loRank(p) + 1, col(v))).as(s"${name}_hi"))
     } :+ max("n").as("n_g")
     val interps = ps.map { case (name, p) =>
-      val posA = (col("n_g") - 1) * p
-      val frac = posA - floor(posA)
+      val pos = (col("n_g") - 1) * p
+      val frac = pos - floor(pos)
       val lo = col(s"${name}_lo"); val hi = coalesce(col(s"${name}_hi"), col(s"${name}_lo"))
       round(lo + frac * (hi - lo), 4).as(name)
     }
-    brackets.groupBy("l_returnflag")
+    brackets.groupBy(g)
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("l_returnflag") +: interps: _*)
-      .orderBy("l_returnflag")
+      .select(col(g) +: interps: _*)
+      .orderBy(g)
   }
 }

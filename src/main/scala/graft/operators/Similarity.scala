@@ -95,9 +95,17 @@ object Similarity {
 
   /** LSH candidate pairs with exact cosine, both directions
     * (vec_id, cand_id, cos): explode each vector into its BANDS band
-    * values, shuffle-join on (band, value) equality, score survivors with
-    * the native `graft_cosine` kernel, distinct the (possibly multi-band)
-    * duplicates. Shared by `qKnnLsh` (top-3) and `qDedupEmbedding` (top-1).
+    * values, shuffle-join on (band, value) equality, distinct the
+    * (possibly multi-band) duplicate pairs, THEN join the embeddings
+    * back by vec_id and score with the native `graft_cosine` kernel.
+    * Shared by `qKnnLsh` (top-3) and `qDedupEmbedding` (top-1).
+    *
+    * The band join itself carries only (vec_id, band, bv) — 3 scalars.
+    * Keeping the vector in that frame (the r5 shape) shuffled BANDS
+    * copies of every embedding into EACH side of the self-join — ~12×
+    * the corpus's vector volume through one exchange at 100 TB. Scoring
+    * after the pair-level distinct also computes one cosine per unique
+    * pair instead of one per band collision.
     */
   private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -111,14 +119,18 @@ object Similarity {
       struct(lit(b).as("band"), bv.as("bv"))
     }
     val bands = e
-      .select(col("vec_id"), col("emb"), explode(array(bandCols: _*)).as("bd"))
-      .select(col("vec_id"), col("emb"), col("bd.band").as("band"), col("bd.bv").as("bv"))
-    bands.as("x").join(bands.as("y"),
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("cand_id"),
-        cosine(s, "x.emb", "y.emb").as("cos"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("cand_id"))
       .distinct()
+    pairs
+      .join(e.select(col("vec_id"), col("emb").as("x_emb")), "vec_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("emb").as("y_emb")), "cand_id")
+      .select(col("vec_id"), col("cand_id"),
+        cosine(s, "x_emb", "y_emb").as("cos"))
   }
 
   /** DuckDB mirror of [[lshCandidates]] as CTEs ending in `cand`. */

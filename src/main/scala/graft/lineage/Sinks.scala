@@ -36,6 +36,117 @@ final class Slf4jSink extends LineageSink {
   override def emit(r: LineageRecord): Unit = log.info(r.toJson)
 }
 
+/** HTTP catalog sink: POSTs lineage records to a catalog service as
+  * newline-delimited JSON batches, with bounded retry.
+  *
+  * Batching is the scale story: lineage volume is O(queries), but a
+  * 1000-session fleet pointed at one catalog endpoint still benefits
+  * from amortizing connections — records accumulate until `batchSize`
+  * (or `close()`/`flush()`), then ship as ONE request. Each batch is
+  * retried up to `maxRetries` times with exponential backoff on IO
+  * errors and 5xx; a 4xx is a permanent rejection (malformed/unauthorized
+  * — retrying cannot help) and drops immediately. After retries are
+  * exhausted the batch is dropped and COUNTED — same contract as
+  * [[AsyncSink]]: lineage must never fail or backpressure the workload,
+  * but lost records are always distinguishable from no records.
+  *
+  * `emit` blocks on I/O when it triggers a flush, so production use is
+  * `HttpSink.async(...)` — the [[AsyncSink]] decorator moves all I/O to
+  * its daemon thread and the query path costs one queue offer.
+  */
+final class HttpSink(
+    endpoint: String,
+    batchSize: Int = 64,
+    maxRetries: Int = 3,
+    retryBackoffMs: Long = 100,
+    connectTimeoutMs: Int = 2000,
+    readTimeoutMs: Int = 5000) extends LineageSink {
+  require(batchSize > 0 && maxRetries >= 0)
+  private val url = java.net.URI.create(endpoint).toURL
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.lineage")
+  private val buf = ListBuffer.empty[String]
+  private val delivered = new java.util.concurrent.atomic.AtomicLong()
+  private val retried = new java.util.concurrent.atomic.AtomicLong()
+  private val failed = new java.util.concurrent.atomic.AtomicLong()
+
+  override def emit(r: LineageRecord): Unit = synchronized {
+    buf += r.toJson
+    if (buf.size >= batchSize) flushLocked()
+  }
+
+  /** Ship anything buffered now (close() calls this). */
+  def flush(): Unit = synchronized { flushLocked() }
+
+  private def flushLocked(): Unit = {
+    if (buf.nonEmpty) {
+      val batch = buf.toList
+      buf.clear()
+      val body = batch.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var attempt = 0
+      var done = false
+      while (!done) {
+        post(body) match {
+          case PostOk =>
+            delivered.addAndGet(batch.size.toLong); done = true
+          case PostReject(code) =>
+            failed.addAndGet(batch.size.toLong)
+            log.warn(s"HttpSink: catalog rejected batch with HTTP $code; ${batch.size} records dropped")
+            done = true
+          case PostRetryable(why) if attempt < maxRetries =>
+            attempt += 1
+            retried.incrementAndGet()
+            Thread.sleep(retryBackoffMs << (attempt - 1))
+            log.info(s"HttpSink: retry $attempt/$maxRetries after $why")
+          case PostRetryable(why) =>
+            failed.addAndGet(batch.size.toLong)
+            log.warn(s"HttpSink: giving up after $maxRetries retries ($why); ${batch.size} records dropped")
+            done = true
+        }
+      }
+    }
+  }
+
+  private sealed trait PostResult
+  private case object PostOk extends PostResult
+  private case class PostReject(code: Int) extends PostResult
+  private case class PostRetryable(why: String) extends PostResult
+
+  private def post(body: Array[Byte]): PostResult =
+    try {
+      val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try {
+        c.setConnectTimeout(connectTimeoutMs)
+        c.setReadTimeout(readTimeoutMs)
+        c.setRequestMethod("POST")
+        c.setRequestProperty("Content-Type", "application/x-ndjson")
+        c.setFixedLengthStreamingMode(body.length)
+        c.setDoOutput(true)
+        val os = c.getOutputStream
+        try { os.write(body); os.flush() } finally os.close()
+        val code = c.getResponseCode
+        if (code >= 200 && code < 300) PostOk
+        else if (code >= 400 && code < 500) PostReject(code)
+        else PostRetryable(s"HTTP $code")
+      } finally c.disconnect()
+    } catch { case e: java.io.IOException => PostRetryable(e.getClass.getSimpleName) }
+
+  /** Records acknowledged (2xx) by the catalog. */
+  def deliveredCount: Long = delivered.get()
+  /** Batch retry attempts performed. */
+  def retriedCount: Long = retried.get()
+  /** Records dropped: 4xx-rejected or retries exhausted. */
+  def failedCount: Long = failed.get()
+
+  override def close(): Unit = flush()
+}
+
+object HttpSink {
+  /** The production composition: buffered+retrying HTTP behind the
+    * non-blocking bounded queue. */
+  def async(endpoint: String, batchSize: Int = 64, capacity: Int = 4096): AsyncSink =
+    new AsyncSink(new HttpSink(endpoint, batchSize), capacity)
+}
+
 /** Async decorator: emits enqueue onto a bounded buffer drained by one
   * daemon thread, so the query path never blocks on sink I/O (a slow
   * HTTP/file sink costs the query an array offer, nothing more). Records

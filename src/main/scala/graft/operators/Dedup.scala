@@ -191,6 +191,24 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Stateless K-minhash signature (array<long>, length [[MINHASH_K]])
+    * from a MATERIALIZED h60-shingle array column — identical arithmetic
+    * to [[minhashSignatures]]'s min-aggregates, folded per row instead of
+    * aggregated over exploded rows. This is the streaming twin's
+    * projection form: a stream computes each arriving document's whole
+    * signature in one codegen'd expression, no shuffle, no aggregate
+    * state. Callers must pass an attribute, not an inline expression
+    * (HOF lambdas get no subexpression elimination — see
+    * [[graft.functions.HashFns.shinglesFromWords]]).
+    */
+  private[graft] def minhashSigArray(shs: Column): Column =
+    array((0 until MINHASH_K).map(i =>
+      array_min(transform(shs, x => (x % MH_P * mhA(i) + mhB(i)) % MH_P))): _*)
+
+  /** Banding geometry shared with the streaming twin. */
+  private[graft] val minhashK: Int = MINHASH_K
+  private[graft] val minhashBands: Int = BANDS
+
   /** LSH band-equality candidate pairs (doc_a < doc_b) from a signature
     * frame. Bucket population is bounded by distinct texts when callers
     * feed [[collapseExact]]-ed docs — the k²-per-duplicate-cluster

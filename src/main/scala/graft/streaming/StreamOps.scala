@@ -95,6 +95,113 @@ object StreamOps {
         graft.operators.Pipeline.splitCol.as("split"))
   }
 
+  /** One doc in one LSH band bucket (streaming near-dup input row). */
+  case class BandDoc(band: Int, h1: Long, h2: Long, doc_id: Long,
+      sig: Seq[Long], ts: java.sql.Timestamp)
+
+  /** One member buffered in a bucket's state. */
+  case class MemberSig(docId: Long, sig: Seq[Long], tsMs: Long)
+
+  case class BucketState(members: List[MemberSig])
+
+  /** An emitted near-dup pair (doc_a < doc_b), with the arrival time of
+    * the later member as its event time. */
+  case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double,
+      ts: java.sql.Timestamp)
+
+  /** Streaming MinHash near-dup detection — the incremental twin of
+    * `Dedup.qDedupMinhashLsh`'s pair generator. Each arriving document's
+    * K-minhash signature is ONE stateless projection
+    * (`Dedup.minhashSigArray` — same affine arithmetic as the batch
+    * min-aggregate, so signatures are bit-identical); the doc then lands
+    * in BANDS keyed state buckets (band, h1, h2), each holding the
+    * signatures of its members within the watermark horizon. A new
+    * member is compared against the bucket's members (bucket population
+    * is the corpus's band-collision rate — the same bound the batch
+    * band join has), and a pair with estimated Jaccard >= 0.5 is emitted
+    * EXACTLY ONCE even when the pair agrees on several bands: both full
+    * signatures are in hand, so only the lowest agreeing band's bucket
+    * emits. No second dedup stage, so the op composes without chaining
+    * stateful operators.
+    *
+    * State is evicted by event-time timeout once the watermark passes a
+    * bucket's newest member + horizon, and members individually age out
+    * at each invocation — the store is O(docs per horizon x BANDS),
+    * independent of stream length. Input must be exact-deduped (the
+    * batch path's `collapseExact`; on streams, `dedupStream` keyed on
+    * md5(text) upstream) — re-arrivals of an already-buffered doc_id are
+    * ignored defensively.
+    */
+  def nearDupStream(docs: DataFrame, delaySec: Long = 3600): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.HashFns.{h60, shinglesFromWords}
+    val K = graft.operators.Dedup.minhashK
+    val horizonMs = delaySec * 1000
+    // each select materializes the attribute the next lambda consumes
+    val sigd = docs
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("ts"), shinglesFromWords(col("w"), 3).as("sh_strs"))
+      .select(col("doc_id"), col("ts"), transform(col("sh_strs"), s => h60(s)).as("shs"))
+      .filter(size(col("shs")) > 0) // <3-word docs have no signature (batch parity)
+      .select(col("doc_id"), col("ts"),
+        graft.operators.Dedup.minhashSigArray(col("shs")).as("sig"))
+      .withWatermark("ts", s"$delaySec seconds")
+    val bandStructs = (0 until graft.operators.Dedup.minhashBands).map { b =>
+      struct(lit(b).as("band"),
+        element_at(col("sig"), 2 * b + 1).as("h1"),
+        element_at(col("sig"), 2 * b + 2).as("h2"))
+    }
+    val banded = sigd
+      .select(col("doc_id"), col("ts"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.h1").as("h1"), col("bk.h2").as("h2"),
+        col("doc_id"), col("sig"), col("ts"))
+      .as[BandDoc]
+
+    def lowestAgreeingBand(a: Seq[Long], b: Seq[Long]): Int =
+      (0 until graft.operators.Dedup.minhashBands)
+        .find(i => a(2 * i) == b(2 * i) && a(2 * i + 1) == b(2 * i + 1)).getOrElse(-1)
+
+    banded
+      .groupByKey(d => (d.band, d.h1, d.h2))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long, Long), it: Iterator[BandDoc], state: GroupState[BucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          def alive(ms: List[MemberSig]) = ms.filter(_.tsMs + horizonMs > wm)
+          if (state.hasTimedOut) {
+            val left = alive(state.get.members)
+            if (left.isEmpty) state.remove()
+            else {
+              state.update(BucketState(left))
+              state.setTimeoutTimestamp(math.max(left.map(_.tsMs).max + horizonMs, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            var members = alive(state.getOption.map(_.members).getOrElse(Nil))
+            val out = List.newBuilder[NearDupPair]
+            it.toIndexedSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              if (!members.exists(_.docId == d.doc_id)) {
+                members.foreach { m =>
+                  val eq = (0 until K).count(i => m.sig(i) == d.sig(i))
+                  val est = math.round(eq.toDouble / K * 1e6) / 1e6
+                  // emit from the lowest band both agree on — exactly once
+                  if (est >= 0.5 && lowestAgreeingBand(m.sig, d.sig) == key._1)
+                    out += NearDupPair(math.min(m.docId, d.doc_id),
+                      math.max(m.docId, d.doc_id), est, d.ts)
+                }
+                members ::= MemberSig(d.doc_id, d.sig, d.ts.getTime)
+              }
+            }
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(BucketState(members))
+              state.setTimeoutTimestamp(math.max(members.map(_.tsMs).max + horizonMs, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with custom state
     * (`flatMapGroupsWithState`): the streaming twin of
     * `EventOps.qEventsSessionize`. A session closes when `gapSec` passes

@@ -68,6 +68,55 @@ object Layout {
       .orderBy("layout")
   }
 
+  // ------------------------------------------------- executed write path
+  /** Z-ordered parquet write — the real thing, not the gauge: compute the
+    * Morton key over the two scaled dimensions, `repartitionByRange` on
+    * it (a SAMPLED range exchange — no global sort, the same cost class
+    * as any repartition), sort within each partition so row groups
+    * cluster too, and write one file per range. At 100 TB this is the
+    * whole recipe; `nFiles` becomes the table's file budget.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+      path: String, nFiles: Int): Unit = {
+    val stats = df.agg(max(xCol).as("zw_mx"), max(yCol).as("zw_my"))
+    val xs = floor(col(xCol) * math.pow(2, ZBITS) / (col("zw_mx") + 1)).cast("long")
+    val ys = floor(col(yCol) * math.pow(2, ZBITS) / (col("zw_my") + 1)).cast("long")
+    df.crossJoin(broadcast(stats))
+      .withColumn("zw_key", morton(xs, ys))
+      .repartitionByRange(nFiles, col("zw_key"))
+      .sortWithinPartitions("zw_key")
+      .drop("zw_key", "zw_mx", "zw_my")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file min/max skipping index over `cols` — what a lakehouse
+    * table format records at write time, reconstructed here with one
+    * scan + `input_file_name`. Row count is the FILE count, so the
+    * frame is driver-small by construction at any data scale.
+    */
+  def fileStats(s: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c")))
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min,max] range on `c` can contain `value` — the
+    * planning-time skip decision. Collect is bounded by file count. */
+  def candidateFiles(stats: DataFrame, c: String, value: Long): Seq[String] =
+    stats.filter(col(s"min_$c") <= value && col(s"max_$c") >= value)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Read only the files min/max pruning admits for `c = value`, then
+    * apply the residual filter (pruning is conservative; the filter is
+    * still required for exactness — identical to format-level skipping).
+    */
+  def prunedRead(s: SparkSession, path: String, c: String, value: Long): DataFrame = {
+    val cands = candidateFiles(fileStats(s, path, Seq(c)), c, value)
+    if (cands.isEmpty) s.read.parquet(path).filter(lit(false))
+    else s.read.parquet(cands: _*).filter(col(c) === value)
+  }
+
   val oracleZorderLayout: String = {
     val two = math.pow(2, ZBITS).toLong
     s"""WITH st AS (

@@ -52,6 +52,7 @@ object SparkEntry {
     "q_decontaminate"       -> Dedup.qDecontaminate _,
     "q_dedup_recall"        -> Dedup.qDedupRecall _,
     "q_bloom_decontaminate" -> Dedup.qBloomDecontaminate _,
+    "q_decontaminate_auto"  -> Dedup.qDecontaminateAuto _,
     // §2.4 similarity
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
@@ -217,6 +218,7 @@ object SparkEntry {
     "q_decontaminate"       -> Dedup.oracleDecontaminate,
     "q_dedup_recall"        -> Dedup.oracleDedupRecall,
     "q_bloom_decontaminate" -> Dedup.oracleDecontaminate,
+    "q_decontaminate_auto"  -> Dedup.oracleDecontaminate,
 
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,

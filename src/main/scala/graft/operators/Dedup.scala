@@ -728,6 +728,33 @@ object Dedup {
   def qBloomDecontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminateBloom(s, Tables.documents(s, dir))
 
+  /** Broadcast budget for the raw eval gram set, in grams: 8-byte h60
+    * keys plus hash-set overhead ≈ 10 MB at this count — the same order
+    * as `spark.sql.autoBroadcastJoinThreshold`'s default. Above it the
+    * bloom regime wins (bits per key instead of a key per key). */
+  private[graft] val DECON_BROADCAST_MAX_GRAMS = 1000000L
+
+  /** Size-derived regime switch between [[decontaminate]] (broadcast the
+    * raw eval grams) and [[decontaminateBloom]] (collapse them into a
+    * bloom prefilter): MEASURE the eval side's distinct gram count, then
+    * pick. The measurement is one count over the eval stratum only —
+    * eval benchmarks are MBs next to a 100 TB corpus, so the probe costs
+    * O(eval) and the corpus-side plan is chosen before a single corpus
+    * byte moves. Both regimes return identical results (bloom false
+    * negatives are impossible and the exact join removes false
+    * positives), so the switch changes the plan, never the answer.
+    */
+  def decontaminateAuto(s: SparkSession, docs: DataFrame,
+      maxBroadcastGrams: Long = DECON_BROADCAST_MAX_GRAMS): DataFrame = {
+    val isEval = col("doc_id") % DECON_MOD === 3
+    val evalGrams = deconGrams(docs.filter(isEval)).select("sh").distinct().count()
+    if (evalGrams <= maxBroadcastGrams) decontaminate(docs)
+    else decontaminateBloom(s, docs)
+  }
+
+  def qDecontaminateAuto(s: SparkSession, dir: String): DataFrame =
+    decontaminateAuto(s, Tables.documents(s, dir))
+
   val oracleDecontaminate: String = {
     val grams = wordShinglesNSql("text", DECON_N)
     s"""WITH ev AS (

@@ -120,6 +120,10 @@ object PlanExtractor {
     case o: OverwritePartitionsDynamic         => o.query
     case c: CreateTableAsSelect                => c.query
     case r: ReplaceTableAsSelect               => r.query
+    // streaming write wrappers (a micro-batch's analyzed plan root)
+    case w: org.apache.spark.sql.catalyst.streaming.WriteToStream => queryBody(w.inputQuery)
+    case w: org.apache.spark.sql.execution.streaming.sources.WriteToMicroBatchDataSource => queryBody(w.child)
+    case w: org.apache.spark.sql.execution.streaming.sources.WriteToMicroBatchDataSourceV1 => queryBody(w.child)
     case other                                 => other
   }
 

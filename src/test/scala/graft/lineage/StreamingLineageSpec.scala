@@ -49,6 +49,15 @@ class StreamingLineageSpec extends AnyFunSpec with SparkTestBase {
         assert(rec.output.exists(_.name.toLowerCase.contains("memory")),
           rec.output.map(_.name).toString)
         assert(rec.rowsWritten.contains(3L))
+        // column lineage: resolved from the micro-batch's
+        // IncrementalExecution, same walk as batch writes
+        assert(rec.outputColumns == Seq("user_id", "value"),
+          s"outputColumns=${rec.outputColumns}")
+        val byCol = rec.columnLineage.map(m => m.output -> m.sources).toMap
+        assert(byCol.keySet == Set("user_id", "value"), byCol.toString)
+        assert(byCol("user_id").exists(_.endsWith(".user_id")), byCol.toString)
+        assert(byCol("value").exists(_.endsWith(".value")), byCol.toString)
+        assert(rec.schemaFingerprint.nonEmpty)
       } finally {
         q.stop()
         Lineage.uninstall(spark, l)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads are opaque `binary` columns
@@ -108,6 +108,120 @@ object Multimodal {
         md5(substring(col("text"), 1, 32)).as("header_hash"),
         magic, version) ++ chunks: _*)
       .orderBy("doc_id")
+  }
+
+  // -------------------------------------------- real container headers
+  /** Real container-format header parsing over TRUE binary payloads —
+    * the capability `qMultimodalMeta` approximates on ASCII stand-ins.
+    * Each document row synthesizes a VALID header — PNG signature+IHDR
+    * (big-endian dims) for even doc_ids, RIFF/WAVE fmt (little-endian
+    * rates) for odd — as one binary column, then the parse side reads it
+    * back with pure byte arithmetic: magic comparison, u32-BE width and
+    * height at the IHDR offsets, u16/u32-LE channels, sample rate and
+    * bit depth at the fmt offsets. Both directions are hex-string
+    * expressions fused into codegen (`unhex`/`hex` + `conv`), mirrored
+    * exactly in DuckDB (`from_hex`/`hex` + CAST('0x…')) — so the oracle
+    * proves the PARSER, and the decode stub boundary shrinks to pixels
+    * only: container metadata needs no codec at any scale.
+    */
+  def qMediaHeader(s: SparkSession, dir: String): DataFrame = {
+    // ---- synth side: hex-built valid headers from table data
+    def hByte(c: Column)  = lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+    def hU16le(c: Column) = concat(hByte(c), hByte(shiftright(c, 8)))
+    def hU32le(c: Column) = concat(hByte(c), hByte(shiftright(c, 8)),
+      hByte(shiftright(c, 16)), hByte(shiftright(c, 24)))
+    def hU32be(c: Column) = lpad(hex(c), 8, "0")
+    val width  = lit(16L) + col("doc_id") % 624
+    val height = lit(16L) + col("doc_id") % 464
+    val chans  = lit(1L) + col("doc_id") % 2
+    val rate   = lit(8000L) + (col("doc_id") % 5) * 8000L
+    val bits   = lit(8L) + (col("doc_id") % 2) * 8L
+    val pngHex = concat(lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      hU32be(width), hU32be(height), lit("08"), lit("02"), lit("000000"))
+    val wavHex = concat(lit("52494646"), hU32le(lit(36L)), lit("57415645"),
+      lit("666D7420"), hU32le(lit(16L)), hU16le(lit(1L)), hU16le(chans),
+      hU32le(rate), hU32le((rate * chans * bits / 8L).cast("long")),
+      hU16le((chans * bits / 8L).cast("long")), hU16le(bits))
+    val synth = Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("png")).otherwise(lit("wav")).as("kind"),
+      unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(wavHex)).as("payload"))
+    // ---- parse side: the shared fixed-offset parsers over the binary
+    val parsed = synth.withColumn("hx", hex(col("payload")))
+    val isPng = col("kind") === "png"
+    parsed.select(
+      col("doc_id"), col("kind"),
+      when(isPng, pngMagicOk(col("hx"))).otherwise(wavMagicOk(col("hx")))
+        .cast("long").as("magic_ok"),
+      when(isPng, pngWidth(col("hx"))).as("width"),
+      when(isPng, pngHeight(col("hx"))).as("height"),
+      when(!isPng, wavChannels(col("hx"))).as("channels"),
+      when(!isPng, wavSampleRate(col("hx"))).as("sample_rate"),
+      when(isPng, pngBitDepth(col("hx"))).otherwise(wavBitsPerSample(col("hx")))
+        .as("depth_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-offset field parsers over `hex(payload)` of a binary column —
+    * reused by [[qMediaHeader]] (oracle-proved) and spec-checked against
+    * the JDK's REAL encoders (ImageIO PNG, javax.sound WAV). Offsets are
+    * the container specs': PNG signature 1-8, IHDR data at 17 (width,
+    * height u32-BE, bit depth byte 25); canonical RIFF/WAVE fmt chunk
+    * fields at 23 (channels u16-LE), 25 (sample rate u32-LE), 35 (bits
+    * per sample u16-LE).
+    */
+  private def hexAt(hx: Column, i: Int, n: Int): Column =
+    substring(hx, (i - 1) * 2 + 1, n * 2)
+  private def u32be(hx: Column, i: Int): Column = conv(hexAt(hx, i, 4), 16, 10).cast("long")
+  private def byteAt(hx: Column, i: Int): Column = conv(hexAt(hx, i, 1), 16, 10).cast("long")
+  private def u16le(hx: Column, i: Int): Column = byteAt(hx, i) + byteAt(hx, i + 1) * 256
+  private def u32le(hx: Column, i: Int): Column = u16le(hx, i) + u16le(hx, i + 2) * 65536
+  private[graft] def pngMagicOk(hx: Column): Column = hexAt(hx, 1, 8) === "89504E470D0A1A0A"
+  private[graft] def pngWidth(hx: Column): Column = u32be(hx, 17)
+  private[graft] def pngHeight(hx: Column): Column = u32be(hx, 21)
+  private[graft] def pngBitDepth(hx: Column): Column = byteAt(hx, 25)
+  private[graft] def wavMagicOk(hx: Column): Column =
+    hexAt(hx, 1, 4) === "52494646" && hexAt(hx, 9, 4) === "57415645"
+  private[graft] def wavChannels(hx: Column): Column = u16le(hx, 23)
+  private[graft] def wavSampleRate(hx: Column): Column = u32le(hx, 25)
+  private[graft] def wavBitsPerSample(hx: Column): Column = u16le(hx, 35)
+
+  val oracleMediaHeader: String = {
+    def hByte(c: String)  = s"lpad(to_hex(($c) & 255), 2, '0')"
+    def hU16le(c: String) = s"${hByte(c)} || ${hByte(s"($c) >> 8")}"
+    def hU32le(c: String) = s"${hByte(c)} || ${hByte(s"($c) >> 8")} || ${hByte(s"($c) >> 16")} || ${hByte(s"($c) >> 24")}"
+    def hU32be(c: String) = s"lpad(to_hex($c), 8, '0')"
+    def hexAt(i: Int, n: Int) = s"substr(hx, ${(i - 1) * 2 + 1}, ${n * 2})"
+    def u32be(i: Int)  = s"CAST(('0x' || ${hexAt(i, 4)}) AS UBIGINT)::BIGINT"
+    def byteAt(i: Int) = s"CAST(('0x' || ${hexAt(i, 1)}) AS UBIGINT)::BIGINT"
+    def u16le(i: Int)  = s"(${byteAt(i)} + ${byteAt(i + 1)} * 256)"
+    def u32le(i: Int)  = s"(${u16le(i)} + ${u16le(i + 2)} * 65536)"
+    s"""WITH synth AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+       |    CASE WHEN doc_id % 2 = 0 THEN
+       |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+       |      ${hU32be("16 + doc_id % 624")} || ${hU32be("16 + doc_id % 464")} ||
+       |      '08' || '02' || '000000'
+       |    ELSE
+       |      '52494646' || ${hU32le("36")} || '57415645' || '666D7420' ||
+       |      ${hU32le("16")} || ${hU16le("1")} || ${hU16le("1 + doc_id % 2")} ||
+       |      ${hU32le("8000 + (doc_id % 5) * 8000")} ||
+       |      ${hU32le("(8000 + (doc_id % 5) * 8000) * (1 + doc_id % 2) * (8 + (doc_id % 2) * 8) // 8")} ||
+       |      ${hU16le("(1 + doc_id % 2) * (8 + (doc_id % 2) * 8) // 8")} ||
+       |      ${hU16le("8 + (doc_id % 2) * 8")}
+       |    END AS payload_hex
+       |  FROM documents),
+       |parsed AS (SELECT doc_id, kind, hex(from_hex(payload_hex)) AS hx FROM synth)
+       |SELECT doc_id, kind,
+       |  CAST(CASE WHEN kind = 'png' THEN ${hexAt(1, 8)} = '89504E470D0A1A0A'
+       |       ELSE ${hexAt(1, 4)} = '52494646' AND ${hexAt(9, 4)} = '57415645' END AS BIGINT) AS magic_ok,
+       |  CASE WHEN kind = 'png' THEN ${u32be(17)} END AS width,
+       |  CASE WHEN kind = 'png' THEN ${u32be(21)} END AS height,
+       |  CASE WHEN kind = 'wav' THEN ${u16le(23)} END AS channels,
+       |  CASE WHEN kind = 'wav' THEN ${u32le(25)} END AS sample_rate,
+       |  CASE WHEN kind = 'png' THEN ${byteAt(25)} ELSE ${u16le(35)} END AS depth_bits
+       |FROM parsed ORDER BY doc_id""".stripMargin
   }
 
   val oracleMultimodalMeta: String = {

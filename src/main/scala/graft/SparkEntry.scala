@@ -31,6 +31,10 @@ object SparkEntry {
     "q_conditional_pivot" -> Relational.qConditionalPivot _,
     "q_rollup"            -> Relational.qRollup _,
     "q_percentiles"       -> Relational.qPercentiles _,
+    "q_exists_late"       -> Relational.qExistsLate _,
+    "q_small_qty_revenue" -> Relational.qSmallQtyRevenue _,
+    "q_cust_order_dist"   -> Relational.qCustOrderDist _,
+    "q_supplier_share"    -> Relational.qSupplierShare _,
     // §2.2 events
     "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
@@ -151,6 +155,11 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_set_ops" -> Relational.oracleSetOps,
+
+    "q_exists_late"       -> Relational.oracleExistsLate,
+    "q_small_qty_revenue" -> Relational.oracleSmallQtyRevenue,
+    "q_cust_order_dist"   -> Relational.oracleCustOrderDist,
+    "q_supplier_share"    -> Relational.oracleSupplierShare,
 
     "q_conditional_pivot" ->
       """SELECT o_orderpriority,

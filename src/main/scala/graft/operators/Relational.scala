@@ -333,4 +333,115 @@ object Relational {
       .select(col(g) +: interps: _*)
       .orderBy(g)
   }
+
+  /** Q4-style correlated EXISTS with a correlated INEQUALITY: orders
+    * having at least one lineitem shipped more than 60 days after the
+    * order date, counted per priority. The subquery compiles to a
+    * LEFT-SEMI join whose key is the equality (`l_orderkey =
+    * o_orderkey`) with the date arithmetic as a residual condition —
+    * the fact-fact shuffle partitions on orderkey, never a
+    * nested-loop; the semi join also stops probing an order at its
+    * first late lineitem (no post-join distinct).
+    */
+  def qExistsLate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    Tables.orders(s, dir)
+      .join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val oracleExistsLate: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |   AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q17-style scalar correlated subquery (small-quantity revenue):
+    * lineitems whose quantity is below half their part's mean quantity.
+    * The correlated `avg` de-correlates to a `groupBy(l_partkey)`
+    * aggregate joined back on the part key — both sides shuffle
+    * co-partitioned on `l_partkey` (the aggregated side is |parts|
+    * rows, AQE broadcasts it when it fits). The mean is rounded 6dp
+    * before the comparison so the threshold is the same double in both
+    * engines (summation-order ulps must not flip a row at the
+    * boundary).
+    */
+  def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQty = li.groupBy("l_partkey")
+      .agg(round(avg("l_quantity"), 6).as("avg_qty"))
+    li.join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  val oracleSmallQtyRevenue: String =
+    """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l JOIN (
+      |  SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey) a
+      | ON l.l_partkey = a.l_partkey
+      |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin
+
+  /** Q13-style customer order-count distribution: LEFT OUTER join so
+    * zero-open-order customers land in the `c_count = 0` bucket (the
+    * outer-join twin of `q_anti_join`'s 49 customers). Two hash aggs:
+    * per-customer counts (shuffle on custkey), then the distribution
+    * over the already-aggregated |customers|-row frame.
+    */
+  def qCustOrderDist(s: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(s, dir)
+      .join(open, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count("o_orderkey").as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val oracleCustOrderDist: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderstatus = 'O'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q11-style HAVING against a GLOBAL scalar: suppliers whose revenue
+    * exceeds 1.05× the mean supplier revenue. The global mean is a
+    * 1-row aggregate over the already-aggregated |suppliers|-row frame,
+    * broadcast into a nested-loop join that is bounded BY CONSTRUCTION
+    * (one row) — the same pattern as the percentile stats frame; no
+    * single-partition window over the supplier frame. Revenues are
+    * rounded 2dp before the mean so the threshold double is identical
+    * across engines.
+    */
+  def qSupplierShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val stats = rev.agg(round(avg("revenue"), 4).as("avg_rev"))
+    rev.crossJoin(broadcast(stats))
+      .filter(col("revenue") > col("avg_rev") * 1.05)
+      .select("l_suppkey", "revenue")
+      .orderBy(desc("revenue"), col("l_suppkey"))
+  }
+
+  val oracleSupplierShare: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  FROM lineitem GROUP BY l_suppkey),
+      | a AS (SELECT round(avg(revenue), 4) AS avg_rev FROM rev)
+      |SELECT l_suppkey, revenue FROM rev, a
+      |WHERE revenue > avg_rev * 1.05
+      |ORDER BY revenue DESC, l_suppkey""".stripMargin
 }

@@ -72,6 +72,7 @@ object SparkEntry {
     "q_text_repetition"   -> TextAnalysis.qTextRepetition _,
     "q_inverted_index"    -> TextAnalysis.qInvertedIndex _,
     "q_tfidf_top"         -> TextAnalysis.qTfidfTop _,
+    "q_heavy_hitters"     -> TextAnalysis.qHeavyHitters _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
@@ -244,6 +245,7 @@ object SparkEntry {
     "q_text_repetition"   -> TextAnalysis.oracleRepetition,
     "q_inverted_index"    -> TextAnalysis.oracleInvertedIndex,
     "q_tfidf_top"         -> TextAnalysis.oracleTfidfTop,
+    "q_heavy_hitters"     -> TextAnalysis.oracleHeavyHitters,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,

@@ -345,4 +345,69 @@ object TextAnalysis {
        |    ELSE 0.0 END, 6) AS dup_bigram_frac
        |FROM t ORDER BY doc_id""".stripMargin
   }
+
+  /** Count-min sketch geometry: d=4 md5-slice rows, w=8192 counters.
+    * Per-query guarantee: exact ≤ est ≤ exact + ceil(e·N/w) w.p.
+    * ≥ 1−e^−4; widen `w` with corpus size (state is d·w longs per task
+    * regardless of N). */
+  private[graft] val CMS_D = 4
+  private[graft] val CMS_W = 8192
+
+  /** Heavy hitters via count-min sketch ([[graft.functions.CountMinAggregator]]),
+    * gauged against exact counts — the frequency member of the sketch
+    * family (HLL++ distincts, GK quantiles, bloom membership, CMS
+    * frequencies).
+    *
+    * Plan: ONE pass over the token stream builds the sketch (fixed
+    * d·w-long grid per task, map-side combined — the token stream never
+    * shuffles for the sketch); the exact top-10 branch is the gauge,
+    * exactly like `q_sketch_distinct`'s exact branch. The probe side is
+    * declarative md5-slice arithmetic over the broadcast 1-row sketch —
+    * bounded nested loop BY CONSTRUCTION — and, because the hash rows
+    * are md5 slices (no JVM-private seed), the DuckDB oracle REBUILDS
+    * the identical sketch and pins `est_n` exactly, not just the
+    * verdict.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cms = udaf(new graft.functions.CountMinAggregator(CMS_D, CMS_W))
+    val sketch = toks.agg(cms(col("tok")).as("cms"), count(lit(1)).as("total"))
+    val topk = toks.groupBy(col("tok").as("term"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), col("term"))
+      .limit(10)
+    def rowEst(i: Int): Column =
+      element_at(col("cms"),
+        (lit(i * CMS_W) +
+          conv(substring(md5(col("term")), 1 + 7 * i, 7), 16, 10).cast("long") % CMS_W + 1)
+          .cast("int"))
+    val est = least((0 until CMS_D).map(rowEst): _*)
+    topk.crossJoin(broadcast(sketch))
+      .select(col("term"), col("exact_n"), est.as("est_n"),
+        (est <= col("exact_n") + ceil(lit(math.E) * col("total") / CMS_W)).as("within_eps"))
+      .orderBy(desc("exact_n"), col("term"))
+  }
+
+  val oracleHeavyHitters: String = {
+    def slice(expr: String, i: Int): String =
+      s"CAST(('0x' || substr(md5($expr), ${1 + 7 * i}, 7)) AS UBIGINT) % $CMS_W"
+    val rowJoin = (0 until CMS_D).map { i =>
+      s"""SELECT e.term, count(*) AS row_est
+         | FROM exact e JOIN toks t ON ${slice("t.tok", i)} = ${slice("e.term", i)}
+         | GROUP BY e.term""".stripMargin
+    }.mkString("", "\n UNION ALL\n", "")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       | exact AS (
+       |  SELECT tok AS term, count(*) AS exact_n FROM toks GROUP BY tok
+       |  ORDER BY exact_n DESC, term LIMIT 10),
+       | n AS (SELECT count(*) AS total FROM toks),
+       | rows_est AS (
+       | $rowJoin),
+       | est AS (SELECT term, min(row_est) AS est_n FROM rows_est GROUP BY term)
+       |SELECT e.term, e.exact_n, est.est_n,
+       |  est.est_n <= e.exact_n + ceil(2.718281828459045 * n.total / $CMS_W) AS within_eps
+       |FROM exact e JOIN est USING (term), n
+       |ORDER BY e.exact_n DESC, e.term""".stripMargin
+  }
 }

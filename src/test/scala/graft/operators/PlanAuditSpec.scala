@@ -96,9 +96,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       // and the IVF_K-row trained centroids.
       val skip = Set("q_lineage_selfcheck", "q_source_csv", "q_source_json")
       // q_zorder_layout broadcasts a 1-row domain-stats frame;
-      // q_supplier_share broadcasts a 1-row global-mean frame
+      // q_supplier_share broadcasts a 1-row global-mean frame;
+      // q_heavy_hitters broadcasts the 1-row count-min sketch
       val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall",
-        "q_zorder_layout", "q_supplier_share")
+        "q_zorder_layout", "q_supplier_share", "q_heavy_hitters")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -73,6 +73,8 @@ object SparkEntry {
     "q_inverted_index"    -> TextAnalysis.qInvertedIndex _,
     "q_tfidf_top"         -> TextAnalysis.qTfidfTop _,
     "q_heavy_hitters"     -> TextAnalysis.qHeavyHitters _,
+    "q_text_winnow"       -> TextAnalysis.qTextWinnow _,
+    "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
@@ -246,6 +248,8 @@ object SparkEntry {
     "q_inverted_index"    -> TextAnalysis.oracleInvertedIndex,
     "q_tfidf_top"         -> TextAnalysis.oracleTfidfTop,
     "q_heavy_hitters"     -> TextAnalysis.oracleHeavyHitters,
+    "q_text_winnow"       -> TextAnalysis.oracleTextWinnow,
+    "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,

@@ -170,6 +170,65 @@ object Dedup {
        |WHERE shared * 1.0 / (ca.cnt + cb.cnt - shared) >= $JACCARD_T
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------ winnowing
+  /** Winnow-overlap near-duplicate pairs (`q_dedup_winnow`): candidate
+    * generation over WINNOWED fingerprints instead of full shingle
+    * sets — the position-robust MOSS fingerprints keep only ~2/(w+1)
+    * of the gram hashes (TextAnalysis.winnowFromGrams), so the
+    * exploded (doc, fp) table this joins on is ~3× smaller than the
+    * jaccard query's shingle table for the same detection guarantee
+    * on runs ≥ WIN_W+WIN_K-1 words. Same scale shape as
+    * [[qDedupNgramJaccard]]: df-capped equality join on the 8-byte
+    * fingerprint, overlap coefficient (shared / min(|A|,|B|)) scored
+    * from the capped counts.
+    */
+  private val WINNOW_T = 0.5
+
+  def qDedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val fp0 = collapseExact(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("gh", TA.gramHashes(col("w"), TA.WIN_K))
+      .select(col("doc_id"), explode(TA.winnowFromGrams(col("gh"), TA.WIN_W)).as("fp"))
+    val dfw = Window.partitionBy("fp")
+    val fp = fp0.withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= MAX_SHINGLE_DF).drop("df").cache()
+    val cnt = fp.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("fp"))
+    val shared = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("cnt").as("ca")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("cnt").as("cb")), Seq("doc_b"))
+      .withColumn("overlap", col("shared").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("overlap") >= WINNOW_T)
+      .select(col("doc_a"), col("doc_b"), col("shared"), round(col("overlap"), 6).as("overlap"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val oracleWinnow: String = {
+    import graft.operators.{TextAnalysis => TA}
+    val gh = TA.gramHashesSql("w", TA.WIN_K)
+    val fps = TA.winnowSql("gh", TA.WIN_W)
+    s"""WITH $repsCte,
+       |wdoc AS (SELECT doc_id, string_split(text, ' ') AS w FROM reps),
+       |g AS (SELECT doc_id, $gh AS gh FROM wdoc),
+       |f0 AS (SELECT doc_id, unnest($fps) AS fp FROM g),
+       |keep AS (SELECT fp FROM f0 GROUP BY fp HAVING count(*) <= $MAX_SHINGLE_DF),
+       |f AS (SELECT f0.* FROM f0 JOIN keep USING (fp)),
+       |cnt AS (SELECT doc_id, count(*) AS cnt FROM f GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       |  round(shared * 1.0 / least(ca.cnt, cb.cnt), 6) AS overlap
+       |FROM shared JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE shared * 1.0 / least(ca.cnt, cb.cnt) >= $WINNOW_T
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // --------------------------------------------------------- minhash lsh
   /** Minhash universe prime (2^31 - 1) and per-hash affine coefficients.
     * One md5 per shingle occurrence (h60 → mod P), then K cheap affine

@@ -346,6 +346,96 @@ object TextAnalysis {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ winnowing
+  /** Winnowing (MOSS-style) parameters: hashes of WIN_K-word grams,
+    * minimum taken over sliding windows of WIN_W gram hashes. The
+    * guarantee: any shared contiguous run of ≥ WIN_W + WIN_K - 1 words
+    * between two documents yields at least one shared fingerprint,
+    * while only ~2/(WIN_W+1) of gram hashes are kept — position-robust
+    * local fingerprints at a fraction of the shingle volume.
+    */
+  private[graft] val WIN_K = 4
+  private[graft] val WIN_W = 5
+
+  /** Gram-hash sequence for a MATERIALIZED words-array attribute:
+    * h60 of each k-word gram, order- and multiplicity-preserving
+    * (unlike [[HashFns.shinglesFromWords]], which dedups — winnowing
+    * needs positions). Callers must materialize `words` AND the result
+    * in their own projections (the HOF-no-CSE rule: an inline array
+    * expression is re-evaluated by every element_at of a downstream
+    * lambda).
+    */
+  private[graft] def gramHashes(words: Column, k: Int): Column =
+    when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k),
+        i => HashFns.h60(concat_ws(" ", (1 to k).map(j => element_at(words, i + j)): _*))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Winnowed fingerprint set from a MATERIALIZED gram-hash attribute:
+    * the distinct window minima (window = w consecutive gram hashes);
+    * docs with fewer than w grams keep their single global minimum so
+    * short documents still fingerprint. Per-window work is O(w) via
+    * element_at on the materialized attribute — O(n·w) per doc total,
+    * a pure projection (no shuffle).
+    */
+  private[graft] def winnowFromGrams(gh: Column, w: Int): Column =
+    array_distinct(
+      when(size(gh) >= w,
+        transform(sequence(lit(1), size(gh) - (w - 1)),
+          i => array_min(transform(sequence(lit(0), lit(w - 1)), j => element_at(gh, i + j)))))
+        .otherwise(when(size(gh) > 0, array(array_min(gh)))
+          .otherwise(array().cast("array<long>"))))
+
+  /** DuckDB fragments mirroring [[gramHashes]] / [[winnowFromGrams]]. */
+  private[graft] def gramHashesSql(wExpr: String, k: Int): String = {
+    val gram = (0 until k).map(j => s"$wExpr[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($wExpr) >= $k
+       | THEN list_transform(generate_series(1, len($wExpr) - ${k - 1}), i -> ${HashFns.h60Sql(gram)})
+       | ELSE [] END""".stripMargin.replace("\n", " ")
+  }
+
+  private[graft] def winnowSql(ghExpr: String, w: Int): String =
+    s"""CASE WHEN len($ghExpr) >= $w
+       | THEN list_distinct(list_transform(generate_series(1, len($ghExpr) - ${w - 1}),
+       |   i -> list_min(list_transform(generate_series(0, ${w - 1}), j -> $ghExpr[i+j]))))
+       | WHEN len($ghExpr) > 0 THEN [list_min($ghExpr)]
+       | ELSE [] END""".stripMargin.replace("\n", " ")
+
+  /** Per-document winnowed fingerprints (`q_text_winnow`): gram count,
+    * fingerprint count, and the full sorted fingerprint set (pinned in
+    * the oracle — the winnow arithmetic is h60-based, so both engines
+    * compute identical sets). The density column gauges the ~2/(w+1)
+    * expected keep rate. One projection, no shuffle.
+    */
+  def qTextWinnow(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("gh", gramHashes(col("w"), WIN_K))
+      .withColumn("fps", winnowFromGrams(col("gh"), WIN_W))
+      .select(
+        col("doc_id"),
+        size(col("gh")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        when(size(col("gh")) > 0,
+          round(size(col("fps")).cast("double") / size(col("gh")), 6))
+          .otherwise(0.0).as("density"),
+        concat_ws(",", transform(array_sort(col("fps")), x => x.cast("string"))).as("fps"))
+      .orderBy("doc_id")
+
+  val oracleTextWinnow: String = {
+    val gh = gramHashesSql("w", WIN_K)
+    val fps = winnowSql("gh", WIN_W)
+    s"""WITH wdoc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       | g AS (SELECT doc_id, $gh AS gh FROM wdoc),
+       | f AS (SELECT doc_id, gh, $fps AS fps FROM g)
+       |SELECT doc_id,
+       |  CAST(len(gh) AS BIGINT) AS n_grams,
+       |  CAST(len(fps) AS BIGINT) AS n_fp,
+       |  CASE WHEN len(gh) > 0 THEN round(len(fps)::DOUBLE / len(gh), 6) ELSE 0.0 END AS density,
+       |  array_to_string(list_sort(fps), ',') AS fps
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Count-min sketch geometry: d=4 md5-slice rows, w=8192 counters.
     * Per-query guarantee: exact ≤ est ≤ exact + ceil(e·N/w) w.p.
     * ≥ 1−e^−4; widen `w` with corpus size (state is d·w longs per task

@@ -63,6 +63,7 @@ object SparkEntry {
     "q_knn_centroid" -> Similarity.qKnnCentroid _,
     "q_knn_ivf"      -> Similarity.qKnnIvf _,
     "q_knn_recall"   -> Similarity.qKnnRecall _,
+    "q_knn_pq"       -> Similarity.qKnnPq _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -238,6 +239,7 @@ object SparkEntry {
     "q_knn_centroid" -> Similarity.oracleKnnCentroid,
     "q_knn_ivf"      -> Similarity.oracleKnnIvf,
     "q_knn_recall"   -> Similarity.oracleKnnRecall,
+    "q_knn_pq"       -> Similarity.oracleKnnPq,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

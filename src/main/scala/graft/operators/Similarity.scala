@@ -412,6 +412,167 @@ object Similarity {
        |  round(coalesce(h.hits, 0) / ${RECALL_QS * RECALL_K}.0, 4) AS recall_at_3
        |FROM methods m LEFT JOIN hits h USING (method) ORDER BY method""".stripMargin
 
+  // ---------------------------------------------------- product quantization
+  /** PQ geometry: DIM=64 split into PQ_M=4 subspaces of PQ_SUB=16 dims,
+    * PQ_KSUB=8 codes per subspace, trained PQ_ITERS Lloyd rounds per
+    * subspace (independent subspace k-means — the standard PQ recipe).
+    *
+    * The 100 TB story: PQ compresses each 64-double vector (512 B) to
+    * PQ_M small codes (4 B here) — the ADC scan touches ONLY the codes
+    * table (~128× less scan volume), the full vectors are fetched for
+    * the re-rank head alone. At scale raise PQ_KSUB to 256 (byte codes)
+    * and PQ_M to 8–16; the plan shape — per-subspace broadcast-centroid
+    * argmin for encoding, an (m, code)-keyed lookup-table join for
+    * scoring — is unchanged. Training cost is one subs-exploded frame
+    * per iteration with a broadcast of M·KSUB centroids, the same
+    * distributed-Lloyd shape as [[trainedCentroids]].
+    */
+  private[graft] val PQ_M     = 4
+  private[graft] val PQ_SUB   = DIM / PQ_M
+  private[graft] val PQ_KSUB  = 8
+  private[graft] val PQ_ITERS = 2
+
+  /** Squared L2 with left-to-right fold (oracle: list_sum, same order). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, m, sub) subvector frame: one row per vector per subspace. */
+  private def pqSubs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"), slice(col("emb"), m * PQ_SUB + 1, PQ_SUB).as("sub"))): _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+
+  /** Per-subspace argmin code assignment against broadcast centroids
+    * (map-side-combinable struct-min; ties to the lowest code —
+    * mirrored by the oracle's ORDER BY d, code). */
+  private def pqAssign(subs: DataFrame, cent: DataFrame): DataFrame =
+    subs.join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sub"),
+        struct(l2sq(col("sub"), col("centroid")).as("d"), col("code")).as("sc"))
+      .groupBy("vec_id", "m")
+      .agg(min("sc").as("mn"), first("sub").as("sub"))
+      .select(col("vec_id"), col("m"), col("mn.code").as("code"), col("sub"))
+
+  /** Trained per-subspace codebooks (m, code, centroid): seeded from the
+    * PQ_KSUB lowest vec_ids' subvectors, PQ_ITERS declarative Lloyd
+    * rounds, centroid coordinates rounded 6 dp per round (same
+    * cross-engine-determinism contract as [[trainedCentroids]]). */
+  private[graft] def pqCodebooks(subs: DataFrame): DataFrame = {
+    var cent = subs.filter(col("vec_id") < PQ_KSUB)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sub").as("centroid"))
+    for (_ <- 1 to PQ_ITERS) {
+      cent = pqAssign(subs, cent)
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos").agg(round(avg("v"), 6).as("av"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+          x => x.getField("av")).as("centroid"))
+    }
+    cent
+  }
+
+  /** PQ ANN with asymmetric distance computation (`q_knn_pq`): encode
+    * the corpus to (vec_id, m, code) PLUS the exact vector norm — one
+    * scalar per vector (cosine-PQ essential: reconstructed norms are
+    * biased LOW because codewords are cell means, so dividing by
+    * sqrt(Σ|c|²) systematically inflates the cosine; the true norm
+    * costs 8 bytes next to the 4 code bytes and removes the bias).
+    * Query side builds the M·KSUB partial-dot lookup table, scores
+    * every vector from codes alone (adc = Σ pdot / (‖x‖·‖q‖)), exact
+    * re-rank of the ADC top-5. Partial sums fold in EXPLICIT m order
+    * (sorted collect → left-to-right aggregate; oracle: list(x ORDER
+    * BY m) → list_sum) so the 4-term additions are bit-identical
+    * cross-engine — a plain SQL SUM would add in nondeterministic row
+    * order. Output carries adc_cos next to the exact cos: the
+    * approximation error is visible in the result itself.
+    */
+  def qKnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val subs = pqSubs(e).cache()
+    val cent = pqCodebooks(subs).cache()
+    val codes = pqAssign(subs, cent).select("vec_id", "m", "code")
+    val norms = e.select(col("vec_id"), sqrt(dot(col("emb"), col("emb"))).as("nrm"))
+    val qsubs = broadcast(subs.filter(col("vec_id") === 0)
+      .select(col("m"), col("sub").as("qsub")))
+    val qv = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qemb")))
+    val lut = broadcast(cent.join(qsubs, Seq("m"))
+      .select(col("m"), col("code"), dot(col("qsub"), col("centroid")).as("pdot")))
+    val orderedSum: Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("m"), col("pdot").as("x")))),
+          x => x.getField("x")),
+        lit(0.0), (acc, v) => acc + v)
+    val adc = codes.filter(col("vec_id") =!= 0)
+      .join(lut, Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(orderedSum.as("sdot"))
+      .join(norms, Seq("vec_id"))
+      .crossJoin(qv)
+      .select(col("vec_id"),
+        (col("sdot") / (col("nrm") * sqrt(dot(col("qemb"), col("qemb"))))).as("adc_cos"))
+      .orderBy(desc("adc_cos"), col("vec_id")).limit(5)
+    adc.join(e, Seq("vec_id")).crossJoin(qv)
+      .select(col("vec_id"), round(col("adc_cos"), 6).as("adc_cos"),
+        round(cosine(s, "emb", "qemb"), 6).as("cos"))
+      .orderBy(desc("adc_cos"), col("vec_id"))
+  }
+
+  val oracleKnnPq: String = {
+    def l2Sql(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    def assignCte(centSrc: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, m, sub, code FROM (
+         |    SELECT s.vec_id, s.m, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${l2Sql("s.sub", "c.centroid")}, c.code) AS rn
+         |    FROM subs s JOIN $centSrc c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+    def meanCte(asgSrc: String, out: String): String =
+      s"""$out AS (
+         |  SELECT m, code, list(av ORDER BY pos) AS centroid FROM (
+         |    SELECT m, code, pos, round(avg(v), 6) AS av FROM (
+         |      SELECT m, code, unnest(sub) AS v,
+         |             unnest(generate_series(1, len(sub))) AS pos
+         |      FROM $asgSrc) GROUP BY m, code, pos) GROUP BY m, code)""".stripMargin
+    val iters = (1 to PQ_ITERS).map { i =>
+      val centSrc = if (i == 1) "cb0" else s"cb${i - 1}"
+      s"${assignCte(centSrc, s"pasg$i")},\n${meanCte(s"pasg$i", s"cb$i")}"
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, ms.m,
+       |    list_transform(generate_series(1, $PQ_SUB), i -> emb[ms.m * $PQ_SUB + i]) AS sub
+       |  FROM e, (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m) ms),
+       |cb0 AS (
+       |  SELECT m, CAST(vec_id AS INT) AS code, sub AS centroid
+       |  FROM subs WHERE vec_id < $PQ_KSUB),
+       |$iters,
+       |${assignCte(s"cb$PQ_ITERS", "codes")},
+       |q AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = 0),
+       |qfull AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+       |norms AS (SELECT vec_id, sqrt(${dotSql("emb", "emb")}) AS nrm FROM e),
+       |lut AS (
+       |  SELECT c.m, c.code, ${dotSql("q.qsub", "c.centroid")} AS pdot
+       |  FROM cb$PQ_ITERS c JOIN q USING (m)),
+       |scored AS (
+       |  SELECT a.vec_id, list_sum(list(l.pdot ORDER BY a.m)) AS sdot
+       |  FROM codes a JOIN lut l ON a.m = l.m AND a.code = l.code
+       |  WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+       |adc AS (
+       |  SELECT s.vec_id, s.sdot / (n.nrm * sqrt(${dotSql("qemb", "qemb")})) AS adc_cos
+       |  FROM scored s JOIN norms n USING (vec_id), qfull
+       |  ORDER BY adc_cos DESC, s.vec_id LIMIT 5)
+       |SELECT a.vec_id, round(a.adc_cos, 6) AS adc_cos,
+       |  round(${cosSql("e.emb", "qemb")}, 6) AS cos
+       |FROM adc a JOIN e USING (vec_id), qfull
+       |ORDER BY a.adc_cos DESC, a.vec_id""".stripMargin
+  }
+
   def qKnnCentroid(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))

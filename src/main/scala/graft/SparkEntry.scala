@@ -85,6 +85,7 @@ object SparkEntry {
     // sources: non-parquet formats, value-fidelity round-trips
     "q_source_csv"  -> ((s, d) => graft.sources.Sources.qSourceCsv(s, d)),
     "q_source_json" -> ((s, d) => graft.sources.Sources.qSourceJson(s, d)),
+    "q_source_orc"  -> ((s, d) => graft.sources.Sources.qSourceOrc(s, d)),
     // scale patterns + pipeline composition
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
     "q_zorder_layout"     -> Layout.qZorderLayout _,
@@ -260,6 +261,7 @@ object SparkEntry {
     "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck,
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,
     "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
+    "q_source_orc"        -> graft.sources.Sources.oracleSourceOrc,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
     "q_zorder_layout"     -> Layout.oracleZorderLayout,
     "q_corpus_curate"     -> Pipeline.oracleCorpusCurate,

@@ -42,6 +42,18 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** ORC read/write — the other columnar interchange format (Hive-world
+    * pipelines hand data over as ORC). Schema comes from the file footer
+    * (self-describing, like parquet — no inference pass), and predicate
+    * pushdown / column pruning work the same way; SourcesSpec asserts
+    * the round-trip is binary-faithful for doubles, which CSV is not.
+    */
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Bucketed catalog-table write: pre-shuffles the data into `buckets`
     * hash buckets on `key` (sorted within each bucket) at WRITE time, so
     * every later equality join or aggregation on `key` between
@@ -127,6 +139,36 @@ object Sources {
       localized(s, agg)
     } finally rmTree(tmp.toFile)
   }
+
+  /** Lineitem → ORC → re-read → aggregate, including DOUBLE columns —
+    * the value-fidelity case CSV cannot carry (`qSourceCsv` documents
+    * that restriction; ORC is binary-faithful, so sums over re-read
+    * doubles equal the parquet-side oracle bit-for-bit).
+    */
+  def qSourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-orc")
+    try {
+      val path = s"$tmp/lineitem_orc"
+      val src = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      writeOrc(src, path)
+      val agg = readOrc(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          countDistinct("l_orderkey").as("n_orders"))
+        .orderBy("l_returnflag")
+      localized(s, agg)
+    } finally rmTree(tmp.toFile)
+  }
+
+  val oracleSourceOrc: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_price,
+      | count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Materialize a (tiny, bounded) result so upstream temp files can be
     * removed; the cardinality is fixed by the group-by key domain, never

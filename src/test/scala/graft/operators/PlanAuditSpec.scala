@@ -94,7 +94,8 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       // q_knn_brute/q_knn_ivf broadcast a 1-row query vector / #cells-row
       // centroid table; q_knn_recall broadcasts the RECALL_QS-row sample
       // and the IVF_K-row trained centroids.
-      val skip = Set("q_lineage_selfcheck", "q_source_csv", "q_source_json")
+      val skip = Set("q_lineage_selfcheck", "q_source_csv", "q_source_json",
+        "q_source_orc")
       // q_zorder_layout broadcasts a 1-row domain-stats frame;
       // q_supplier_share broadcasts a 1-row global-mean frame;
       // q_heavy_hitters broadcasts the 1-row count-min sketch

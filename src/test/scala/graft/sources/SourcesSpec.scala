@@ -32,6 +32,21 @@ class SourcesSpec extends AnyFunSpec with SparkTestBase {
       }
     }
 
+    it("ORC round-trips doubles binary-faithfully and pushes filters to the scan") {
+      withTempDir { dir =>
+        val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        Sources.writeOrc(src, s"$dir/li")
+        val back = Sources.readOrc(spark, s"$dir/li")
+        // exact double equality: ORC must carry the bits, unlike CSV
+        assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+        val plan = back.filter(col("l_orderkey") === 42)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        assert(plan.contains("PushedFilters") && plan.contains("l_orderkey"),
+          s"ORC scan did not push the filter:\n$plan")
+      }
+    }
+
     it("FAILFAST surfaces corrupt input instead of silently dropping rows") {
       withTempDir { dir =>
         val p = new java.io.File(dir, "bad.json")

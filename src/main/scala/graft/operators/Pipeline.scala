@@ -132,6 +132,52 @@ object Pipeline {
        |FROM k GROUP BY lang, n_total, target ORDER BY lang""".stripMargin
   }
 
+  /** Importance-weighted sampling — acceptance probability PROPORTIONAL
+    * to the document's quality score (the corpus-shaping move between
+    * a hard quality gate and uniform sampling: high-quality docs are
+    * kept at ~their score, low-quality docs survive at a trickle
+    * instead of vanishing — preserving distribution coverage while
+    * shifting mass toward quality). Membership is the same
+    * deterministic h60 basis-point rule as the other samplers
+    * (h % 10000 < floor(quality·10000)), so the sample is reproducible
+    * across engines/reruns/cluster sizes; pure projection + one
+    * map-side-combinable aggregate. The report emits realized vs
+    * expected (mean-quality) acceptance per source — both
+    * deterministic, both oracle-pinned.
+    */
+  def qSampleImportance(s: SparkSession, dir: String): DataFrame = {
+    val quality = qualityScore
+    val kept = (h60(concat_ws(":", lit("imp"), col("doc_id"))) % 10000 <
+      floor(quality * 10000)).cast("long")
+    Tables.documents(s, dir)
+      .select(col("source"), quality.as("quality"), kept.as("k"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("k").as("n_kept"),
+        round(avg("quality") * 100, 2).as("expected_pct"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        round(col("n_kept") * 100.0 / col("n_total"), 2).as("realized_pct"),
+        col("expected_pct"))
+      .orderBy("source")
+  }
+
+  val oracleSampleImportance: String = {
+    val h = h60Sql("'imp:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH q AS (
+       |  SELECT source, doc_id,
+       |    round(0.5 * (len(list_filter(string_split(text, ' '), w -> w IN ('the','a','or','and','of')))::DOUBLE / len(string_split(text, ' ')))
+       |        + 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text))
+       |        + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0), 6) AS quality
+       |  FROM documents),
+       |k AS (
+       |  SELECT source, quality,
+       |    CASE WHEN $h % 10000 < floor(quality * 10000) THEN 1 ELSE 0 END AS kept
+       |  FROM q)
+       |SELECT source, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  round(sum(kept) * 100.0 / count(*), 2) AS realized_pct,
+       |  round(avg(quality) * 100, 2) AS expected_pct
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Corpus mixture report — what share of documents and tokens each
     * (source, lang) cell contributes. The first question asked of any
     * assembled training mix, and the input to re-weighting decisions

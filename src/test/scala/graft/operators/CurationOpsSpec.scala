@@ -122,4 +122,37 @@ class CurationOpsSpec extends AnyFunSpec with SparkTestBase {
       }
     }
   }
+
+  describe("Pipeline.qSampleImportance") {
+    // sf0.01 (500 docs) so sampling noise is small enough to assert on
+    val sf01 = "/root/testdata/sf0.01"
+
+    it("realized acceptance tracks the mean quality per corpus") {
+      val rows = Pipeline.qSampleImportance(spark, sf01).collect()
+      assert(rows.nonEmpty)
+      val total = rows.map(_.getAs[Long]("n_total")).sum
+      val kept = rows.map(_.getAs[Long]("n_kept")).sum
+      val expected = rows.map(r =>
+        r.getAs[Double]("expected_pct") * r.getAs[Long]("n_total")).sum / total
+      val realized = kept * 100.0 / total
+      assert(math.abs(realized - expected) < 10.0,
+        s"realized $realized far from expected $expected")
+    }
+
+    it("acceptance is monotone in quality (above-median kept more often)") {
+      val quality = Pipeline.qualityScore
+      val kept = (graft.functions.HashFns.h60(
+        concat_ws(":", lit("imp"), col("doc_id"))) % 10000 <
+        floor(quality * 10000)).cast("double")
+      val scored = graft.Tables.documents(spark, sf01)
+        .select(quality.as("q"), kept.as("k"))
+      val med = scored.stat.approxQuantile("q", Array(0.5), 0.001).head
+      val rates = scored
+        .groupBy((col("q") >= med).as("hi"))
+        .agg(avg("k").as("rate"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(rates(true) > rates(false),
+        s"high-quality rate ${rates(true)} not above low-quality ${rates(false)}")
+    }
+  }
 }

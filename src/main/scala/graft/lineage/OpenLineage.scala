@@ -1,0 +1,120 @@
+package graft.lineage
+
+/** Renders a [[LineageRecord]] as an OpenLineage RunEvent — the public,
+  * vendor-neutral lineage wire format (openlineage.io, spec 1-0-5) that
+  * catalog collectors (Marquez-style services) ingest natively. This is
+  * a pure formatter: the listener pipeline stays format-agnostic and
+  * the sink picks the dialect (`HttpSink.asyncOpenLineage`).
+  *
+  * Mapping choices:
+  *  - status success/failure → eventType COMPLETE/FAIL (graft records
+  *    one event per finished action; START events would need a second
+  *    listener hook and buy nothing for a post-hoc catalog).
+  *  - run.runId is the spec-required UUID, derived deterministically
+  *    (name-UUID of appId:timestamp:funcName) so re-renders of the same
+  *    record agree.
+  *  - job = (namespace "graft", name "appName.funcName").
+  *  - inputs/outputs carry the spec's `schema` dataset facet (pruned
+  *    columns read / output columns), `columnLineage` facet with
+  *    per-field inputFields, and outputStatistics (rowCount/size).
+  *  - FAIL events carry the `errorMessage` run facet.
+  */
+object OpenLineage {
+
+  private val Producer = "urn:graft:spark-lineage"
+  private val SchemaUrl =
+    "https://openlineage.io/spec/1-0-5/OpenLineage.json#/definitions/RunEvent"
+  private def facetUrl(defn: String): String =
+    s"https://openlineage.io/spec/facets/1-0-0/$defn.json"
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def obj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+
+  private def arr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+
+  private def facet(defn: String, extra: (String, String)*): Seq[(String, String)] =
+    Seq("_producer" -> q(Producer), "_schemaURL" -> q(facetUrl(defn))) ++ extra
+
+  private def schemaFacet(cols: Seq[String]): (String, String) =
+    "schema" -> obj(facet("SchemaDatasetFacet",
+      "fields" -> arr(cols.map(c => obj(Seq("name" -> q(c)))))))
+
+  /** Dataset naming: split "scheme-less path or table" into the spec's
+    * (namespace, name) pair — paths namespace under "file", tables and
+    * everything else under the job namespace. */
+  private def datasetRef(kind: String, name: String): (String, String) =
+    if (kind == "path") ("file", name) else ("graft", name)
+
+  def toRunEvent(r: LineageRecord): String = {
+    val eventType = if (r.status == "success") "COMPLETE" else "FAIL"
+    val eventTime = java.time.Instant.ofEpochMilli(r.timestampMs).toString
+    val runId = java.util.UUID.nameUUIDFromBytes(
+      s"${r.appId}:${r.timestampMs}:${r.funcName}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
+    val runFacets: Seq[(String, String)] =
+      r.error.map(e => "errorMessage" -> obj(facet("ErrorMessageRunFacet",
+        "message" -> q(e), "programmingLanguage" -> q("scala")))).toSeq
+
+    val inputs = r.inputs.map { i =>
+      val (ns, name) = datasetRef(i.kind, i.name)
+      val stats = Seq(
+        i.rowsRead.map(n => "rowCount" -> n.toString),
+        i.bytesRead.map(n => "size" -> n.toString)).flatten
+      obj(Seq(
+        "namespace" -> q(ns), "name" -> q(name),
+        "facets" -> obj(Seq(schemaFacet(i.columnsRead)))) ++
+        (if (stats.isEmpty) Nil
+         else Seq("inputFacets" -> obj(Seq(
+           "inputStatistics" -> obj(facet("InputStatisticsInputDatasetFacet", stats: _*)))))))
+    }
+
+    val outputs = r.output.toSeq.map { o =>
+      val (ns, name) = datasetRef(o.kind, o.name)
+      val colLineage =
+        if (r.columnLineage.isEmpty) Nil
+        else Seq("columnLineage" -> obj(facet("ColumnLineageDatasetFacet",
+          "fields" -> obj(r.columnLineage.map { m =>
+            m.output -> obj(Seq("inputFields" -> arr(m.sources.map { src =>
+              // sources are "table_or_path.column": split on the LAST dot
+              val cut = src.lastIndexOf('.')
+              val (ds, field) =
+                if (cut < 0) (src, src) else (src.substring(0, cut), src.substring(cut + 1))
+              obj(Seq("namespace" -> q("graft"), "name" -> q(ds), "field" -> q(field)))
+            })))
+          }))))
+      val stats = Seq(
+        r.rowsWritten.map(n => "rowCount" -> n.toString),
+        r.bytesWritten.map(n => "size" -> n.toString)).flatten
+      obj(Seq(
+        "namespace" -> q(ns), "name" -> q(name),
+        "facets" -> obj(schemaFacet(r.outputColumns) +: colLineage)) ++
+        (if (stats.isEmpty) Nil
+         else Seq("outputFacets" -> obj(Seq(
+           "outputStatistics" -> obj(facet("OutputStatisticsOutputDatasetFacet", stats: _*)))))))
+    }
+
+    obj(Seq(
+      "eventType" -> q(eventType),
+      "eventTime" -> q(eventTime),
+      "run" -> obj(Seq("runId" -> q(runId)) ++
+        (if (runFacets.isEmpty) Nil else Seq("facets" -> obj(runFacets)))),
+      "job" -> obj(Seq(
+        "namespace" -> q("graft"),
+        "name" -> q(s"${r.appName}.${r.funcName}"))),
+      "inputs" -> arr(inputs),
+      "outputs" -> arr(outputs),
+      "producer" -> q(Producer),
+      "schemaURL" -> q(SchemaUrl)))
+  }
+}

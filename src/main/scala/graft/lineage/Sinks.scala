@@ -60,7 +60,8 @@ final class HttpSink(
     maxRetries: Int = 3,
     retryBackoffMs: Long = 100,
     connectTimeoutMs: Int = 2000,
-    readTimeoutMs: Int = 5000) extends LineageSink {
+    readTimeoutMs: Int = 5000,
+    format: LineageRecord => String = _.toJson) extends LineageSink {
   require(batchSize > 0 && maxRetries >= 0)
   private val url = java.net.URI.create(endpoint).toURL
   private val log = org.slf4j.LoggerFactory.getLogger("graft.lineage")
@@ -70,7 +71,7 @@ final class HttpSink(
   private val failed = new java.util.concurrent.atomic.AtomicLong()
 
   override def emit(r: LineageRecord): Unit = synchronized {
-    buf += r.toJson
+    buf += format(r)
     if (buf.size >= batchSize) flushLocked()
   }
 
@@ -145,6 +146,12 @@ object HttpSink {
     * non-blocking bounded queue. */
   def async(endpoint: String, batchSize: Int = 64, capacity: Int = 4096): AsyncSink =
     new AsyncSink(new HttpSink(endpoint, batchSize), capacity)
+
+  /** Same composition speaking the OpenLineage RunEvent wire format —
+    * point it at any OpenLineage-compatible collector (Marquez-style
+    * `/api/v1/lineage` endpoints). */
+  def asyncOpenLineage(endpoint: String, batchSize: Int = 64, capacity: Int = 4096): AsyncSink =
+    new AsyncSink(new HttpSink(endpoint, batchSize, format = OpenLineage.toRunEvent), capacity)
 }
 
 /** Async decorator: emits enqueue onto a bounded buffer drained by one

@@ -43,6 +43,7 @@ object SparkEntry {
     "q_range_join"        -> EventOps.qRangeJoin _,
     "q_retention_cohorts" -> EventOps.qRetentionCohorts _,
     "q_json_props"        -> EventOps.qJsonProps _,
+    "q_events_anomaly"    -> EventOps.qEventsAnomaly _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -75,6 +76,7 @@ object SparkEntry {
     "q_tfidf_top"         -> TextAnalysis.qTfidfTop _,
     "q_heavy_hitters"     -> TextAnalysis.qHeavyHitters _,
     "q_text_winnow"       -> TextAnalysis.qTextWinnow _,
+    "q_text_collocations" -> TextAnalysis.qTextCollocations _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
@@ -219,6 +221,7 @@ object SparkEntry {
     "q_range_join"      -> EventOps.oracleRangeJoin,
     "q_retention_cohorts" -> EventOps.oracleRetentionCohorts,
     "q_json_props"        -> EventOps.oracleJsonProps,
+    "q_events_anomaly"    -> EventOps.oracleEventsAnomaly,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 
@@ -253,6 +256,7 @@ object SparkEntry {
     "q_tfidf_top"         -> TextAnalysis.oracleTfidfTop,
     "q_heavy_hitters"     -> TextAnalysis.oracleHeavyHitters,
     "q_text_winnow"       -> TextAnalysis.oracleTextWinnow,
+    "q_text_collocations" -> TextAnalysis.oracleTextCollocations,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
 

@@ -268,4 +268,39 @@ object EventOps {
        |  count(t3) AS users_purchase_1d,
        |  round(avg(t3 - t1), 2) AS avg_sec_to_convert
        |FROM u""".stripMargin
+
+  /** Value anomaly detection (`q_events_anomaly`) — the monitoring op a
+    * pipeline runs on every ingest batch: per-event-type mean/stddev in
+    * one map-side-combinable aggregate, broadcast back onto the stream,
+    * z-score outliers (|v − mean| > 3σ) counted per type. The corpus
+    * never shuffles: the stats frame is |event types| rows, the probe
+    * is a broadcast hash join + projection. Mean and σ are rounded 6dp
+    * BEFORE the comparison so both engines threshold on the identical
+    * double (Welford vs naive σ accumulation differ in final ulps).
+    */
+  def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_type", "value")
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 6).as("mean_v"),
+        round(stddev_samp("value"), 6).as("sd_v"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type", "n", "mean_v", "sd_v")
+      .agg(sum((abs(col("value") - col("mean_v")) > col("sd_v") * 3).cast("long"))
+        .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("mean_v"), col("sd_v"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val oracleEventsAnomaly: String =
+    """WITH st AS (
+      |  SELECT event_type, count(*) AS n,
+      |    round(avg(value), 6) AS mean_v,
+      |    round(stddev_samp(value), 6) AS sd_v
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, st.n, st.mean_v, st.sd_v,
+      |  CAST(sum(CASE WHEN abs(e.value - st.mean_v) > st.sd_v * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN st USING (event_type)
+      |GROUP BY e.event_type, st.n, st.mean_v, st.sd_v
+      |ORDER BY e.event_type""".stripMargin
 }

@@ -173,6 +173,67 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS n FROM b GROUP BY 1
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** Collocation extraction — bigrams whose observed frequency beats
+    * independence (PMI-style LIFT, kept rational: lift =
+    * N·c(xy) / (c(x)·c(y)) — log-free so the score is bit-identical
+    * cross-engine; ranking is log-invariant because log is monotone).
+    * The corpus-analysis op behind phrase mining / tokenizer-merge
+    * candidates. Plan: two hash aggs over the token/bigram streams
+    * (map-side combinable), two equality joins of the bigram frame
+    * against the vocabulary-sized unigram counts (AQE broadcasts the
+    * smaller side when it fits; both key on single words so skew maps
+    * to stopwords, which the min-count filter has already bounded),
+    * and the bigram total via a 1-row broadcast. MIN_PAIR_COUNT keeps
+    * noise pairs (c(xy)=1 ⇒ huge lift for two rare words) out.
+    */
+  private[graft] val MIN_PAIR_COUNT = 5
+
+  def qTextCollocations(s: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val words = Tables.documents(s, dir).select(split(col("text"), " ").as("w"))
+    val uni = words.select(explode(w).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_w"))
+    val big = words.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= MIN_PAIR_COUNT)
+      .withColumn("first", split(col("bigram"), " ")(0))
+      .withColumn("second", split(col("bigram"), " ")(1))
+    val total = words.select(explode(bigrams).as("b")).agg(count(lit(1)).as("n_total"))
+    big
+      .join(uni.select(col("word").as("first"), col("c_w").as("c_x")), Seq("first"))
+      .join(uni.select(col("word").as("second"), col("c_w").as("c_y")), Seq("second"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        round((col("n_total").cast("double") * col("c_xy").cast("double")) /
+          (col("c_x").cast("double") * col("c_y").cast("double")), 6).as("lift"))
+      .orderBy(desc("lift"), col("bigram"))
+      .limit(20)
+  }
+
+  val oracleTextCollocations: String =
+    s"""WITH wd AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |uni AS (SELECT word, count(*) AS c_w FROM (SELECT unnest(w) AS word FROM wd) GROUP BY word),
+       |bs AS (
+       |  SELECT unnest(CASE WHEN len(w) >= 2
+       |    THEN list_transform(generate_series(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1])
+       |    ELSE [] END) AS bigram
+       |  FROM wd),
+       |n AS (SELECT count(*) AS n_total FROM bs),
+       |big AS (
+       |  SELECT bigram, count(*) AS c_xy FROM bs GROUP BY bigram
+       |  HAVING count(*) >= $MIN_PAIR_COUNT)
+       |SELECT b.bigram, b.c_xy, ux.c_w AS c_x, uy.c_w AS c_y,
+       |  round((n.n_total::DOUBLE * b.c_xy::DOUBLE) / (ux.c_w::DOUBLE * uy.c_w::DOUBLE), 6) AS lift
+       |FROM big b
+       |JOIN uni ux ON ux.word = string_split(b.bigram, ' ')[1]
+       |JOIN uni uy ON uy.word = string_split(b.bigram, ' ')[2], n
+       |ORDER BY lift DESC, b.bigram LIMIT 20""".stripMargin
+
   /** Inverted index over the corpus vocabulary: term → document
     * frequency, total term frequency, and the head of the posting list.
     * The retrieval-side primitive (BM25/keyword search, decontamination

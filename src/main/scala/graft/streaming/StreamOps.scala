@@ -244,4 +244,75 @@ object StreamOps {
           }
       }
   }
+
+  // --------------------------------------------- streaming heavy hitters
+  /** One token arrival routed to its shard. */
+  case class TokenArrival(shard: Int, token: String)
+
+  /** Snapshot row: the shard's current Misra–Gries estimate for a token. */
+  case class HitterEstimate(shard: Int, token: String, est: Long)
+
+  /** Streaming heavy hitters on `transformWithState` — the new-generation
+    * arbitrary-state API (typed `MapState` against the RocksDB store,
+    * v2 state checkpoints) and the streaming twin of `q_heavy_hitters`.
+    *
+    * Algorithm: MERGEABLE Misra–Gries per shard — each micro-batch is
+    * pre-aggregated locally, merged into the shard's ≤k resident
+    * counters, and if the merge overflows k, every survivor is docked
+    * by the (k+1)-th largest count (the summary-merge form of the MG
+    * decrement). Guarantees, independent of arrival order: estimates
+    * never exceed true counts, undercount by at most N_shard/(k+1),
+    * and any token with true frequency > N_shard/(k+1) is resident.
+    *
+    * Scale shape: state is O(shards·k) FOREVER — stream length never
+    * grows it (the CMS twin bounds error by total N; MG bounds rank).
+    * Tokens hash-route to shards, so one shard holds a token's whole
+    * count; shard count spreads the state store, k dials accuracy.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`) — transformWithState rejects
+    * the default HDFS-backed store.
+    */
+  class MisraGriesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, TokenArrival, HitterEstimate] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var counters: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[String, Long](
+        "mg", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        shard: Int,
+        rows: Iterator[TokenArrival],
+        timerValues: TimerValues): Iterator[HitterEstimate] = {
+      val merged = scala.collection.mutable.Map.empty[String, Long]
+      counters.iterator().foreach { case (t, c) => merged(t) = c }
+      rows.foreach(r => merged(r.token) = merged.getOrElse(r.token, 0L) + 1L)
+      val kept =
+        if (merged.size <= k) merged.toSeq
+        else {
+          val sorted = merged.toSeq.sortBy { case (t, c) => (-c, t) }
+          val dock = sorted(k)._2 // (k+1)-th largest: the MG decrement
+          sorted.take(k).map { case (t, c) => (t, c - dock) }.filter(_._2 > 0L)
+        }
+      counters.clear()
+      kept.foreach { case (t, c) => counters.updateValue(t, c) }
+      kept.sortBy { case (t, c) => (-c, t) }
+        .iterator.map { case (t, c) => HitterEstimate(shard, t, c) }
+    }
+  }
+
+  /** Token stream → per-shard MG heavy-hitter snapshots, one snapshot row
+    * set per shard per micro-batch (Update mode). */
+  def heavyHittersStream(tokens: Dataset[TokenArrival], k: Int): Dataset[HitterEstimate] = {
+    import tokens.sparkSession.implicits._
+    tokens
+      .groupByKey(_.shard)
+      .transformWithState(new MisraGriesProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

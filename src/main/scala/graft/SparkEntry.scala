@@ -95,6 +95,7 @@ object SparkEntry {
     "q_sample_stratified" -> Pipeline.qSampleStratified _,
     "q_sample_balanced"   -> Pipeline.qSampleBalanced _,
     "q_sample_importance" -> Pipeline.qSampleImportance _,
+    "q_corpus_drift"      -> Pipeline.qCorpusDrift _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
     "q_pack_sequences"    -> Pipeline.qPackSequences _
   )
@@ -273,6 +274,7 @@ object SparkEntry {
     "q_sample_stratified" -> Pipeline.oracleSampleStratified,
     "q_sample_balanced"   -> Pipeline.oracleSampleBalanced,
     "q_sample_importance" -> Pipeline.oracleSampleImportance,
+    "q_corpus_drift"      -> Pipeline.oracleCorpusDrift,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
     "q_pack_sequences"    -> Pipeline.oraclePackSequences
   )

@@ -208,6 +208,64 @@ object Pipeline {
       |  round(words::DOUBLE / (SELECT sum(words) FROM cells), 6) AS word_share
       |FROM cells ORDER BY source, lang""".stripMargin
 
+  /** Distribution-drift monitor (`q_corpus_drift`) — the check a corpus
+    * pipeline runs when a new source lands: per-source word-count
+    * quantiles against the global distribution, flagged when any
+    * quantile deviates relatively by more than DRIFT_T. Quantiles come
+    * from [[Relational.percentilesTwoPhase]] (one union puts the global
+    * "ALL" stratum through the same two-phase plan — histogram +
+    * bracketing-bucket rescan, no whole-group sort), so the monitor
+    * inherits the 100 TB-safe exact-quantile shape; the global row
+    * joins back as a bounded 1-row broadcast.
+    */
+  private[graft] val DRIFT_T = 0.1
+
+  def qCorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("double").as("nw"))
+    val both = base.unionByName(base.withColumn("source", lit("ALL")))
+    val qs = Relational.percentilesTwoPhase(both, "source", "nw",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+    val globals = qs.filter(col("source") === "ALL")
+      .select(col("p25").as("g25"), col("p50").as("g50"),
+        col("p75").as("g75"), col("p90").as("g90"))
+    val gap = greatest(
+      abs(col("p25") - col("g25")) / col("g25"),
+      abs(col("p50") - col("g50")) / col("g50"),
+      abs(col("p75") - col("g75")) / col("g75"),
+      abs(col("p90") - col("g90")) / col("g90"))
+    qs.filter(col("source") =!= "ALL")
+      .crossJoin(broadcast(globals))
+      .select(col("source"), col("p25"), col("p50"), col("p90"),
+        round(gap, 6).as("max_rel_gap"),
+        (round(gap, 6) > DRIFT_T).as("drifted"))
+      .orderBy("source")
+  }
+
+  val oracleCorpusDrift: String =
+    s"""WITH nw AS (
+       |  SELECT source, len(string_split(text, ' '))::DOUBLE AS nw FROM documents),
+       |q AS (
+       |  SELECT source,
+       |    round(quantile_cont(nw, 0.25), 4) AS p25,
+       |    round(quantile_cont(nw, 0.5), 4) AS p50,
+       |    round(quantile_cont(nw, 0.75), 4) AS p75,
+       |    round(quantile_cont(nw, 0.9), 4) AS p90
+       |  FROM nw GROUP BY source),
+       |g AS (
+       |  SELECT
+       |    round(quantile_cont(nw, 0.25), 4) AS g25,
+       |    round(quantile_cont(nw, 0.5), 4) AS g50,
+       |    round(quantile_cont(nw, 0.75), 4) AS g75,
+       |    round(quantile_cont(nw, 0.9), 4) AS g90
+       |  FROM nw)
+       |SELECT q.source, q.p25, q.p50, q.p90,
+       |  round(greatest(abs(q.p25 - g.g25) / g.g25, abs(q.p50 - g.g50) / g.g50,
+       |    abs(q.p75 - g.g75) / g.g75, abs(q.p90 - g.g90) / g.g90), 6) AS max_rel_gap,
+       |  round(greatest(abs(q.p25 - g.g25) / g.g25, abs(q.p50 - g.g50) / g.g50,
+       |    abs(q.p75 - g.g75) / g.g75, abs(q.p90 - g.g90) / g.g90), 6) > $DRIFT_T AS drifted
+       |FROM q, g ORDER BY q.source""".stripMargin
+
   /** Sequence packing — concatenate-and-chunk assignment of documents to
     * fixed token-budget training contexts: lay the corpus out as one
     * deterministic token stream per (source, shard) and cut every

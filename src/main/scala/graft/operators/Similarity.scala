@@ -48,6 +48,14 @@ object Similarity {
   private[graft] val BANDS  = 6
   private[graft] val BITS   = PLANES / BANDS
 
+  /** PQ geometry (declared before every oracle val that interpolates it —
+    * object vals initialize in declaration order): see the product-
+    * quantization section below for the full design notes. */
+  private[graft] val PQ_M     = 8
+  private[graft] val PQ_SUB   = DIM / PQ_M
+  private[graft] val PQ_KSUB  = 16
+  private[graft] val PQ_ITERS = 2
+
   /** cosine(a, b) with left-to-right double summation (matches the
     * oracle's list_sum(list_transform(...)) fold order). */
   private def dot(a: Column, b: Column): Column =
@@ -351,8 +359,28 @@ object Similarity {
       .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
       .withColumn("rn", row_number().over(ivfW)).filter(col("rn") <= RECALL_K)
       .select(col("qid"), col("vec_id"))
+    // PQ top-3: ADC scores from codes alone (per-query LUT broadcast,
+    // RECALL_QS·M·KSUB rows), ranked on sdot/‖x‖ — dividing by the
+    // query norm is rank-invariant per qid, so it is omitted
+    val pqsubs = pqSubs(e).cache()
+    val pqCent = pqCodebooks(pqsubs).cache()
+    val pqCodes = pqAssign(pqsubs, pqCent).select("vec_id", "m", "code")
+    val pqNorms = e.select(col("vec_id"), sqrt(dot(col("emb"), col("emb"))).as("nrm"))
+    val pqLut = broadcast(pqCent.join(
+        pqsubs.filter(col("vec_id") < RECALL_QS)
+          .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub")), Seq("m"))
+      .select(col("qid"), col("m"), col("code"), dot(col("qsub"), col("centroid")).as("pdot")))
+    val pqW = Window.partitionBy("qid").orderBy(desc("adc"), col("vec_id"))
+    val pqTop = pqCodes.join(pqLut, Seq("m", "code"))
+      .groupBy("qid", "vec_id").agg(orderedSum("pdot").as("sdot"))
+      .join(pqNorms, Seq("vec_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), (col("sdot") / col("nrm")).as("adc"))
+      .withColumn("rn", row_number().over(pqW)).filter(col("rn") <= RECALL_K)
+      .select(col("qid"), col("vec_id"))
     val approx = lshTop.withColumn("method", lit("lsh"))
       .unionByName(ivfTop.withColumn("method", lit("ivf")))
+      .unionByName(pqTop.withColumn("method", lit("pq")))
     val hits = approx.join(truth, Seq("qid", "vec_id"))
       .groupBy("method").agg(count(lit(1)).as("hits"))
     // a method with ZERO hits must still report 0.0 — the r3 2x8-bit
@@ -360,7 +388,7 @@ object Similarity {
     // exists to surface; 6x4 was chosen from its measurements), and
     // dropping a zero row would read as "not measured" instead
     import s.implicits._
-    val methods = Seq("ivf", "lsh").toDF("method")
+    val methods = Seq("ivf", "lsh", "pq").toDF("method")
     methods.join(hits, Seq("method"), "left")
       .select(col("method"), coalesce(col("hits"), lit(0L)).as("hits"),
         round(coalesce(col("hits"), lit(0L)) / lit(RECALL_QS * RECALL_K.toDouble), 4).as("recall_at_3"))
@@ -370,6 +398,7 @@ object Similarity {
   val oracleKnnRecall: String =
     s"""WITH $kmeansCtes,
        |$lshCandidatesSql,
+       |$pqTrainSql,
        |qs AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $RECALL_QS),
        |truth AS (
        |  SELECT qid, vec_id FROM (
@@ -401,40 +430,74 @@ object Similarity {
        |        ORDER BY ${cosSql("a.emb", "q.qemb")} DESC, a.vec_id) AS rn
        |    FROM assigned a JOIN qcells qc USING (cell) JOIN qs q ON q.qid = qc.qid
        |    WHERE a.vec_id <> qc.qid) WHERE rn <= $RECALL_K),
+       |pqlut AS (
+       |  SELECT q.qid, c.m, c.code, ${dotSql("q.qsub", "c.centroid")} AS pdot
+       |  FROM cb$PQ_ITERS c JOIN (
+       |    SELECT vec_id AS qid, m, sub AS qsub FROM subs WHERE vec_id < $RECALL_QS) q
+       |  USING (m)),
+       |pqscored AS (
+       |  SELECT l.qid, a.vec_id, list_sum(list(l.pdot ORDER BY a.m)) AS sdot
+       |  FROM codes a JOIN pqlut l ON a.m = l.m AND a.code = l.code
+       |  GROUP BY l.qid, a.vec_id),
+       |pqtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY s.sdot / n.nrm DESC, s.vec_id) AS rn
+       |    FROM pqscored s JOIN pqnorms n USING (vec_id)
+       |    WHERE s.vec_id <> s.qid) WHERE rn <= $RECALL_K),
        |approx AS (
        |  SELECT 'lsh' AS method, qid, vec_id FROM lshtop
-       |  UNION ALL SELECT 'ivf' AS method, qid, vec_id FROM ivftop),
+       |  UNION ALL SELECT 'ivf' AS method, qid, vec_id FROM ivftop
+       |  UNION ALL SELECT 'pq' AS method, qid, vec_id FROM pqtop),
        |hits AS (
        |  SELECT method, count(*) AS hits
        |  FROM approx JOIN truth USING (qid, vec_id) GROUP BY method),
-       |methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh' AS method)
+       |methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh' AS method
+       |  UNION ALL SELECT 'pq' AS method)
        |SELECT m.method, coalesce(h.hits, 0) AS hits,
        |  round(coalesce(h.hits, 0) / ${RECALL_QS * RECALL_K}.0, 4) AS recall_at_3
        |FROM methods m LEFT JOIN hits h USING (method) ORDER BY method""".stripMargin
 
   // ---------------------------------------------------- product quantization
-  /** PQ geometry: DIM=64 split into PQ_M=4 subspaces of PQ_SUB=16 dims,
-    * PQ_KSUB=8 codes per subspace, trained PQ_ITERS Lloyd rounds per
+  /** PQ geometry: DIM=64 split into PQ_M=8 subspaces of PQ_SUB=8 dims,
+    * PQ_KSUB=16 codes per subspace, trained PQ_ITERS Lloyd rounds per
     * subspace (independent subspace k-means — the standard PQ recipe).
     *
     * The 100 TB story: PQ compresses each 64-double vector (512 B) to
-    * PQ_M small codes (4 B here) — the ADC scan touches ONLY the codes
-    * table (~128× less scan volume), the full vectors are fetched for
-    * the re-rank head alone. At scale raise PQ_KSUB to 256 (byte codes)
-    * and PQ_M to 8–16; the plan shape — per-subspace broadcast-centroid
-    * argmin for encoding, an (m, code)-keyed lookup-table join for
-    * scoring — is unchanged. Training cost is one subs-exploded frame
-    * per iteration with a broadcast of M·KSUB centroids, the same
+    * PQ_M small codes (8 B here) — the ADC scan touches ONLY the codes
+    * table (~64× less scan volume), the full vectors are fetched for
+    * the re-rank head alone. At scale raise PQ_KSUB to 256 (byte
+    * codes); the plan shape — per-subspace broadcast-centroid argmin
+    * for encoding, an (m, code)-keyed lookup-table join for scoring —
+    * is unchanged. Training cost is one subs-exploded frame per
+    * iteration with a broadcast of M·KSUB centroids, the same
     * distributed-Lloyd shape as [[trainedCentroids]].
+    *
+    * Geometry SET BY the recall gauge (`q_knn_recall`, method "pq"):
+    * 4×8 measured recall@3 = 0.17, 8×16 = 0.23 — chosen. The honest
+    * conclusion the gauge surfaces (same as the LSH story): this
+    * corpus's true neighbors sit at cos 0.3–0.4, where ADC ranking
+    * noise (quantization error ~ the neighbor-to-background cosine
+    * margin) drowns the signal and trained IVF (0.9) dominates; PQ's
+    * regime is memory-bound corpora where vectors cannot be resident —
+    * there the codes-only scan is the only option and re-rank depth
+    * compensates recall.
     */
-  private[graft] val PQ_M     = 4
-  private[graft] val PQ_SUB   = DIM / PQ_M
-  private[graft] val PQ_KSUB  = 8
-  private[graft] val PQ_ITERS = 2
 
   /** Squared L2 with left-to-right fold (oracle: list_sum, same order). */
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic m-ordered partial-sum aggregate: collect (m, x),
+    * sort by m, fold left-to-right — the 4-term double addition is
+    * bit-identical cross-engine (oracle: list_sum(list(x ORDER BY m)));
+    * a plain SQL SUM adds in nondeterministic row order. */
+  private def orderedSum(c: String): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(col("m"), col(c).as("x")))),
+        x => x.getField("x")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** (vec_id, m, sub) subvector frame: one row per vector per subspace. */
   private def pqSubs(e: DataFrame): DataFrame =
@@ -498,15 +561,10 @@ object Similarity {
     val qv = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qemb")))
     val lut = broadcast(cent.join(qsubs, Seq("m"))
       .select(col("m"), col("code"), dot(col("qsub"), col("centroid")).as("pdot")))
-    val orderedSum: Column =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("m"), col("pdot").as("x")))),
-          x => x.getField("x")),
-        lit(0.0), (acc, v) => acc + v)
     val adc = codes.filter(col("vec_id") =!= 0)
       .join(lut, Seq("m", "code"))
       .groupBy("vec_id")
-      .agg(orderedSum.as("sdot"))
+      .agg(orderedSum("pdot").as("sdot"))
       .join(norms, Seq("vec_id"))
       .crossJoin(qv)
       .select(col("vec_id"),
@@ -518,11 +576,16 @@ object Similarity {
       .orderBy(desc("adc_cos"), col("vec_id"))
   }
 
-  val oracleKnnPq: String = {
-    def l2Sql(a: String, b: String): String =
-      s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
-    def dotSql(a: String, b: String): String =
-      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+
+  /** DuckDB mirror of the PQ training+encoding pipeline as CTEs —
+    * assumes an `e(vec_id, emb)` CTE is already in scope (shared with
+    * [[kmeansCtes]] when both are present). Ends with `subs`, the final
+    * codebook `cb{PQ_ITERS}`, `codes`, and per-vector `pqnorms`. */
+  private[graft] def pqTrainSql: String = {
     def assignCte(centSrc: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, m, sub, code FROM (
@@ -541,10 +604,7 @@ object Similarity {
       val centSrc = if (i == 1) "cb0" else s"cb${i - 1}"
       s"${assignCte(centSrc, s"pasg$i")},\n${meanCte(s"pasg$i", s"cb$i")}"
     }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-       |  FROM embeddings),
-       |subs AS (
+    s"""subs AS (
        |  SELECT vec_id, ms.m,
        |    list_transform(generate_series(1, $PQ_SUB), i -> emb[ms.m * $PQ_SUB + i]) AS sub
        |  FROM e, (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m) ms),
@@ -553,9 +613,16 @@ object Similarity {
        |  FROM subs WHERE vec_id < $PQ_KSUB),
        |$iters,
        |${assignCte(s"cb$PQ_ITERS", "codes")},
+       |pqnorms AS (SELECT vec_id, sqrt(${dotSql("emb", "emb")}) AS nrm FROM e)""".stripMargin
+  }
+
+  val oracleKnnPq: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+       |  FROM embeddings),
+       |$pqTrainSql,
        |q AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = 0),
        |qfull AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
-       |norms AS (SELECT vec_id, sqrt(${dotSql("emb", "emb")}) AS nrm FROM e),
        |lut AS (
        |  SELECT c.m, c.code, ${dotSql("q.qsub", "c.centroid")} AS pdot
        |  FROM cb$PQ_ITERS c JOIN q USING (m)),
@@ -565,13 +632,12 @@ object Similarity {
        |  WHERE a.vec_id <> 0 GROUP BY a.vec_id),
        |adc AS (
        |  SELECT s.vec_id, s.sdot / (n.nrm * sqrt(${dotSql("qemb", "qemb")})) AS adc_cos
-       |  FROM scored s JOIN norms n USING (vec_id), qfull
+       |  FROM scored s JOIN pqnorms n USING (vec_id), qfull
        |  ORDER BY adc_cos DESC, s.vec_id LIMIT 5)
        |SELECT a.vec_id, round(a.adc_cos, 6) AS adc_cos,
        |  round(${cosSql("e.emb", "qemb")}, 6) AS cos
        |FROM adc a JOIN e USING (vec_id), qfull
        |ORDER BY a.adc_cos DESC, a.vec_id""".stripMargin
-  }
 
   def qKnnCentroid(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)

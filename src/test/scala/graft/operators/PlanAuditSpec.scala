@@ -101,9 +101,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       // q_heavy_hitters broadcasts the 1-row count-min sketch
       // q_knn_pq broadcasts the 1-row query vector and the M*KSUB LUT;
       // q_text_collocations broadcasts the 1-row bigram total
+      // q_corpus_drift broadcasts the 1-row global-quantile frame
       val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall",
         "q_zorder_layout", "q_supplier_share", "q_heavy_hitters", "q_knn_pq",
-        "q_text_collocations")
+        "q_text_collocations", "q_corpus_drift")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

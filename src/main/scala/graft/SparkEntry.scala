@@ -77,6 +77,7 @@ object SparkEntry {
     "q_heavy_hitters"     -> TextAnalysis.qHeavyHitters _,
     "q_text_winnow"       -> TextAnalysis.qTextWinnow _,
     "q_text_collocations" -> TextAnalysis.qTextCollocations _,
+    "q_tokenize_bpe"      -> TextAnalysis.qTokenizeBpe _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
@@ -258,6 +259,7 @@ object SparkEntry {
     "q_heavy_hitters"     -> TextAnalysis.oracleHeavyHitters,
     "q_text_winnow"       -> TextAnalysis.oracleTextWinnow,
     "q_text_collocations" -> TextAnalysis.oracleTextCollocations,
+    "q_tokenize_bpe"      -> TextAnalysis.oracleTokenizeBpe,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
 

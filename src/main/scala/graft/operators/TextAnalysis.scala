@@ -173,6 +173,101 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS n FROM b GROUP BY 1
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ----------------------------------------------------------- bpe apply
+  /** Fixed BPE-style merge table — stands for the trained tokenizer
+    * vocabulary (training happens ONCE on a sample; the 100 TB job is
+    * APPLYING the merges corpus-wide, which is what this operator
+    * models). The pairs are the corpus's measured top bigrams, so the
+    * merges actually fire. In production the table is a broadcast
+    * artifact; here it is literals mirrored in the oracle.
+    */
+  private[graft] val BPE_MERGES =
+    Seq(("table", "hash"), ("part", "filter"), ("customer", "join"))
+  private val BPE_SEP = "\u0001" // cannot occur in the ascii-word corpus
+
+  /** One merge pass: single left-to-right fold over the token array
+    * (exactly BPE's non-overlapping application order), state packed as
+    * "emitted-tokens SEP pending-token" so the fold accumulator is one
+    * string — the only fold-state type `list_reduce` supports, which
+    * keeps the DuckDB mirror a literal transliteration. Returns the
+    * space-joined merged token string.
+    */
+  /** Test-only visibility for the merge-pass fold (BpeSpec parity). */
+  private[operators] def bpeMergePassForTest(tokens: Column, a: String, b: String): Column =
+    bpeMergePass(tokens, a, b)
+
+  private def bpeMergePass(tokens: Column, a: String, b: String): Column = {
+    val sep = lit(BPE_SEP)
+    def out(acc: Column)  = split_part(acc, sep, lit(1))
+    def pend(acc: Column) = split_part(acc, sep, lit(2))
+    aggregate(tokens, sep,
+      (acc, t) =>
+        when(pend(acc) === "", concat(out(acc), sep, t))
+          .when(pend(acc) === a && t === b,
+            concat(out(acc), lit(" " + a + "_" + b), sep))
+          .otherwise(concat(out(acc), lit(" "), pend(acc), sep, t)),
+      acc => ltrim(
+        when(pend(acc) === "", out(acc))
+          .otherwise(concat(out(acc), lit(" "), pend(acc)))))
+  }
+
+  /** Apply the merge table (`q_tokenize_bpe`): BPE_MERGES passes, each a
+    * pure projection fold (no shuffle — the corpus tokenization pass is
+    * embarrassingly parallel), each stage's token array MATERIALIZED
+    * before the next fold (HOF-no-CSE rule). Per-language report:
+    * tokens before/after and the realized compression, oracle-pinned —
+    * the fold is deterministic string arithmetic, identical in DuckDB's
+    * list_reduce (init element prepended; same left fold).
+    */
+  def qTokenizeBpe(s: SparkSession, dir: String): DataFrame = {
+    val start = Tables.documents(s, dir)
+      .select(col("lang"), split(col("text"), " ").as("t0"))
+      .withColumn("n_before", size(col("t0")).cast("long"))
+    val end = BPE_MERGES.zipWithIndex.foldLeft(start) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"m${i + 1}", bpeMergePass(col(s"t$i"), a, b))
+          .withColumn(s"t${i + 1}", split(col(s"m${i + 1}"), " "))
+    }
+    end
+      .withColumn("n_after", size(col(s"t${BPE_MERGES.size}")).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_before").as("tokens_before"),
+        sum("n_after").as("tokens_after"))
+      .select(col("lang"), col("n_docs"), col("tokens_before"), col("tokens_after"),
+        round(col("tokens_after").cast("double") / col("tokens_before"), 6).as("compression"))
+      .orderBy("lang")
+  }
+
+  val oracleTokenizeBpe: String = {
+    def mergeSql(toks: String, a: String, b: String): String = {
+      val o = s"split_part(acc, chr(1), 1)"
+      val p = s"split_part(acc, chr(1), 2)"
+      val reduced =
+        s"""list_reduce(list_prepend(chr(1), $toks), (acc, t) ->
+           | CASE WHEN $p = '' THEN $o || chr(1) || t
+           |      WHEN $p = '$a' AND t = '$b' THEN $o || ' ${a}_$b' || chr(1)
+           |      ELSE $o || ' ' || $p || chr(1) || t END)""".stripMargin.replace("\n", " ")
+      s"""ltrim(CASE WHEN split_part($reduced, chr(1), 2) = ''
+         | THEN split_part($reduced, chr(1), 1)
+         | ELSE split_part($reduced, chr(1), 1) || ' ' || split_part($reduced, chr(1), 2) END)"""
+        .stripMargin.replace("\n", " ")
+    }
+    val stages = BPE_MERGES.zipWithIndex.map { case ((a, b), i) =>
+      s"d${i + 1} AS (SELECT lang, n_before, string_split(${mergeSql(s"t$i", a, b)}, ' ') AS t${i + 1} FROM d$i)"
+    }.mkString(",\n")
+    s"""WITH d0 AS (
+       |  SELECT lang, string_split(text, ' ') AS t0,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before
+       |  FROM documents),
+       |$stages
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_before) AS BIGINT) AS tokens_before,
+       |  CAST(sum(len(t${BPE_MERGES.size})) AS BIGINT) AS tokens_after,
+       |  round(sum(len(t${BPE_MERGES.size}))::DOUBLE / sum(n_before), 6) AS compression
+       |FROM d${BPE_MERGES.size} GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Collocation extraction — bigrams whose observed frequency beats
     * independence (PMI-style LIFT, kept rational: lift =
     * N·c(xy) / (c(x)·c(y)) — log-free so the score is bit-identical

@@ -183,41 +183,41 @@ object TextAnalysis {
     */
   private[graft] val BPE_MERGES =
     Seq(("table", "hash"), ("part", "filter"), ("customer", "join"))
-  private val BPE_SEP = "\u0001" // cannot occur in the ascii-word corpus
 
-  /** One merge pass: single left-to-right fold over the token array
-    * (exactly BPE's non-overlapping application order), state packed as
-    * "emitted-tokens SEP pending-token" so the fold accumulator is one
-    * string — the only fold-state type `list_reduce` supports, which
-    * keeps the DuckDB mirror a literal transliteration. Returns the
-    * space-joined merged token string.
+  // The positional merge pass below relies on pairs never interacting:
+  // with a != b, a match at i cannot invalidate or enable one at i+1
+  // (that would need b == a), so greedy left-to-right == all matches.
+  // require here, not in the pass: the table is the contract.
+  require(BPE_MERGES.forall { case (a, b) => a != b },
+    "self-pairs (a,a) need sequential fold semantics")
+
+  /** One merge pass as a POSITIONAL transform, O(len) per document:
+    * position i becomes the merged token when (t[i], t[i+1]) is the
+    * pair, is dropped (null, filtered) when consumed as the pair's
+    * right element, and passes through otherwise. The r6 first cut was
+    * a string-accumulator fold (the only state list_reduce supports) at
+    * O(len^2) character copying per pass - ~6 s at sf0.1 and fatal on
+    * book-length documents; this shape is linear and the DuckDB mirror
+    * stays a transliteration (generate_series + CASE + list_filter).
     */
-  /** Test-only visibility for the merge-pass fold (BpeSpec parity). */
-  private[operators] def bpeMergePassForTest(tokens: Column, a: String, b: String): Column =
-    bpeMergePass(tokens, a, b)
-
-  private def bpeMergePass(tokens: Column, a: String, b: String): Column = {
-    val sep = lit(BPE_SEP)
-    def out(acc: Column)  = split_part(acc, sep, lit(1))
-    def pend(acc: Column) = split_part(acc, sep, lit(2))
-    aggregate(tokens, sep,
-      (acc, t) =>
-        when(pend(acc) === "", concat(out(acc), sep, t))
-          .when(pend(acc) === a && t === b,
-            concat(out(acc), lit(" " + a + "_" + b), sep))
-          .otherwise(concat(out(acc), lit(" "), pend(acc), sep, t)),
-      acc => ltrim(
-        when(pend(acc) === "", out(acc))
-          .otherwise(concat(out(acc), lit(" "), pend(acc)))))
+  private[operators] def bpeMergePass(tokens: Column, a: String, b: String): Column = {
+    val n = size(tokens)
+    val mapped = transform(sequence(lit(1), n), i =>
+      when(i < n && element_at(tokens, i) === a && element_at(tokens, i + 1) === b,
+        lit(a + "_" + b))
+        .when(i > lit(1) && element_at(tokens, i - 1) === a && element_at(tokens, i) === b,
+          lit(null).cast("string"))
+        .otherwise(element_at(tokens, i)))
+    filter(mapped, x => x.isNotNull)
   }
 
   /** Apply the merge table (`q_tokenize_bpe`): BPE_MERGES passes, each a
-    * pure projection fold (no shuffle — the corpus tokenization pass is
+    * pure projection (no shuffle — the corpus tokenization pass is
     * embarrassingly parallel), each stage's token array MATERIALIZED
-    * before the next fold (HOF-no-CSE rule). Per-language report:
+    * before the next pass (HOF-no-CSE rule). Per-language report:
     * tokens before/after and the realized compression, oracle-pinned —
-    * the fold is deterministic string arithmetic, identical in DuckDB's
-    * list_reduce (init element prepended; same left fold).
+    * the positional arithmetic is deterministic and identical in both
+    * engines.
     */
   def qTokenizeBpe(s: SparkSession, dir: String): DataFrame = {
     val start = Tables.documents(s, dir)
@@ -225,8 +225,7 @@ object TextAnalysis {
       .withColumn("n_before", size(col("t0")).cast("long"))
     val end = BPE_MERGES.zipWithIndex.foldLeft(start) {
       case (df, ((a, b), i)) =>
-        df.withColumn(s"m${i + 1}", bpeMergePass(col(s"t$i"), a, b))
-          .withColumn(s"t${i + 1}", split(col(s"m${i + 1}"), " "))
+        df.withColumn(s"t${i + 1}", bpeMergePass(col(s"t$i"), a, b))
     }
     end
       .withColumn("n_after", size(col(s"t${BPE_MERGES.size}")).cast("long"))
@@ -240,21 +239,13 @@ object TextAnalysis {
   }
 
   val oracleTokenizeBpe: String = {
-    def mergeSql(toks: String, a: String, b: String): String = {
-      val o = s"split_part(acc, chr(1), 1)"
-      val p = s"split_part(acc, chr(1), 2)"
-      val reduced =
-        s"""list_reduce(list_prepend(chr(1), $toks), (acc, t) ->
-           | CASE WHEN $p = '' THEN $o || chr(1) || t
-           |      WHEN $p = '$a' AND t = '$b' THEN $o || ' ${a}_$b' || chr(1)
-           |      ELSE $o || ' ' || $p || chr(1) || t END)""".stripMargin.replace("\n", " ")
-      s"""ltrim(CASE WHEN split_part($reduced, chr(1), 2) = ''
-         | THEN split_part($reduced, chr(1), 1)
-         | ELSE split_part($reduced, chr(1), 1) || ' ' || split_part($reduced, chr(1), 2) END)"""
-        .stripMargin.replace("\n", " ")
-    }
+    def mergeSql(toks: String, a: String, b: String): String =
+      s"""list_filter(list_transform(generate_series(1, len($toks)), i ->
+         | CASE WHEN i < len($toks) AND $toks[i] = '$a' AND $toks[i+1] = '$b' THEN '${a}_$b'
+         |      WHEN i > 1 AND $toks[i-1] = '$a' AND $toks[i] = '$b' THEN NULL
+         |      ELSE $toks[i] END), x -> x IS NOT NULL)""".stripMargin.replace("\n", " ")
     val stages = BPE_MERGES.zipWithIndex.map { case ((a, b), i) =>
-      s"d${i + 1} AS (SELECT lang, n_before, string_split(${mergeSql(s"t$i", a, b)}, ' ') AS t${i + 1} FROM d$i)"
+      s"d${i + 1} AS (SELECT lang, n_before, ${mergeSql(s"t$i", a, b)} AS t${i + 1} FROM d$i)"
     }.mkString(",\n")
     s"""WITH d0 AS (
        |  SELECT lang, string_split(text, ' ') AS t0,

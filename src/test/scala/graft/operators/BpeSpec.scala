@@ -38,8 +38,7 @@ class BpeSpec extends AnyFunSpec with SparkTestBase {
         .select(col("doc_id"), split(col("text"), " ").as("t0"))
       val merged = TextAnalysis.BPE_MERGES.zipWithIndex.foldLeft(start) {
         case (d, ((a, b), i)) =>
-          d.withColumn(s"t${i + 1}",
-            split(TextAnalysis.bpeMergePassForTest(col(s"t$i"), a, b), " "))
+          d.withColumn(s"t${i + 1}", TextAnalysis.bpeMergePass(col(s"t$i"), a, b))
       }
       merged.orderBy("doc_id")
         .select(col(s"t${TextAnalysis.BPE_MERGES.size}"))

@@ -86,6 +86,24 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         s"df join-back did not broadcast under AQE:\n${explain(df)}")
     }
 
+    it("the r6 text family stays projection-shaped (bounded exchanges)") {
+      // BPE apply: per-doc positional transforms + one lang aggregate —
+      // 2 exchanges (partial->final agg, output sort), nothing else
+      val bpe = explain(TextAnalysis.qTokenizeBpe(spark, sfDir))
+      assert(countNodes(bpe, "Exchange") <= 2, s"BPE apply over-shuffled:\n$bpe")
+      // winnow fingerprints: pure projection + output sort
+      val win = explain(TextAnalysis.qTextWinnow(spark, sfDir))
+      assert(countNodes(win, "Exchange") <= 1, s"winnow shuffled:\n$win")
+      assert(countNodes(win, "Window") == 0, "winnow must not use window functions")
+    }
+
+    it("q_events_anomaly never shuffles the event stream (stats broadcast back)") {
+      val df = EventOps.qEventsAnomaly(spark, sfDir)
+      df.collect()
+      val plan = explain(df)
+      assert(plan.contains("BroadcastHashJoin"), s"stats did not broadcast:\n$plan")
+    }
+
     it("no query plans a cartesian product or an unbounded nested-loop join") {
       // the O(n²) killers at 100 TB: every candidate-pair generator must
       // ride an equality join. Skip the entries that run side-effecting

@@ -35,6 +35,8 @@ object SparkEntry {
     "q_small_qty_revenue" -> Relational.qSmallQtyRevenue _,
     "q_cust_order_dist"   -> Relational.qCustOrderDist _,
     "q_supplier_share"    -> Relational.qSupplierShare _,
+    "q_scd2_dim"          -> Relational.qScd2Dim _,
+    "q_sketch_merge"      -> Relational.qSketchMerge _,
     // §2.2 events
     "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
@@ -170,6 +172,8 @@ object SparkEntry {
     "q_small_qty_revenue" -> Relational.oracleSmallQtyRevenue,
     "q_cust_order_dist"   -> Relational.oracleCustOrderDist,
     "q_supplier_share"    -> Relational.oracleSupplierShare,
+    "q_scd2_dim"          -> Relational.oracleScd2Dim,
+    "q_sketch_merge"      -> Relational.oracleSketchMerge,
 
     "q_conditional_pivot" ->
       """SELECT o_orderpriority,

@@ -334,6 +334,88 @@ object Relational {
       .orderBy(g)
   }
 
+  /** SCD-2 dimension versioning (`q_scd2_dim`) — the warehouse
+    * maintenance op: an incoming refresh batch is CHANGE-DETECTED
+    * against the current dimension (equality join + value comparison —
+    * rows that arrive unchanged must NOT version), genuine changes
+    * close the old version and open a new current one. One equality
+    * join on the dimension key + a union — at 100 TB the dimension is
+    * the small side and the batch broadcast/co-partitioned; no window,
+    * no per-key sort. The refresh batch is derived deterministically
+    * (every 5th customer re-arrives; every 10th with a changed
+    * segment), mirrored in the oracle.
+    */
+  def qScd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), round(col("c_acctbal"), 2).as("acctbal"))
+    val incoming = base.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit("PROMO")).otherwise(col("c_mktsegment")).as("new_seg"))
+    val changes = incoming.join(base, Seq("c_custkey"))
+      .filter(col("new_seg") =!= col("c_mktsegment"))
+      .select(col("c_custkey"), col("new_seg"), col("acctbal"))
+    val changedKeys = changes.select(col("c_custkey"), lit(true).as("closed"))
+    val v1 = base.join(changedKeys, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), lit(1L).as("version"),
+        col("c_mktsegment").as("segment"), col("acctbal"),
+        coalesce(!col("closed"), lit(true)).as("is_current"))
+    val v2 = changes.select(col("c_custkey"), lit(2L).as("version"),
+      col("new_seg").as("segment"), col("acctbal"), lit(true).as("is_current"))
+    v1.unionByName(v2).orderBy("c_custkey", "version")
+  }
+
+  val oracleScd2Dim: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal FROM customer),
+      |incoming AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END AS new_seg
+      |  FROM base WHERE c_custkey % 5 = 0),
+      |changes AS (
+      |  SELECT i.c_custkey, i.new_seg, b.acctbal
+      |  FROM incoming i JOIN base b USING (c_custkey)
+      |  WHERE i.new_seg <> b.c_mktsegment)
+      |SELECT b.c_custkey, CAST(1 AS BIGINT) AS version, b.c_mktsegment AS segment,
+      |  b.acctbal, c.c_custkey IS NULL AS is_current
+      |FROM base b LEFT JOIN changes c USING (c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, 2, new_seg, acctbal, TRUE FROM changes
+      |ORDER BY c_custkey, version""".stripMargin
+
+  /** Mergeable persisted distinct-count sketches (`q_sketch_merge`) —
+    * the INCREMENTAL-ROLLUP twin of `q_sketch_distinct`: per-(group,
+    * month) Apache DataSketches HLL sketches built once (in production
+    * persisted as binary columns next to each day's partition), then
+    * any range re-aggregated by UNIONING sketches — history is never
+    * rescanned for a new rollup window. The estimate is asserted
+    * within ±5% of exact (sketch bytes are engine-specific, so the
+    * verdict is pinned, not the sketch — the `q_sketch_distinct`
+    * contract).
+    */
+  def qSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"))
+      .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"),
+        count(lit(1)).as("n_rows"))
+    val merged = monthly.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("approx"),
+        count(lit(1)).as("n_sketches"), sum("n_rows").as("n"))
+    val exact = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact_parts"))
+    merged.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_sketches"), col("n"),
+        (abs(col("approx") - col("exact_parts")) <=
+          col("exact_parts") * SKETCH_TOL).as("within_tol"))
+      .orderBy("l_returnflag")
+  }
+
+  val oracleSketchMerge: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      | count(DISTINCT date_part('month', l_shipdate)) AS n_sketches,
+      | count(*) AS n, TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Q4-style correlated EXISTS with a correlated INEQUALITY: orders
     * having at least one lineitem shipped more than 60 days after the
     * order date, counted per priority. The subquery compiles to a

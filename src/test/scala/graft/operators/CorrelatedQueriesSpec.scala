@@ -65,6 +65,54 @@ class CorrelatedQueriesSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_scd2_dim (SCD-2 change detection)") {
+
+    it("versions only genuine changes and keeps exactly one current row per key") {
+      val rows = Relational.qScd2Dim(spark, sfDir).collect()
+      val byKey = rows.groupBy(_.getLong(0))
+      byKey.foreach { case (k, vs) =>
+        assert(vs.count(_.getBoolean(4)) == 1, s"key $k has != 1 current row")
+        if (vs.length == 2) {
+          // changed key: v1 closed, v2 current with the new segment
+          val v1 = vs.find(_.getLong(1) == 1L).get
+          val v2 = vs.find(_.getLong(1) == 2L).get
+          assert(!v1.getBoolean(4) && v2.getBoolean(4))
+          assert(k % 10 == 0, s"key $k versioned without a change")
+          assert(v2.getString(2) == "PROMO" && v1.getString(2) != "PROMO")
+        } else {
+          assert(vs.length == 1)
+          // unchanged arrivals (c%5==0 but not %10) must NOT version
+          assert(vs.head.getBoolean(4))
+        }
+      }
+      // every %10 key versioned, nothing else
+      val versioned = byKey.filter(_._2.length == 2).keySet
+      val expected = byKey.keySet.filter(_ % 10 == 0)
+      assert(versioned == expected)
+    }
+  }
+
+  describe("q_sketch_merge (mergeable persisted HLL sketches)") {
+
+    it("union-of-monthly-sketches estimates match a direct sketch and pass the tolerance") {
+      val rows = Relational.qSketchMerge(spark, sfDir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getBoolean(4), s"estimate out of tolerance: $r"))
+      // mergeability: union of per-month sketches == one direct sketch
+      val direct = graft.Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val merged = graft.Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"))
+        .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(merged == direct, "sketch union is not lossless vs a direct sketch")
+    }
+  }
+
   describe("q_supplier_share (HAVING vs a global scalar)") {
 
     it("returns exactly the suppliers above 1.05x the mean, via a bounded 1-row broadcast") {

@@ -37,6 +37,8 @@ object SparkEntry {
     "q_supplier_share"    -> Relational.qSupplierShare _,
     "q_scd2_dim"          -> Relational.qScd2Dim _,
     "q_sketch_merge"      -> Relational.qSketchMerge _,
+    "q_quantile_merge"    -> Relational.qQuantileMerge _,
+    "q_theta_sets"        -> Relational.qThetaSets _,
     // §2.2 events
     "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
@@ -174,6 +176,8 @@ object SparkEntry {
     "q_supplier_share"    -> Relational.oracleSupplierShare,
     "q_scd2_dim"          -> Relational.oracleScd2Dim,
     "q_sketch_merge"      -> Relational.oracleSketchMerge,
+    "q_quantile_merge"    -> Relational.oracleQuantileMerge,
+    "q_theta_sets"        -> Relational.oracleThetaSets,
 
     "q_conditional_pivot" ->
       """SELECT o_orderpriority,

@@ -416,6 +416,81 @@ object Relational {
       | count(*) AS n, TRUE AS within_tol
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Mergeable quantile sketches (`q_quantile_merge`) — the KLL twin of
+    * [[qSketchMerge]]: per-(group, month) DataSketches KLL sketches
+    * (k=800 → normalized rank error ~0.6%), merged across months, then
+    * quantiles read from the MERGED sketch — the persisted-sketch
+    * incremental-rollup pattern for order statistics (exact quantiles
+    * cannot be merged; sketches can). Verdict ±2% vs the two-phase
+    * exact quantiles, exact values pinned in the oracle.
+    */
+  def qQuantileMerge(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice, 800)").as("sk"))
+    val merged = monthly.groupBy("l_returnflag")
+      .agg(
+        expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)").as("a50"),
+        expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.9)").as("a90"),
+        count(lit(1)).as("n_sketches"))
+    qPercentiles(s, dir).join(merged, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("n_sketches"),
+        (abs(col("a50") - col("p50")) <= col("p50") * QSKETCH_TOL &&
+          abs(col("a90") - col("p90")) <= col("p90") * QSKETCH_TOL).as("within_tol"))
+      .orderBy("l_returnflag")
+  }
+
+  val oracleQuantileMerge: String =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      | count(DISTINCT date_part('month', l_shipdate)) AS n_sketches,
+      | TRUE AS within_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Theta-sketch set operations (`q_theta_sets`) — the SET-OPERATION
+    * member of the sketch family (HLL counts, KLL quantiles, CMS
+    * frequencies, bloom membership): theta sketches support union,
+    * INTERSECTION and DIFFERENCE estimates, which HLL cannot. The
+    * buyers-by-status segmentation of `q_set_ops` re-estimated from
+    * two per-segment sketches combined pairwise — at 100 TB each
+    * segment's sketch is built in its own narrow pass (map-side
+    * combined) and every set-algebra question is answered from the
+    * tiny sketches, no re-shuffle of the key sets. Exact values
+    * pinned; estimates asserted within ±5% (below the default 2^12
+    * retention theta is exact, so the verdict is tight here).
+    */
+  def qThetaSets(s: SparkSession, dir: String): DataFrame = {
+    def sk(status: String, name: String) =
+      Tables.orders(s, dir).filter(col("o_orderstatus") === status)
+        .agg(expr("theta_sketch_agg(o_custkey)").as(name))
+    val exact = qSetOps(s, dir)
+    exact.crossJoin(broadcast(sk("O", "sko"))).crossJoin(broadcast(sk("F", "skf")))
+      .select(col("both_o_and_f"), col("o_only"), col("either"),
+        (abs(expr("theta_sketch_estimate(theta_intersection(sko, skf))") - col("both_o_and_f")) <=
+          greatest(col("both_o_and_f") * 0.05, lit(1.0))).as("both_ok"),
+        (abs(expr("theta_sketch_estimate(theta_difference(sko, skf))") - col("o_only")) <=
+          greatest(col("o_only") * 0.05, lit(1.0))).as("o_only_ok"),
+        (abs(expr("theta_sketch_estimate(theta_union(sko, skf))") - col("either")) <=
+          greatest(col("either") * 0.05, lit(1.0))).as("either_ok"))
+  }
+
+  val oracleThetaSets: String =
+    """SELECT
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |     INTERSECT
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS both_o_and_f,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |     EXCEPT
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS o_only,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |     UNION
+      |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS either,
+      |  TRUE AS both_ok, TRUE AS o_only_ok, TRUE AS either_ok""".stripMargin
+
   /** Q4-style correlated EXISTS with a correlated INEQUALITY: orders
     * having at least one lineitem shipped more than 60 days after the
     * order date, counted per priority. The subquery compiles to a

@@ -102,8 +102,28 @@ final class LineageListener(private[lineage] val sinks: Seq[LineageSink]) extend
       schemaFingerprint = MetadataExtractor.schemaFingerprint(body.schema),
       rowsWritten = rows,
       bytesWritten = bytesOut,
-      bytesRead = bytesIn))
+      bytesRead = bytesIn,
+      planFingerprint = LineageListener.planFingerprint(analyzed)))
   }
+}
+
+object LineageListener {
+  /** Recurring-query identity for the catalog side: sha-256 of the
+    * CANONICALIZED analyzed plan — `canonicalized` normalizes attribute
+    * ids and alias names, so re-running the same job (fresh session,
+    * fresh exprIds) yields the same fingerprint, while any structural
+    * change (different filter, extra column, other table) changes it.
+    * Literal-sensitive by design: a catalog wanting parameterized-job
+    * grouping groups on (inputs, outputs, columnLineage) instead.
+    */
+  private[lineage] def planFingerprint(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+    try {
+      val canonical = analyzed.canonicalized.toString
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    } catch { case _: Throwable => "" }
 }
 
 /** One-line enablement, mirroring the reference's install-and-forget UX.

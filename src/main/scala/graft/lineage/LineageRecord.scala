@@ -40,7 +40,8 @@ final case class LineageRecord(
     schemaFingerprint: String,
     rowsWritten: Option[Long],
     bytesWritten: Option[Long] = None,
-    bytesRead: Option[Long] = None
+    bytesRead: Option[Long] = None,
+    planFingerprint: String = ""
 ) {
 
   /** Dependency-free JSON rendering (newline-safe, driver-parsable). */
@@ -69,6 +70,7 @@ final case class LineageRecord(
       s""""durationNs":$durationNs,"timestampMs":$timestampMs,"inputs":$ins,"output":$out,""" +
       s""""outputColumns":${arr(outputColumns.map(q))},"columnLineage":$colLin,""" +
       s""""schemaFingerprint":${q(schemaFingerprint)},"rowsWritten":${rowsWritten.map(_.toString).getOrElse("null")},""" +
-      s""""bytesWritten":${bytesWritten.map(_.toString).getOrElse("null")},"bytesRead":${bytesRead.map(_.toString).getOrElse("null")}}"""
+      s""""bytesWritten":${bytesWritten.map(_.toString).getOrElse("null")},"bytesRead":${bytesRead.map(_.toString).getOrElse("null")},""" +
+      s""""planFingerprint":${q(planFingerprint)}}"""
   }
 }

@@ -148,5 +148,25 @@ class LineageListenerSpec extends AnyFunSpec with SparkTestBase {
         assert(n > 0)
       } finally Lineage.uninstall(spark, l)
     }
+
+    it("plan fingerprints identify recurring jobs across sessions' exprIds") {
+      val sink = new InMemorySink
+      val l = Lineage.installSync(spark, sink)
+      try {
+        def runJob(): Unit = spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderstatus") === "O")
+          .groupBy("o_orderpriority").count().collect()
+        runJob()
+        runJob() // fresh DataFrame, fresh exprIds — same job
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderstatus") === "F") // different literal = different job
+          .groupBy("o_orderpriority").count().collect()
+        assert(eventually()(sink.records.count(_.planFingerprint.nonEmpty) >= 3))
+        val fps = sink.records.filter(_.funcName == "collect").map(_.planFingerprint)
+        assert(fps.forall(_.matches("[0-9a-f]{64}")))
+        assert(fps(0) == fps(1), "re-run of the same job changed fingerprint")
+        assert(fps(2) != fps(0), "different job collided")
+      } finally Lineage.uninstall(spark, l)
+    }
   }
 }

@@ -62,6 +62,7 @@ object SparkEntry {
     "q_dedup_recall"        -> Dedup.qDedupRecall _,
     "q_bloom_decontaminate" -> Dedup.qBloomDecontaminate _,
     "q_decontaminate_auto"  -> Dedup.qDecontaminateAuto _,
+    "q_split_leakage"       -> Dedup.qSplitLeakage _,
     // §2.4 similarity
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
@@ -248,6 +249,7 @@ object SparkEntry {
     "q_dedup_recall"        -> Dedup.oracleDedupRecall,
     "q_bloom_decontaminate" -> Dedup.oracleDecontaminate,
     "q_decontaminate_auto"  -> Dedup.oracleDecontaminate,
+    "q_split_leakage"       -> Dedup.oracleSplitLeakage,
 
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,

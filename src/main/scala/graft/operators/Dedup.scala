@@ -326,6 +326,62 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Train/test SPLIT-LEAKAGE audit (`q_split_leakage`) — the
+    * benchmark-contamination check a curation pipeline must run after
+    * splitting: a near-dup pair straddling train and test leaks test
+    * content into training (the in-corpus twin of `q_decontaminate`,
+    * which guards against EXTERNAL eval sets). Two channels: exact-dup
+    * clusters whose members land in >1 split (md5 groupBy +
+    * distinct-split count) and near-dup rep pairs whose deterministic
+    * h60 split assignments differ (the same `Pipeline.splitCol` rule
+    * the curation plan applies, so the audit audits the REAL split).
+    * Reuses the MinHash pair generator — no new candidate machinery;
+    * the summary is a 1-row × 1-row bounded cross join.
+    */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dsplit = docs.select(col("doc_id"), graft.operators.Pipeline.splitCol.as("split"))
+    val exactLeaky = docs
+      .select(md5(col("text")).as("h"), graft.operators.Pipeline.splitCol.as("split"))
+      .groupBy("h").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("exact_leaky_clusters"))
+    val reps = collapseExact(docs).cache()
+    val sig = minhashSignatures(shingleTable(reps)).cache()
+    val ps = minhashPairs(sig)
+      .join(dsplit.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(dsplit.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+    ps.agg(count(lit(1)).as("near_pairs"),
+        coalesce(sum((col("split_a") =!= col("split_b")).cast("long")), lit(0L)).as("near_leaked"))
+      .crossJoin(broadcast(exactLeaky))
+      .select(col("near_pairs"), col("near_leaked"), col("exact_leaky_clusters"))
+  }
+
+  // def, not val: minhashPairsCtes is declared below (object-init order)
+  def oracleSplitLeakage: String = {
+    val h = h60Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH $minhashPairsCtes,
+       |dsplit AS (
+       |  SELECT doc_id, CASE WHEN $h % 100 < 80 THEN 'train'
+       |                      WHEN $h % 100 < 90 THEN 'val'
+       |                      ELSE 'test' END AS split
+       |  FROM documents),
+       |ps AS (
+       |  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+       |  FROM pairs p JOIN dsplit sa ON sa.doc_id = p.doc_a
+       |               JOIN dsplit sb ON sb.doc_id = p.doc_b),
+       |el AS (
+       |  SELECT count(*) AS exact_leaky_clusters FROM (
+       |    SELECT md5(text) AS h
+       |    FROM documents d JOIN dsplit USING (doc_id)
+       |    GROUP BY md5(text) HAVING count(DISTINCT split) > 1))
+       |SELECT
+       |  (SELECT count(*) FROM ps) AS near_pairs,
+       |  (SELECT CAST(coalesce(sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END), 0) AS BIGINT) FROM ps) AS near_leaked,
+       |  el.exact_leaky_clusters
+       |FROM el""".stripMargin
+  }
+
   /** CTE chain ending in `pairs(doc_a, doc_b, est_jaccard)` — the oracle
     * twin of [[minhashPairs]] over [[repsCte]]. */
   private val minhashPairsCtes: String = {

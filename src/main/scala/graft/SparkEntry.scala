@@ -70,6 +70,7 @@ object SparkEntry {
     "q_knn_ivf"      -> Similarity.qKnnIvf _,
     "q_knn_recall"   -> Similarity.qKnnRecall _,
     "q_knn_pq"       -> Similarity.qKnnPq _,
+    "q_embedding_profile" -> Similarity.qEmbeddingProfile _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -257,6 +258,7 @@ object SparkEntry {
     "q_knn_ivf"      -> Similarity.oracleKnnIvf,
     "q_knn_recall"   -> Similarity.oracleKnnRecall,
     "q_knn_pq"       -> Similarity.oracleKnnPq,
+    "q_embedding_profile" -> Similarity.oracleEmbeddingProfile,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

@@ -639,6 +639,45 @@ object Similarity {
        |FROM adc a JOIN e USING (vec_id), qfull
        |ORDER BY a.adc_cos DESC, a.vec_id""".stripMargin
 
+  /** Embedding pre-flight profile (`q_embedding_profile`) — the health
+    * check run before pointing any ANN index at a new embedding drop:
+    * per-label counts, zero-vector count (a zero vector silently
+    * poisons cosine math), norm spread (quantization/normalization
+    * drift shows up here first), and the dimension pinned constant.
+    * One narrow projection + one map-side-combinable aggregate.
+    */
+  def qEmbeddingProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("label"), sqrt(dot(col("emb"), col("emb"))).as("nrm"),
+        size(col("emb")).as("dim"))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum((col("nrm") === 0.0).cast("long")).as("n_zero"),
+        round(min("nrm"), 4).as("norm_min"),
+        round(avg("nrm"), 4).as("norm_mean"),
+        round(max("nrm"), 4).as("norm_max"),
+        countDistinct("dim").as("n_dims"),
+        max("dim").as("dim"))
+      .orderBy("label")
+  }
+
+  val oracleEmbeddingProfile: String =
+    s"""WITH e AS (
+       |  SELECT label,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm,
+       |    len(embedding) AS dim
+       |  FROM embeddings)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  round(min(nrm), 4) AS norm_min,
+       |  round(avg(nrm), 4) AS norm_mean,
+       |  round(max(nrm), 4) AS norm_max,
+       |  count(DISTINCT dim) AS n_dims,
+       |  CAST(max(dim) AS INT) AS dim
+       |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   def qKnnCentroid(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))

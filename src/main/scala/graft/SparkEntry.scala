@@ -71,6 +71,7 @@ object SparkEntry {
     "q_knn_recall"   -> Similarity.qKnnRecall _,
     "q_knn_pq"       -> Similarity.qKnnPq _,
     "q_embedding_profile" -> Similarity.qEmbeddingProfile _,
+    "q_knn_ivfpq"    -> Similarity.qKnnIvfPq _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -259,6 +260,7 @@ object SparkEntry {
     "q_knn_recall"   -> Similarity.oracleKnnRecall,
     "q_knn_pq"       -> Similarity.oracleKnnPq,
     "q_embedding_profile" -> Similarity.oracleEmbeddingProfile,
+    "q_knn_ivfpq"    -> Similarity.oracleKnnIvfPq,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

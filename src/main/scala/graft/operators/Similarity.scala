@@ -398,7 +398,7 @@ object Similarity {
   val oracleKnnRecall: String =
     s"""WITH $kmeansCtes,
        |$lshCandidatesSql,
-       |$pqTrainSql,
+       |${pqTrainSql()},
        |qs AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $RECALL_QS),
        |truth AS (
        |  SELECT qid, vec_id FROM (
@@ -582,10 +582,12 @@ object Similarity {
     s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
 
   /** DuckDB mirror of the PQ training+encoding pipeline as CTEs —
-    * assumes an `e(vec_id, emb)` CTE is already in scope (shared with
-    * [[kmeansCtes]] when both are present). Ends with `subs`, the final
-    * codebook `cb{PQ_ITERS}`, `codes`, and per-vector `pqnorms`. */
-  private[graft] def pqTrainSql: String = {
+    * assumes a `$embSrc(vec_id, $embCol)` CTE is already in scope
+    * (shared with [[kmeansCtes]] when both are present; the IVF-PQ
+    * oracle points it at the residual frame). Ends with `subs`, the
+    * final codebook `cb{PQ_ITERS}`, `codes`, and per-vector `pqnorms`
+    * (norms always over the RAW `e.emb` — the stored exact norm). */
+  private[graft] def pqTrainSql(embSrc: String = "e", embCol: String = "emb"): String = {
     def assignCte(centSrc: String, out: String): String =
       s"""$out AS (
          |  SELECT vec_id, m, sub, code FROM (
@@ -606,8 +608,8 @@ object Similarity {
     }.mkString(",\n")
     s"""subs AS (
        |  SELECT vec_id, ms.m,
-       |    list_transform(generate_series(1, $PQ_SUB), i -> emb[ms.m * $PQ_SUB + i]) AS sub
-       |  FROM e, (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m) ms),
+       |    list_transform(generate_series(1, $PQ_SUB), i -> $embCol[ms.m * $PQ_SUB + i]) AS sub
+       |  FROM $embSrc, (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m) ms),
        |cb0 AS (
        |  SELECT m, CAST(vec_id AS INT) AS code, sub AS centroid
        |  FROM subs WHERE vec_id < $PQ_KSUB),
@@ -620,7 +622,7 @@ object Similarity {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
        |  FROM embeddings),
-       |$pqTrainSql,
+       |${pqTrainSql()},
        |q AS (SELECT m, sub AS qsub FROM subs WHERE vec_id = 0),
        |qfull AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
        |lut AS (
@@ -635,6 +637,115 @@ object Similarity {
        |  FROM scored s JOIN pqnorms n USING (vec_id), qfull
        |  ORDER BY adc_cos DESC, s.vec_id LIMIT 5)
        |SELECT a.vec_id, round(a.adc_cos, 6) AS adc_cos,
+       |  round(${cosSql("e.emb", "qemb")}, 6) AS cos
+       |FROM adc a JOIN e USING (vec_id), qfull
+       |ORDER BY a.adc_cos DESC, a.vec_id""".stripMargin
+
+  /** IVF-PQ (`q_knn_ivfpq`) — the composed billion-scale index shape:
+    * the trained IVF coarse quantizer partitions the corpus into
+    * cells, and PQ codebooks are trained on the RESIDUALS (emb −
+    * cell centroid) — residuals are smaller and better-centered than
+    * raw vectors, which is why the composition beats either part
+    * alone at scale. The stored index per vector is (cell, M codes,
+    * exact norm): ~(4 + 8 + 8) bytes instead of 512.
+    *
+    * Query: probe the top-2 cells; per probed cell build the
+    * RESIDUAL lookup table against the shared codebooks
+    * (LUT(cell, m, code) = (q − centroid_cell)ₘ · codeword — the
+    * table depends on the cell because the residual does), then
+    * approx dot(q, x) = q·centroid_cell + Σₘ LUT and cosine via the
+    * stored exact norm; exact re-rank of the head. Everything
+    * downstream of encoding touches codes + two broadcast LUT frames
+    * only. All partial sums fold in explicit m order (the qKnnPq
+    * determinism contract).
+    */
+  def qKnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = trainedCentroids(s, e).cache()
+    val assigned = assignCells(s, e, cent).cache()
+    val resid = assigned.join(broadcast(cent), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("centroid"), (x, c) => x - c).as("emb"))
+    val rsubs = pqSubs(resid.select("vec_id", "emb")).cache()
+    val cb = pqCodebooks(rsubs).cache()
+    val codes = pqAssign(rsubs, cb).select("vec_id", "m", "code")
+    val norms = e.select(col("vec_id"), sqrt(dot(col("emb"), col("emb"))).as("nrm"))
+    val qv = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qemb")))
+    val qCells = broadcast(cent.crossJoin(qv)
+      .select(col("cell"), col("centroid"),
+        cosine(s, "centroid", "qemb").as("qc"),
+        dot(col("qemb"), col("centroid")).as("qcdot"),
+        zip_with(col("qemb"), col("centroid"), (x, c) => x - c).as("qres"))
+      .orderBy(desc("qc"), col("cell")).limit(2)
+      .select("cell", "qcdot", "qres"))
+    val qsubs = pqSubs(qCells.select(col("cell").as("vec_id"), col("qres").as("emb")))
+      .select(col("vec_id").as("cell"), col("m"), col("sub").as("qsub"))
+    val lut = broadcast(cb.join(qsubs, Seq("m"))
+      .select(col("cell"), col("m"), col("code"),
+        dot(col("qsub"), col("centroid")).as("pdot")))
+    val scored = codes
+      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+      .join(lut, Seq("cell", "m", "code")) // probed cells only survive
+      .groupBy("vec_id", "cell").agg(orderedSum("pdot").as("rdot"))
+      .join(broadcast(qCells.select("cell", "qcdot")), Seq("cell"))
+      .join(norms, Seq("vec_id"))
+      .crossJoin(qv)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cell"),
+        ((col("rdot") + col("qcdot")) /
+          (col("nrm") * sqrt(dot(col("qemb"), col("qemb"))))).as("adc_cos"))
+      .orderBy(desc("adc_cos"), col("vec_id")).limit(5)
+    scored.join(e, Seq("vec_id")).crossJoin(qv)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        round(col("adc_cos"), 6).as("adc_cos"),
+        round(cosine(s, "emb", "qemb"), 6).as("cos"))
+      .orderBy(desc("adc_cos"), col("vec_id"))
+  }
+
+  val oracleKnnIvfPq: String =
+    s"""WITH $kmeansCtes,
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |rid AS (
+       |  SELECT a.vec_id,
+       |    list_transform(generate_series(1, len(a.emb)),
+       |      i -> a.emb[i] - c.centroid[i]) AS remb
+       |  FROM assigned a JOIN cent c USING (cell)),
+       |${pqTrainSql("rid", "remb")},
+       |qfull AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+       |qcells AS (
+       |  SELECT c.cell, c.centroid,
+       |    ${dotSql("q.qemb", "c.centroid")} AS qcdot,
+       |    list_transform(generate_series(1, len(q.qemb)),
+       |      i -> q.qemb[i] - c.centroid[i]) AS qres
+       |  FROM cent c, qfull q
+       |  ORDER BY ${cosSql("c.centroid", "q.qemb")} DESC, c.cell LIMIT 2),
+       |qsubs AS (
+       |  SELECT qc.cell, ms.m,
+       |    list_transform(generate_series(1, $PQ_SUB), i -> qc.qres[ms.m * $PQ_SUB + i]) AS qsub,
+       |    qc.qcdot
+       |  FROM qcells qc, (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m) ms),
+       |lut AS (
+       |  SELECT qs.cell, qs.m, cb.code, ${dotSql("qs.qsub", "cb.centroid")} AS pdot
+       |  FROM cb$PQ_ITERS cb JOIN qsubs qs USING (m)),
+       |scored AS (
+       |  SELECT a.vec_id, l.cell, list_sum(list(l.pdot ORDER BY a.m)) AS rdot
+       |  FROM codes a JOIN assigned av USING (vec_id)
+       |  JOIN lut l ON l.cell = av.cell AND l.m = a.m AND l.code = a.code
+       |  WHERE a.vec_id <> 0
+       |  GROUP BY a.vec_id, l.cell),
+       |adc AS (
+       |  SELECT s.vec_id, s.cell,
+       |    (s.rdot + qc.qcdot) / (n.nrm * sqrt(${dotSql("qemb", "qemb")})) AS adc_cos
+       |  FROM scored s JOIN qcells qc ON qc.cell = s.cell
+       |  JOIN pqnorms n USING (vec_id), qfull
+       |  ORDER BY adc_cos DESC, s.vec_id LIMIT 5)
+       |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, round(a.adc_cos, 6) AS adc_cos,
        |  round(${cosSql("e.emb", "qemb")}, 6) AS cos
        |FROM adc a JOIN e USING (vec_id), qfull
        |ORDER BY a.adc_cos DESC, a.vec_id""".stripMargin

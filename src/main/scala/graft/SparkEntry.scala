@@ -85,6 +85,7 @@ object SparkEntry {
     "q_text_winnow"       -> TextAnalysis.qTextWinnow _,
     "q_text_collocations" -> TextAnalysis.qTextCollocations _,
     "q_tokenize_bpe"      -> TextAnalysis.qTokenizeBpe _,
+    "q_text_lm_score"     -> TextAnalysis.qTextLmScore _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
@@ -274,6 +275,7 @@ object SparkEntry {
     "q_text_winnow"       -> TextAnalysis.oracleTextWinnow,
     "q_text_collocations" -> TextAnalysis.oracleTextCollocations,
     "q_tokenize_bpe"      -> TextAnalysis.oracleTokenizeBpe,
+    "q_text_lm_score"     -> TextAnalysis.oracleTextLmScore,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
 

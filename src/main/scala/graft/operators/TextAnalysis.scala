@@ -320,6 +320,60 @@ object TextAnalysis {
        |JOIN uni uy ON uy.word = string_split(b.bigram, ' ')[2], n
        |ORDER BY lift DESC, b.bigram LIMIT 20""".stripMargin
 
+  /** Corpus-self bigram-LM fluency score (`q_text_lm_score`) — the
+    * LM-quality filter (CCNet-style) computed WITHOUT an external
+    * model: score(doc) = mean over its bigram occurrences of the
+    * corpus MLE conditional probability c(xy)/c(x). Fluent text built
+    * from common continuations scores high; shuffled/garbled text
+    * scores near the unigram floor — the standard cheap fluency
+    * signal next to `q_text_quality`'s surface ratios. Rational
+    * arithmetic only (no log): cross-engine identical after 6dp
+    * rounding of the per-doc mean.
+    *
+    * Plan: one bigram explode, two corpus-count hash aggs, two
+    * equality joins keyed on bigram/first-word (stopword skew on the
+    * c(x) join is AQE-splittable; both count frames are
+    * vocabulary-sized and broadcast when they fit), one final per-doc
+    * mean. Docs with <2 words have no bigrams and drop out (inner
+    * join semantics, mirrored).
+    */
+  def qTextLmScore(s: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val docsW = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bg = docsW.select(col("doc_id"), explode(bigrams).as("bigram"))
+      .withColumn("x", split(col("bigram"), " ")(0))
+    val uni = docsW.select(explode(w).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_x"))
+    val big = bg.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    bg.join(big, Seq("bigram"))
+      .join(uni.withColumnRenamed("word", "x"), Seq("x"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("c_xy").cast("double") / col("c_x")), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val oracleTextLmScore: String =
+    """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS x FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |      THEN list_transform(generate_series(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i+1])
+      |      ELSE [] END) AS bigram
+      |    FROM wd)),
+      |uni AS (SELECT word, count(*) AS c_x FROM (SELECT unnest(w) AS word FROM wd) GROUP BY word),
+      |big AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY bigram)
+      |SELECT bg.doc_id, count(*) AS n_bigrams,
+      |  round(avg(big.c_xy * 1.0 / uni.c_x), 6) AS lm_score
+      |FROM bg JOIN big USING (bigram) JOIN uni ON uni.word = bg.x
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   /** Inverted index over the corpus vocabulary: term → document
     * frequency, total term frequency, and the head of the posting list.
     * The retrieval-side primitive (BM25/keyword search, decontamination

@@ -56,6 +56,34 @@ class SignalsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_text_lm_score") {
+
+    it("scores fluent repetition of common continuations above garbled word salad") {
+      import scala.jdk.CollectionConverters._
+      // corpus dominated by "the cat sat" patterns; one doc scrambles them
+      val fluent = Seq.fill(20)("the cat sat on the mat and the cat sat again")
+      val garbled = Seq("mat the on sat again cat the and sat cat the")
+      val rows = (fluent ++ garbled).zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row(i.toLong, t, "en", "src0", t.length.toLong)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      withTempDir { dir =>
+        spark.createDataFrame(rows.asJava, schema).write.parquet(s"$dir/documents.parquet")
+        val got = TextAnalysis.qTextLmScore(spark, dir.toString).collect()
+          .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        val fluentScore = got(0L)
+        val garbledScore = got(20L)
+        assert(fluentScore > garbledScore,
+          s"fluent $fluentScore not above garbled $garbledScore")
+      }
+    }
+  }
+
   describe("q_events_anomaly") {
 
     it("matches a driver-side z-score recomputation") {

@@ -229,5 +229,41 @@ class StreamOpsSpec extends AnyFunSpec with SparkTestBase {
           streamed.exists(_.contains("<PHONE>")) && streamed.exists(_.contains("<IP>")))
       } finally q.stop()
     }
+
+    it("batch-derived anomaly thresholds apply unchanged on a stream (stream-static join)") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      // thresholds trained in batch on the real events table — the
+      // production shape: nightly stats, streamed probe
+      val stats = graft.Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(round(avg("value"), 6).as("mean_v"),
+          round(stddev_samp("value"), 6).as("sd_v"))
+      val replay = graft.Tables.events(spark, sfDir)
+        .select("event_id", "event_type", "value")
+        .limit(500)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val stream = MemoryStream[(Long, String, Double)]
+      val probed = stream.toDF().toDF("event_id", "event_type", "value")
+        .join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"),
+          (abs(col("value") - col("mean_v")) > col("sd_v") * 3).as("is_outlier"))
+      val q = probed.writeStream.format("memory").queryName("anom_out")
+        .outputMode("append").start()
+      try {
+        stream.addData(replay.toSeq: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("anom_out")
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        val batch = graft.Tables.events(spark, sfDir)
+          .select("event_id", "event_type", "value").limit(500)
+          .join(broadcast(stats), Seq("event_type"))
+          .select(col("event_id"),
+            (abs(col("value") - col("mean_v")) > col("sd_v") * 3).as("is_outlier"))
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        assert(streamed == batch, "stream/batch anomaly verdict divergence")
+        assert(streamed.values.exists(identity), "no outliers in the replayed slice")
+      } finally q.stop()
+    }
   }
 }

@@ -39,6 +39,10 @@ object SparkEntry {
     "q_sketch_merge"      -> Relational.qSketchMerge _,
     "q_quantile_merge"    -> Relational.qQuantileMerge _,
     "q_theta_sets"        -> Relational.qThetaSets _,
+    // warehouse maintenance & governance
+    "q_data_quality"    -> Warehouse.qDataQuality _,
+    "q_merge_upsert"    -> Warehouse.qMergeUpsert _,
+    "q_incremental_agg" -> Warehouse.qIncrementalAgg _,
     // §2.2 events
     "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
@@ -182,6 +186,9 @@ object SparkEntry {
     "q_sketch_merge"      -> Relational.oracleSketchMerge,
     "q_quantile_merge"    -> Relational.oracleQuantileMerge,
     "q_theta_sets"        -> Relational.oracleThetaSets,
+    "q_data_quality"      -> Warehouse.oracleDataQuality,
+    "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,
+    "q_incremental_agg"   -> Warehouse.oracleIncrementalAgg,
 
     "q_conditional_pivot" ->
       """SELECT o_orderpriority,

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse maintenance & governance operators: declarative data-quality
+  * constraint checking (Deequ-style, one scan), CDC MERGE/upsert semantics,
+  * and incremental aggregate maintenance (the "don't rescan 100 TB to
+  * refresh a rollup" pattern).
+  *
+  * Scale notes:
+  *  - `qDataQuality` computes the whole constraint suite in ONE pass over
+  *    the fact table (a single hash-aggregate with map-side combine); only
+  *    the referential check needs a second, distinct-key-sized anti-join.
+  *  - `qMergeUpsert` is one equality-key full-outer join (AQE-splittable);
+  *    a real CDC feed is usually tiny relative to the base and would
+  *    broadcast — here it is derived from the base itself so both sides
+  *    shuffle, the worst case.
+  *  - `qIncrementalAgg` merges a persisted aggregate STATE with a
+  *    delta-partition aggregate and proves the merge equals a full
+  *    recompute — partial sums and counts are mergeable, so refreshing the
+  *    rollup costs O(delta), not O(history).
+  */
+object Warehouse {
+
+  // ---------------------------------------------------------------- quality
+
+  /** One-scan data-quality constraint suite over lineitem: completeness,
+    * range bounds, domain membership, key uniqueness, plus a referential-
+    * integrity probe against `part`. Output is one row per constraint
+    * (check_name, metric, pass). The (l_orderkey, l_linenumber) uniqueness
+    * check genuinely FAILS on the driver data (metric ≈ 0.7639) — the suite
+    * is non-vacuous by construction.
+    */
+  def qDataQuality(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      count(col("l_shipdate")).as("n_shipdate"),
+      sum(when(col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("n_qty_in_bounds"),
+      max(col("l_discount")).as("max_discount"),
+      min(col("l_extendedprice")).as("min_price"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L)).as("n_flag_bad"))
+    // Referential containment: every l_partkey must exist in part. The
+    // distinct-key frame is |parts|-sized, the dim broadcasts.
+    val orphans = li.select("l_partkey").distinct()
+      .join(Tables.dim(s, dir, "part"), col("l_partkey") === col("p_partkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_parts"))
+    m.crossJoin(orphans) // 1 row x 1 row, bounded by construction
+      .select(explode(array(
+        struct(lit("completeness_l_shipdate").as("check_name"),
+          round(col("n_shipdate") / col("n"), 6).as("metric"),
+          (col("n_shipdate") === col("n")).as("pass")),
+        struct(lit("quantity_in_1_50").as("check_name"),
+          round(col("n_qty_in_bounds") / col("n"), 6).as("metric"),
+          (col("n_qty_in_bounds") === col("n")).as("pass")),
+        struct(lit("discount_le_0_10").as("check_name"),
+          round(col("max_discount"), 6).as("metric"),
+          (col("max_discount") <= 0.10).as("pass")),
+        struct(lit("price_positive").as("check_name"),
+          round(col("min_price"), 6).as("metric"),
+          (col("min_price") > 0.0).as("pass")),
+        struct(lit("pk_unique_orderkey_linenumber").as("check_name"),
+          round(col("n_pk") / col("n"), 6).as("metric"),
+          (col("n_pk") === col("n")).as("pass")),
+        struct(lit("returnflag_domain").as("check_name"),
+          col("n_flag_bad").cast("double").as("metric"),
+          (col("n_flag_bad") === 0L).as("pass")),
+        struct(lit("partkey_ref_integrity").as("check_name"),
+          col("n_orphan_parts").cast("double").as("metric"),
+          (col("n_orphan_parts") === 0L).as("pass")))).as("r"))
+      .select(col("r.check_name").as("check_name"), col("r.metric").as("metric"),
+        col("r.pass").as("pass"))
+      .orderBy("check_name")
+  }
+
+  val oracleDataQuality: String =
+    """WITH m AS (
+      | SELECT count(*) AS n, count(l_shipdate) AS n_shipdate,
+      |  sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS n_qty,
+      |  max(l_discount) AS max_discount, min(l_extendedprice) AS min_price,
+      |  count(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+      |  sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS n_flag_bad
+      | FROM lineitem),
+      |o AS (
+      | SELECT count(*) AS n_orphan FROM (SELECT DISTINCT l_partkey FROM lineitem) lp
+      | LEFT JOIN part ON l_partkey = p_partkey WHERE p_partkey IS NULL)
+      |SELECT * FROM (
+      | SELECT 'completeness_l_shipdate' AS check_name, round(n_shipdate * 1.0 / n, 6) AS metric, n_shipdate = n AS pass FROM m
+      | UNION ALL SELECT 'quantity_in_1_50', round(n_qty * 1.0 / n, 6), n_qty = n FROM m
+      | UNION ALL SELECT 'discount_le_0_10', round(max_discount, 6), max_discount <= 0.10 FROM m
+      | UNION ALL SELECT 'price_positive', round(min_price, 6), min_price > 0.0 FROM m
+      | UNION ALL SELECT 'pk_unique_orderkey_linenumber', round(n_pk * 1.0 / n, 6), n_pk = n FROM m
+      | UNION ALL SELECT 'returnflag_domain', n_flag_bad * 1.0, n_flag_bad = 0 FROM m
+      | UNION ALL SELECT 'partkey_ref_integrity', n_orphan * 1.0, n_orphan = 0 FROM o
+      |) ORDER BY check_name""".stripMargin
+
+  // ------------------------------------------------------------------ merge
+
+  /** CDC MERGE INTO semantics (upsert + delete) expressed as one full-outer
+    * equality join. The change feed is synthesized deterministically from
+    * the base table so the oracle can rebuild it: keys ≡3 (mod 13) are
+    * deletes, keys ≡0 (mod 7) are +10.00 price corrections, and keys ≡5
+    * (mod 11) spawn inserts under a disjoint key range (base keys stay far
+    * below the +10M offset at every driver SF). Output is the post-merge
+    * table with the action that produced each row (K=kept, U=updated,
+    * I=inserted; deletes are absent). Price arithmetic is exact IEEE
+    * add/pass-through — no rounding, so the cross-engine doubles are
+    * bit-identical (round(x*1.1, 2) would tie-break differently in the
+    * two engines on .xx5 values).
+    */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+    val upd = base.filter(col("o_orderkey") % 13 =!= 3 && col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("c_orderkey"), lit("U").as("op"),
+        (col("o_totalprice") + 10.0).as("c_totalprice"))
+    val del = base.filter(col("o_orderkey") % 13 === 3)
+      .select(col("o_orderkey").as("c_orderkey"), lit("D").as("op"),
+        lit(null).cast("double").as("c_totalprice"))
+    val ins = base.filter(col("o_orderkey") % 11 === 5)
+      .select((col("o_orderkey") + 10000000L).as("c_orderkey"), lit("I").as("op"),
+        col("o_totalprice").as("c_totalprice"))
+    val changes = upd.unionByName(del).unionByName(ins)
+    base.join(changes, col("o_orderkey") === col("c_orderkey"), "full_outer")
+      .filter(coalesce(col("op"), lit("K")) =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("c_orderkey")).as("o_orderkey"),
+        when(col("op").isin("U", "I"), col("c_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        coalesce(col("op"), lit("K")).as("action"))
+      .orderBy("o_orderkey")
+  }
+
+  val oracleMergeUpsert: String =
+    """WITH changes AS (
+      | SELECT o_orderkey AS c_orderkey, 'U' AS op, o_totalprice + 10.0 AS c_totalprice
+      |  FROM orders WHERE o_orderkey % 13 <> 3 AND o_orderkey % 7 = 0
+      | UNION ALL
+      | SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 13 = 3
+      | UNION ALL
+      | SELECT o_orderkey + 10000000, 'I', o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 5)
+      |SELECT coalesce(o_orderkey, c_orderkey) AS o_orderkey,
+      |  CASE WHEN op IN ('U','I') THEN c_totalprice ELSE o_totalprice END AS o_totalprice,
+      |  coalesce(op, 'K') AS action
+      |FROM orders FULL OUTER JOIN changes ON o_orderkey = c_orderkey
+      |WHERE coalesce(op, 'K') <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------ incremental
+
+  /** Incremental aggregate maintenance: a monthly-revenue rollup "state"
+    * (everything before the cutoff) is refreshed by merging ONE delta
+    * month's partial aggregate — never rescanning history — and the result
+    * is proven equal to a full recompute in the same plan. Sum/count
+    * partials are mergeable, so the refresh cost is O(delta). The
+    * `matches_full` flag compares the two paths with a 1e-4 tolerance
+    * (both are double sums of the same addends in different association
+    * orders; observed divergence is ~1e-9 at these magnitudes).
+    */
+  def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val cutoff = lit("2001-06-01").cast("timestamp")
+    val next   = lit("2001-07-01").cast("timestamp")
+    def monthly(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum("o_totalprice").as("rev"), count(lit(1)).as("n"))
+    val state = monthly(ord.filter(col("o_orderdate") < cutoff))
+    val delta = monthly(ord.filter(col("o_orderdate") >= cutoff && col("o_orderdate") < next))
+    val incr = state.unionByName(delta)
+      .groupBy("month").agg(sum("rev").as("rev"), sum("n").as("n"))
+    val full = monthly(ord.filter(col("o_orderdate") < next))
+      .withColumnRenamed("rev", "full_rev").withColumnRenamed("n", "full_n")
+    incr.join(full, "month")
+      .select(col("month").cast("timestamp_ntz").as("month"),
+        round(col("rev"), 2).as("revenue"),
+        col("n").as("n_orders"),
+        (abs(col("rev") - col("full_rev")) < 1e-4 && col("n") === col("full_n")).as("matches_full"))
+      .orderBy("month")
+  }
+
+  val oracleIncrementalAgg: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      | round(sum(o_totalprice), 2) AS revenue,
+      | count(*) AS n_orders,
+      | true AS matches_full
+      |FROM orders WHERE o_orderdate < TIMESTAMP '2001-07-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -121,11 +121,13 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       // q_text_collocations broadcasts the 1-row bigram total
       // q_corpus_drift broadcasts the 1-row global-quantile frame
       // q_theta_sets crossJoins two 1-row sketch frames;
-      // q_split_leakage crossJoins two 1-row summary frames
+      // q_split_leakage crossJoins two 1-row summary frames;
+      // q_data_quality crossJoins the 1-row metric frame with the 1-row
+      // referential-orphan count
       val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall",
         "q_zorder_layout", "q_supplier_share", "q_heavy_hitters", "q_knn_pq",
         "q_text_collocations", "q_corpus_drift", "q_theta_sets",
-        "q_split_leakage", "q_knn_ivfpq")
+        "q_split_leakage", "q_knn_ivfpq", "q_data_quality")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

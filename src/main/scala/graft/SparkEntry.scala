@@ -67,6 +67,7 @@ object SparkEntry {
     "q_bloom_decontaminate" -> Dedup.qBloomDecontaminate _,
     "q_decontaminate_auto"  -> Dedup.qDecontaminateAuto _,
     "q_split_leakage"       -> Dedup.qSplitLeakage _,
+    "q_segment_dedup"       -> Dedup.qSegmentDedup _,
     // §2.4 similarity
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
@@ -260,6 +261,7 @@ object SparkEntry {
     "q_bloom_decontaminate" -> Dedup.oracleDecontaminate,
     "q_decontaminate_auto"  -> Dedup.oracleDecontaminate,
     "q_split_leakage"       -> Dedup.oracleSplitLeakage,
+    "q_segment_dedup"       -> Dedup.oracleSegmentDedup,
 
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,

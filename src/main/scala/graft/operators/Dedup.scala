@@ -882,4 +882,69 @@ object Dedup {
        |FROM tr JOIN ev USING (sh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------- segment-level dedup
+
+  /** Passage segment width (words). Non-overlapping 8-word windows: long
+    * enough that a shared segment means copied text (the decontamination
+    * lesson — shared 3-grams are common phrases), short enough that a
+    * copied paragraph yields several hits.
+    */
+  private val SEG_N = 8
+
+  /** Substring-level duplication audit (`q_segment_dedup`): documents are
+    * cut into consecutive NON-OVERLAPPING [[SEG_N]]-word segments and a
+    * segment duplicated across >=2 distinct documents marks copied
+    * passage. This is the segment-granular twin of document-level dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — duplicated SPANS inside otherwise-unique
+    * pages are what document-level dedup misses).
+    *
+    * Scale shape: projection + explode (W/8 rows per doc — 8× fewer than
+    * the overlapping shingle table), hash-agg on the 8-byte segment hash
+    * with map-side combine, one equality join back, per-doc agg. No
+    * windows, no pair explosion — the segment-frequency frame is
+    * vocabulary-sized and AQE-broadcastable.
+    */
+  /** (doc_id, sg) table of hashed non-overlapping [[SEG_N]]-word segments. */
+  private[graft] def segmentTable(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // w is a materialized attribute: HOF lambdas get no subexpression
+    // elimination, an inline split would re-evaluate per element_at
+    words
+      .select(col("doc_id"),
+        when(size(col("w")) >= SEG_N,
+          transform(sequence(lit(0), (size(col("w")) / SEG_N).cast("int") - 1),
+            i => concat_ws(" ", (1 to SEG_N).map(k => element_at(col("w"), i * SEG_N + k)): _*)))
+          .otherwise(array().cast("array<string>")).as("segs"))
+      .select(col("doc_id"), explode(col("segs")).as("segment"))
+      .select(col("doc_id"), h60(col("segment")).as("sg"))
+  }
+
+  def qSegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = segmentTable(Tables.documents(s, dir))
+    val segDf = segs.groupBy("sg").agg(countDistinct("doc_id").as("ndocs"))
+    segs.join(segDf, "sg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum((col("ndocs") >= 2).cast("long")).as("n_dup_segments"))
+      .withColumn("dup_frac", round(col("n_dup_segments") / col("n_segments"), 6))
+      .orderBy("doc_id")
+  }
+
+  val oracleSegmentDedup: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |seg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $SEG_N
+       |    THEN list_transform(generate_series(0, CAST(len(ws) // $SEG_N AS INT) - 1),
+       |      i -> array_to_string(ws[i*$SEG_N+1 : i*$SEG_N+$SEG_N], ' '))
+       |    ELSE [] END) AS segment
+       |  FROM w),
+       |sh AS (SELECT doc_id, ${h60Sql("segment")} AS sg FROM seg),
+       |df AS (SELECT sg, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_segments,
+       | CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       | round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+       |FROM sh JOIN df USING (sg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

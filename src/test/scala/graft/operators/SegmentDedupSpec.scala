@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** Segment-level (substring) duplication: non-overlapping 8-word windows
+  * shared across >=2 documents mark copied passages — the span-granular
+  * channel document-level dedup misses.
+  */
+class SegmentDedupSpec extends AnyFunSpec with SparkTestBase {
+
+  import spark.implicits._
+
+  describe("segmentTable") {
+
+    it("cuts exact non-overlapping 8-word windows and drops the tail remainder") {
+      val doc = (1 to 20).map(i => s"w$i").mkString(" ") // 20 words -> 2 segments
+      val segs = Dedup.segmentTable(Seq((1L, doc)).toDF("doc_id", "text"))
+      assert(segs.count() == 2)
+      val short = Dedup.segmentTable(Seq((1L, "only seven words in this tiny doc")).toDF("doc_id", "text"))
+      assert(short.count() == 0)
+    }
+
+    it("detects a copied passage embedded in otherwise-distinct documents") {
+      val passage = (1 to 16).map(i => s"copied$i").mkString(" ") // 2 aligned segments
+      val a = passage + " " + (1 to 8).map(i => s"atail$i").mkString(" ")
+      val b = passage + " " + (1 to 8).map(i => s"btail$i").mkString(" ")
+      val segs = Dedup.segmentTable(Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+      val shared = segs.groupBy("sg").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).count()
+      assert(shared == 2, s"expected the 2 copied segments to be shared, got $shared")
+    }
+  }
+
+  describe("q_segment_dedup") {
+
+    it("matches a window-shaped recomputation and exact-duplicate docs score dup_frac 1.0") {
+      val got = Dedup.qSegmentDedup(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // independent shape: distinct-doc count via a window over sg
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sg")
+      val viaWindow = Dedup.segmentTable(Tables.documents(spark, sfDir))
+        .withColumn("nd", size(collect_set("doc_id").over(w)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum((col("nd") >= 2).cast("long")).as("ndup"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == viaWindow)
+      assert(got.nonEmpty)
+    }
+
+    it("exact-duplicate docs score every segment duplicated; unique docs score none") {
+      val text = (1 to 24).map(i => s"tok$i").mkString(" ") // 3 segments
+      val docs = Seq((1L, text), (2L, text),
+        (3L, (1 to 24).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+      val segs = Dedup.segmentTable(docs)
+      val nd = segs.groupBy("sg").agg(countDistinct("doc_id").as("ndocs"))
+      val perDoc = segs.join(nd, "sg").groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum((col("ndocs") >= 2).cast("long")).as("ndup"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(perDoc(1L) == ((3L, 3L)) && perDoc(2L) == ((3L, 3L)))
+      assert(perDoc(3L) == ((3L, 0L)))
+    }
+
+    it("plans no windows and no pair explosion (equality join on the segment hash)") {
+      val plan = Dedup.qSegmentDedup(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.linesIterator.count(_.matches("^\\(\\d+\\) Window.*")) == 0,
+        "segment dedup must not window the raw segment stream")
+    }
+  }
+}

@@ -39,6 +39,8 @@ object SparkEntry {
     "q_sketch_merge"      -> Relational.qSketchMerge _,
     "q_quantile_merge"    -> Relational.qQuantileMerge _,
     "q_theta_sets"        -> Relational.qThetaSets _,
+    "q_order_gaps"          -> Relational.qOrderGaps _,
+    "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
     "q_merge_upsert"    -> Warehouse.qMergeUpsert _,
@@ -187,6 +189,8 @@ object SparkEntry {
     "q_sketch_merge"      -> Relational.oracleSketchMerge,
     "q_quantile_merge"    -> Relational.oracleQuantileMerge,
     "q_theta_sets"        -> Relational.oracleThetaSets,
+    "q_order_gaps"         -> Relational.oracleOrderGaps,
+    "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,
     "q_incremental_agg"   -> Warehouse.oracleIncrementalAgg,

@@ -601,4 +601,84 @@ object Relational {
       |SELECT l_suppkey, revenue FROM rev, a
       |WHERE revenue > avg_rev * 1.05
       |ORDER BY revenue DESC, l_suppkey""".stripMargin
+
+  // -------------------------------------------------------- order cadence
+
+  /** Per-customer order cadence (`q_order_gaps`): lag window for the gap
+    * between consecutive orders, then a spend quartile via ntile. The lag
+    * window partitions by customer (bounded groups — no skew hazard); the
+    * ntile window runs over the ALREADY-AGGREGATED |customers|-row frame
+    * only, never the raw orders. Single-order customers keep null gaps
+    * (avg/max ignore nulls in both engines).
+    */
+  def qOrderGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)).as("gap_days"))
+    gaps.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg("gap_days"), 4).as("avg_gap_days"),
+        max("gap_days").as("max_gap_days"),
+        round(sum("o_totalprice"), 2).as("total_spend"))
+      .withColumn("spend_quartile",
+        ntile(4).over(Window.orderBy(col("total_spend"), col("o_custkey"))))
+      .orderBy("o_custkey")
+  }
+
+  val oracleOrderGaps: String =
+    """WITH g AS (
+      | SELECT o_custkey, o_totalprice,
+      |  date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |            o_orderdate) AS gap_days
+      | FROM orders),
+      |a AS (
+      | SELECT o_custkey, count(*) AS n_orders,
+      |  round(avg(gap_days), 4) AS avg_gap_days,
+      |  CAST(max(gap_days) AS INT) AS max_gap_days,
+      |  round(sum(o_totalprice), 2) AS total_spend
+      | FROM g GROUP BY o_custkey)
+      |SELECT o_custkey, n_orders, avg_gap_days, max_gap_days, total_spend,
+      | CAST(ntile(4) OVER (ORDER BY total_spend, o_custkey) AS INT) AS spend_quartile
+      |FROM a ORDER BY o_custkey""".stripMargin
+
+  // --------------------------------------------- Q21-style sole-late blame
+
+  /** Q21-shaped "who was the sole late supplier" (`q_late_sole_supplier`):
+    * suppliers whose lineitem shipped late (>1400 days after the order
+    * date — the synthetic data's 90th percentile lateness) on a
+    * multi-supplier order where NO OTHER supplier was late. The classic
+    * correlated EXISTS + NOT-EXISTS stack, decorrelated into one
+    * per-order aggregate (n_suppliers, n_late_suppliers) joined back —
+    * two shuffles on the order key instead of two correlated re-scans.
+    */
+  def qLateSoleSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("okey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 1400 DAYS")).as("late"))
+    val stats = li.groupBy("okey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    li.filter(col("late"))
+      .join(stats.filter(col("n_supp") > 1 && col("n_late_supp") === 1), "okey")
+      .select("okey", "l_suppkey").distinct()
+      .join(Tables.dim(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  val oracleLateSoleSupplier: String =
+    """SELECT s_name, count(*) AS numwait FROM (
+      | SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      | FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+      | WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 1400 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 1400 DAY)
+      |) t JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 }

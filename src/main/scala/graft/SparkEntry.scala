@@ -39,6 +39,7 @@ object SparkEntry {
     "q_sketch_merge"      -> Relational.qSketchMerge _,
     "q_quantile_merge"    -> Relational.qQuantileMerge _,
     "q_theta_sets"        -> Relational.qThetaSets _,
+    "q_grouping_sets"       -> Relational.qGroupingSets _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     // warehouse maintenance & governance
@@ -79,6 +80,7 @@ object SparkEntry {
     "q_knn_pq"       -> Similarity.qKnnPq _,
     "q_embedding_profile" -> Similarity.qEmbeddingProfile _,
     "q_knn_ivfpq"    -> Similarity.qKnnIvfPq _,
+    "q_embedding_jl" -> Similarity.qEmbeddingJl _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -189,6 +191,7 @@ object SparkEntry {
     "q_sketch_merge"      -> Relational.oracleSketchMerge,
     "q_quantile_merge"    -> Relational.oracleQuantileMerge,
     "q_theta_sets"        -> Relational.oracleThetaSets,
+    "q_grouping_sets"      -> Relational.oracleGroupingSets,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
@@ -275,6 +278,7 @@ object SparkEntry {
     "q_knn_pq"       -> Similarity.oracleKnnPq,
     "q_embedding_profile" -> Similarity.oracleEmbeddingProfile,
     "q_knn_ivfpq"    -> Similarity.oracleKnnIvfPq,
+    "q_embedding_jl" -> Similarity.oracleEmbeddingJl,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

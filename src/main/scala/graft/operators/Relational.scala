@@ -602,6 +602,34 @@ object Relational {
       |WHERE revenue > avg_rev * 1.05
       |ORDER BY revenue DESC, l_suppkey""".stripMargin
 
+  // --------------------------------------------------------- grouping sets
+
+  /** Full CUBE with grouping_id (`q_grouping_sets`): all four grouping
+    * sets of (returnflag, linestatus) in one Expand-based aggregate —
+    * the grouping id disambiguates a real NULL from a rolled-up cell,
+    * which the coalesce-only rollup query cannot. One shuffle on the
+    * expanded tiny key space; Expand multiplies rows 4× BEFORE the
+    * map-side combine, so the shuffled volume is still |groups|-bounded.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_price"), col("n"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  val oracleGroupingSets: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      | coalesce(l_linestatus, 'ALL') AS linestatus,
+      | CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+      | round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
   // -------------------------------------------------------- order cadence
 
   /** Per-customer order cadence (`q_order_gaps`): lag window for the gap

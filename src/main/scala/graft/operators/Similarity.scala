@@ -821,4 +821,89 @@ object Similarity {
       |  row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rn FROM scored)
       |SELECT label, vec_id AS medoid_id, round(cos, 6) AS cos
       |FROM ranked WHERE rn = 1 ORDER BY label""".stripMargin
+
+  // --------------------------------------- Johnson–Lindenstrauss projection
+
+  /** JL target dimensionality: 64 → 16 (4× narrower vectors through every
+    * downstream shuffle/scan). */
+  private[graft] val JL_D = 16
+
+  /** Deterministic Rademacher (±1) projection matrix — the
+    * Achlioptas-style database-friendly JL variant (no gaussians needed;
+    * signs from the shared md5 hash appear as identical literals in both
+    * engines' plans). Scaling by 1/√JL_D is omitted: cosine is
+    * scale-invariant. */
+  private[graft] def jlSigns: IndexedSeq[IndexedSeq[Double]] =
+    (0 until JL_D).map(k => (0 until DIM).map(j =>
+      if (HashFns.h60Local(s"jl:$k:$j") % 2 == 0) 1.0 else -1.0))
+
+  /** JL random-projection gauge (`q_embedding_jl`): project every vector
+    * 64→16 dims with a deterministic ±1 matrix, then for the RECALL_QS
+    * sample queries report the top-1 neighbor in FULL space vs PROJECTED
+    * space, both cosines, and whether they agree — the measured answer to
+    * "can downstream ANN run on 4× narrower vectors?".
+    *
+    * Scale shape: the projection is a pure per-row projection (16 fused
+    * dot products, no shuffle); the sample frame is broadcast and every
+    * window is bounded by the RECALL_QS sample, exactly like
+    * [[qKnnRecall]]. At 100 TB the projected corpus is what ships to the
+    * banding/IVF stages — a 4× cut of every vector byte they shuffle.
+    */
+  def qEmbeddingJl(s: SparkSession, dir: String): DataFrame = {
+    val signs = jlSigns
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val p = e.select(col("vec_id"), col("emb"),
+      array((0 until JL_D).map(k => dot(col("emb"), array(signs(k).map(lit): _*))): _*).as("jl"))
+    val qs = broadcast(p.filter(col("vec_id") < RECALL_QS)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("jl").as("qjl")))
+    val scored = p.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(s, "emb", "qemb").as("cos_full"),
+        cosine(s, "jl", "qjl").as("cos_jl"))
+    val w1 = Window.partitionBy("qid").orderBy(desc("cos_full"), col("vec_id"))
+    val w2 = Window.partitionBy("qid").orderBy(desc("cos_jl"), col("vec_id"))
+    scored
+      .withColumn("r1", row_number().over(w1))
+      .withColumn("r2", row_number().over(w2))
+      .filter(col("r1") === 1 || col("r2") === 1)
+      .groupBy("qid")
+      .agg(
+        max(when(col("r1") === 1, col("vec_id"))).as("nn_full"),
+        max(when(col("r2") === 1, col("vec_id"))).as("nn_jl"),
+        round(max(when(col("r1") === 1, col("cos_full"))), 6).as("cos_full"),
+        round(max(when(col("r2") === 1, col("cos_jl"))), 6).as("cos_jl"))
+      .withColumn("agree", col("nn_full") === col("nn_jl"))
+      .orderBy("qid")
+  }
+
+  val oracleEmbeddingJl: String = {
+    val signs = jlSigns
+    val projList = (0 until JL_D).map { k =>
+      val lits = signs(k).mkString("[", ", ", "]")
+      s"list_sum(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * ($lits)[i]))"
+    }.mkString("[", ", ", "]")
+    def cosSql(a: String, b: String): String =
+      s"""list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+         | / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+         |  * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))""".stripMargin
+    s"""WITH p AS (SELECT vec_id, embedding, $projList AS jl FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, embedding AS qemb, jl AS qjl FROM p WHERE vec_id < $RECALL_QS),
+       |sc AS (
+       |  SELECT qid, vec_id,
+       |    ${cosSql("embedding", "qemb")} AS cos_full,
+       |    ${cosSql("jl", "qjl")} AS cos_jl
+       |  FROM p, qs WHERE vec_id <> qid),
+       |r AS (SELECT qid, vec_id, cos_full, cos_jl,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, vec_id) AS r1,
+       |  row_number() OVER (PARTITION BY qid ORDER BY cos_jl DESC, vec_id) AS r2 FROM sc)
+       |SELECT qid,
+       | max(CASE WHEN r1 = 1 THEN vec_id END) AS nn_full,
+       | max(CASE WHEN r2 = 1 THEN vec_id END) AS nn_jl,
+       | round(max(CASE WHEN r1 = 1 THEN cos_full END), 6) AS cos_full,
+       | round(max(CASE WHEN r2 = 1 THEN cos_jl END), 6) AS cos_jl,
+       | max(CASE WHEN r1 = 1 THEN vec_id END) = max(CASE WHEN r2 = 1 THEN vec_id END) AS agree
+       |FROM r WHERE r1 = 1 OR r2 = 1
+       |GROUP BY qid ORDER BY qid""".stripMargin
+  }
 }

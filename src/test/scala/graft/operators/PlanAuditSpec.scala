@@ -127,7 +127,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       val boundedBroadcast = Set("q_knn_brute", "q_knn_ivf", "q_knn_recall",
         "q_zorder_layout", "q_supplier_share", "q_heavy_hitters", "q_knn_pq",
         "q_text_collocations", "q_corpus_drift", "q_theta_sets",
-        "q_split_leakage", "q_knn_ivfpq", "q_data_quality")
+        "q_split_leakage", "q_knn_ivfpq", "q_data_quality",
+        // q_embedding_jl broadcasts the RECALL_QS-row query sample
+        "q_embedding_jl")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

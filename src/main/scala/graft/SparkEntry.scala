@@ -80,7 +80,8 @@ object SparkEntry {
     "q_knn_pq"       -> Similarity.qKnnPq _,
     "q_embedding_profile" -> Similarity.qEmbeddingProfile _,
     "q_knn_ivfpq"    -> Similarity.qKnnIvfPq _,
-    "q_embedding_jl" -> Similarity.qEmbeddingJl _,
+    "q_embedding_jl"    -> Similarity.qEmbeddingJl _,
+    "q_embedding_probe" -> Similarity.qEmbeddingProbe _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -278,7 +279,8 @@ object SparkEntry {
     "q_knn_pq"       -> Similarity.oracleKnnPq,
     "q_embedding_profile" -> Similarity.oracleEmbeddingProfile,
     "q_knn_ivfpq"    -> Similarity.oracleKnnIvfPq,
-    "q_embedding_jl" -> Similarity.oracleEmbeddingJl,
+    "q_embedding_jl"    -> Similarity.oracleEmbeddingJl,
+    "q_embedding_probe" -> Similarity.oracleEmbeddingProbe,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

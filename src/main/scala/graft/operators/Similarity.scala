@@ -906,4 +906,116 @@ object Similarity {
        |FROM r WHERE r1 = 1 OR r2 = 1
        |GROUP BY qid ORDER BY qid""".stripMargin
   }
+
+  // ------------------------------------------------------- trained probe
+
+  /** Linear-probe training hyperparameters: PROBE_ITERS full-batch
+    * gradient-descent steps at learning rate PROBE_LR, weights ROUNDED to
+    * 6dp after every step so cross-engine libm drift (JVM vs DuckDB exp
+    * differ in the last ulp) can never accumulate — the same pin as the
+    * Lloyd centroid rounding in [[trainedCentroids]]. Measured on this
+    * corpus: 0.60 accuracy vs the 0.50 prior after 3 steps (converged
+    * logistic regression reaches 0.64 — the labels are only weakly
+    * linearly separable, which the gauge reports honestly). */
+  private[graft] val PROBE_ITERS = 3
+  private val PROBE_LR = "4.0" // literal text, shared by both plans
+
+  /** Bias-extended feature vector: 1.0 prepended to the embedding, so the
+    * bias is just weight[0] and training is ONE posexplode aggregate. */
+  private def probeX: Column =
+    concat(array(lit(1.0)), col("embedding").cast("array<double>"))
+
+  /** Declarative trained LINEAR PROBE (`q_embedding_probe`): logistic
+    * regression over the embedding vectors predicting the balanced
+    * binary target label < 5 — the "cheap linear probe over document
+    * embeddings" a curation stack trains for domain/quality routing when
+    * a full classifier is too expensive.
+    *
+    * Training runs IN-PLAN: each step is one scan of the (cached)
+    * feature frame — per-row margin d = σ(w·x) − y, posexplode to
+    * (pos, d·x_j), one map-side-combinable avg per coordinate, and the
+    * 65-long weight vector is rebuilt by a sorted collect_list (the
+    * Lloyd centroid pattern). No driver-side loop touches data: at
+    * 100 TB each step is one scan + a 65-double reduce. Predictions use
+    * the margin sign (w·x > 0), never σ(w·x) > 0.5 — the margin is a
+    * polynomial over 6dp-rounded weights and exact float32→double
+    * features, so the predicted class is bit-deterministic across
+    * engines while sigmoid would put libm exp on the decision edge.
+    * Output: per-label confusion (n, predicted-positive count, accuracy
+    * against the target).
+    */
+  def qEmbeddingProbe(s: SparkSession, dir: String): DataFrame = {
+    val feat = Tables.embeddings(s, dir)
+      .select(col("label"),
+        when(col("label") < 5, 1.0).otherwise(0.0).as("y"),
+        probeX.as("x"))
+      .cache()
+    var w = s.range(1).select(
+      transform(sequence(lit(1), lit(1 + DIM)), _ => lit(0.0)).as("w"))
+    for (_ <- 1 to PROBE_ITERS) {
+      val d = lit(1.0) / (lit(1.0) + exp(-dot(col("x"), col("w")))) - col("y")
+      w = feat.crossJoin(broadcast(w))
+        .select(d.as("d"), col("x"), col("w"))
+        .select(col("d"), posexplode(col("x")).as(Seq("pos", "v")), col("w"))
+        .groupBy("pos")
+        .agg(round(
+          element_at(first("w"), col("pos") + 1) - expr(PROBE_LR) * avg(col("d") * col("v")),
+          6).as("wj"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("wj")))),
+          x => x.getField("wj")).as("w"))
+    }
+    feat.crossJoin(broadcast(w))
+      .select(col("label"), col("y"), (dot(col("x"), col("w")) > 0.0).cast("double").as("pred"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pred")).cast("long").as("n_pred_pos"),
+        round(avg((col("pred") === col("y")).cast("double")), 4).as("accuracy"))
+      .orderBy("label")
+  }
+
+  /** Final trained weight frame — exposed for the probe spec. */
+  private[graft] def probeWeights(s: SparkSession, dir: String): DataFrame = {
+    val feat = Tables.embeddings(s, dir)
+      .select(when(col("label") < 5, 1.0).otherwise(0.0).as("y"), probeX.as("x"))
+    var w = s.range(1).select(
+      transform(sequence(lit(1), lit(1 + DIM)), _ => lit(0.0)).as("w"))
+    for (_ <- 1 to PROBE_ITERS) {
+      val d = lit(1.0) / (lit(1.0) + exp(-dot(col("x"), col("w")))) - col("y")
+      w = feat.crossJoin(broadcast(w))
+        .select(d.as("d"), col("x"), col("w"))
+        .select(col("d"), posexplode(col("x")).as(Seq("pos", "v")), col("w"))
+        .groupBy("pos")
+        .agg(round(
+          element_at(first("w"), col("pos") + 1) - expr(PROBE_LR) * avg(col("d") * col("v")),
+          6).as("wj"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("wj")))),
+          x => x.getField("wj")).as("w"))
+    }
+    w
+  }
+
+  val oracleEmbeddingProbe: String = {
+    val dotXW = "list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * w[i]))"
+    def stepCte(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT list(wj ORDER BY pos) AS w FROM (
+         |    SELECT pos, round(any_value(w)[pos] - $PROBE_LR * avg(d * v), 6) AS wj FROM (
+         |      SELECT 1.0 / (1.0 + exp(-($dotXW))) - y AS d,
+         |             unnest(x) AS v, unnest(generate_series(1, len(x))) AS pos, w
+         |      FROM e, $prev)
+         |    GROUP BY pos))""".stripMargin
+    val steps = (1 to PROBE_ITERS).map(i =>
+      stepCte(if (i == 1) "w0i" else s"wi${i - 1}", s"wi$i")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT label, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+       |         list_prepend(1.0, list_transform(embedding, v -> v::DOUBLE)) AS x
+       |  FROM embeddings),
+       |w0i AS (SELECT list_transform(generate_series(1, ${1 + DIM}), i -> 0.0) AS w),
+       |$steps
+       |SELECT label, count(*) AS n,
+       | CAST(sum(CASE WHEN $dotXW > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       | round(avg(CASE WHEN (CASE WHEN $dotXW > 0.0 THEN 1.0 ELSE 0.0 END) = y THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+       |FROM e, wi$PROBE_ITERS
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
 }

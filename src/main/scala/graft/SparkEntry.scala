@@ -96,6 +96,7 @@ object SparkEntry {
     "q_text_collocations" -> TextAnalysis.qTextCollocations _,
     "q_tokenize_bpe"      -> TextAnalysis.qTokenizeBpe _,
     "q_text_lm_score"     -> TextAnalysis.qTextLmScore _,
+    "q_bm25"              -> TextAnalysis.qBm25 _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
@@ -295,6 +296,7 @@ object SparkEntry {
     "q_text_collocations" -> TextAnalysis.oracleTextCollocations,
     "q_tokenize_bpe"      -> TextAnalysis.oracleTokenizeBpe,
     "q_text_lm_score"     -> TextAnalysis.oracleTextLmScore,
+    "q_bm25"              -> TextAnalysis.oracleBm25,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
 

@@ -701,4 +701,69 @@ object TextAnalysis {
        |FROM exact e JOIN est USING (term), n
        |ORDER BY e.exact_n DESC, e.term""".stripMargin
   }
+
+  // ----------------------------------------------------------- BM25 search
+
+  /** BM25 hyperparameters (the Robertson/Sparck-Jones defaults) and the
+    * fixed keyword query — literal TEXT so the identical doubles appear in
+    * both engines' plans. */
+  private val BM25_K1 = "1.2"
+  private val BM25_B  = "0.75"
+  private[graft] val BM25_QUERY = Seq("spark", "window", "merge")
+
+  /** BM25 keyword retrieval (`q_bm25`): top-10 documents for a fixed
+    * 3-term query — the scoring head a retrieval stack runs over the
+    * inverted index (`q_inverted_index` builds the postings; this ranks).
+    *
+    * Scale shape: the token explode is filtered to the query terms
+    * BEFORE any aggregation, so the per-(doc, term) frame is query-hit
+    * sized, not corpus-vocabulary sized; df (|query terms| rows) and the
+    * corpus stats (1 row) broadcast; the final top-k is a
+    * TakeOrderedAndProject, never a global sort at 100 TB. The idf uses
+    * ln — both engines' libm agree far beyond the 6dp output rounding,
+    * and ORDER BY uses the rounded score with doc_id ties so the top-10
+    * boundary is engine-stable.
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val k1 = expr(BM25_K1); val b = expr(BM25_B)
+    val docsW = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("double").as("dl"), col("w"))
+    val toks = docsW
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(BM25_QUERY: _*))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first("dl").as("dl"))
+    val stats = docsW.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val dfq = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))).as("sc"))
+      .groupBy("doc_id").agg(round(sum("sc"), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+  }
+
+  val oracleBm25: String = {
+    val terms = BM25_QUERY.map(t => s"'$t'").mkString("(", ",", ")")
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
+       |                  string_split(text, ' ') AS w FROM documents),
+       |toks AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+       |hits AS (SELECT doc_id, dl, term FROM toks WHERE term IN $terms),
+       |ft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+       |       FROM hits GROUP BY doc_id, term),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
+       |dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM hits GROUP BY term)
+       |SELECT doc_id,
+       | round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |   * (tf * ($BM25_K1 + 1.0))
+       |   / (tf + $BM25_K1 * (1.0 - $BM25_B + $BM25_B * dl / avgdl))), 6) AS score
+       |FROM ft JOIN dfq USING (term), stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
 }

@@ -128,8 +128,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_zorder_layout", "q_supplier_share", "q_heavy_hitters", "q_knn_pq",
         "q_text_collocations", "q_corpus_drift", "q_theta_sets",
         "q_split_leakage", "q_knn_ivfpq", "q_data_quality",
-        // q_embedding_jl broadcasts the RECALL_QS-row query sample
-        "q_embedding_jl")
+        // q_embedding_jl broadcasts the RECALL_QS-row query sample;
+        // q_bm25 broadcasts the 1-row corpus stats frame;
+        // q_embedding_probe broadcasts the 1-row trained-weight frame
+        "q_embedding_jl", "q_bm25", "q_embedding_probe")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -62,6 +62,27 @@ object StreamOps {
         col("p.ts").as("purchase_ts"), col("v.ts").as("view_ts"))
   }
 
+  /** LEFT OUTER stream-stream attribution: like [[attributionJoin]] but a
+    * purchase with NO view in its preceding horizon still emits — with a
+    * null view side — once the watermark passes the end of its match
+    * window (Spark holds the row in state until no future view can match,
+    * then releases it null-padded). The "unattributed conversions" feed a
+    * marketing pipeline needs alongside the matched ones; same bounded
+    * state story as the inner join.
+    */
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("ts", horizon).alias("v")
+    val p = purchases.withWatermark("ts", horizon).alias("p")
+    p.join(v, expr(
+        s"""v.user_id = p.user_id AND
+           |v.ts <= p.ts AND v.ts >= p.ts - INTERVAL $horizon""".stripMargin),
+      "left_outer")
+      .select(col("p.event_id").as("purchase_id"), col("p.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("p.ts").as("purchase_ts"), col("v.ts").as("view_ts"))
+  }
+
   /** Streaming exact dedup — the incremental-ingestion twin of
     * `Dedup.qDedupExact`: keeps the first record per key, dropping
     * re-arrivals within the watermark horizon. State is evicted once the

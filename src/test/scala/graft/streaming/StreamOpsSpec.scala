@@ -78,6 +78,36 @@ class StreamOpsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("attributionJoinOuter (left-outer stream-stream join)") {
+    it("emits unmatched purchases null-padded once the watermark closes their window") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      val views = MemoryStream[Ev]
+      val purchases = MemoryStream[Ev]
+      val q = StreamOps.attributionJoinOuter(views.toDF(), purchases.toDF())
+        .writeStream.format("memory").queryName("attr_outer_out")
+        .outputMode("append").start()
+      try {
+        views.addData(Ev(1, 10, ts(1000), 0))
+        purchases.addData(
+          Ev(1, 90, ts(2500), 9.99), // view 10 in range -> matched
+          Ev(2, 91, ts(2500), 5.0))  // user 2 never views -> unmatched
+        q.processAllAvailable()
+        // advance BOTH watermarks far past purchase-ts + horizon so the
+        // unmatched row's state is released null-padded
+        views.addData(Ev(9, 98, ts(50000), 0))
+        purchases.addData(Ev(9, 99, ts(50000), 0))
+        q.processAllAvailable()
+        val rows = spark.table("attr_outer_out")
+          .select("purchase_id", "view_id").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+        assert(rows.contains((90L, 10L)), s"matched purchase missing: $rows")
+        assert(rows.contains((91L, -1L)),
+          s"unmatched purchase not emitted null-padded after watermark: $rows")
+      } finally q.stop()
+    }
+  }
+
   describe("dedupStream (dropDuplicatesWithinWatermark)") {
     it("emits each key once, dropping re-arrivals within the horizon") {
       import spark.implicits._

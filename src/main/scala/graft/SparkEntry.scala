@@ -36,6 +36,7 @@ object SparkEntry {
     "q_cust_order_dist"   -> Relational.qCustOrderDist _,
     "q_supplier_share"    -> Relational.qSupplierShare _,
     "q_scd2_dim"          -> Relational.qScd2Dim _,
+    "q_scd2_pit"          -> Relational.qScd2Pit _,
     "q_sketch_merge"      -> Relational.qSketchMerge _,
     "q_quantile_merge"    -> Relational.qQuantileMerge _,
     "q_theta_sets"        -> Relational.qThetaSets _,
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_cust_order_dist"   -> Relational.oracleCustOrderDist,
     "q_supplier_share"    -> Relational.oracleSupplierShare,
     "q_scd2_dim"          -> Relational.oracleScd2Dim,
+    "q_scd2_pit"          -> Relational.oracleScd2Pit,
     "q_sketch_merge"      -> Relational.oracleSketchMerge,
     "q_quantile_merge"    -> Relational.oracleQuantileMerge,
     "q_theta_sets"        -> Relational.oracleThetaSets,

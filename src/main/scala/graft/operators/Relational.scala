@@ -602,6 +602,67 @@ object Relational {
       |WHERE revenue > avg_rev * 1.05
       |ORDER BY revenue DESC, l_suppkey""".stripMargin
 
+  // ----------------------------------------------------- SCD2 point-in-time
+
+  /** Point-in-time (temporal) dimension join (`q_scd2_pit`) — the CONSUMER
+    * of the SCD-2 pattern `q_scd2_dim` produces: every order joins the
+    * dimension VERSION that was valid on its order date. Validity
+    * intervals are derived deterministically (changed keys cut over at
+    * '1995-01-01' + custkey%1000 days) so the oracle rebuilds them.
+    *
+    * Scale shape: versions-per-key is small by construction (≤2 here,
+    * single digits in any real SCD-2 dim), so the join is the EQUALITY
+    * key join (broadcast dim) with the interval predicate as a cheap
+    * post-filter — never an interval cross join. Half-open intervals
+    * [from, to) make the cutover-day assignment unambiguous in both
+    * engines.
+    */
+  def qScd2Pit(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val changes = base.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 10 === 0, lit("PROMO")).otherwise(col("c_mktsegment")).as("new_seg"))
+      .filter(col("new_seg") =!= col("c_mktsegment"))
+      .select(col("c_custkey"), col("new_seg"),
+        date_add(lit("1995-01-01").cast("date"), (col("c_custkey") % 1000).cast("int"))
+          .cast("timestamp").as("eff"))
+    val lo = lit("1900-01-01").cast("timestamp")
+    val hi = lit("9999-01-01").cast("timestamp")
+    val v1 = base.join(changes.select("c_custkey", "eff"), Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"), lit(1L).as("version"),
+        lo.as("valid_from"), coalesce(col("eff"), hi).as("valid_to"))
+    val v2 = changes.select(col("c_custkey"), col("new_seg").as("segment"),
+      lit(2L).as("version"), col("eff").as("valid_from"), hi.as("valid_to"))
+    val dim = broadcast(v1.unionByName(v2))
+    Tables.orders(s, dir)
+      .join(dim, col("o_custkey") === col("c_custkey") &&
+        col("o_orderdate") >= col("valid_from") && col("o_orderdate") < col("valid_to"))
+      .groupBy("segment", "version")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("segment", "version")
+  }
+
+  val oracleScd2Pit: String =
+    """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+      |changes AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END AS new_seg,
+      |    TIMESTAMP '1995-01-01' + (c_custkey % 1000) * INTERVAL 1 DAY AS eff
+      |  FROM base WHERE c_custkey % 5 = 0
+      |    AND (CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END) <> c_mktsegment),
+      |dim AS (
+      |  SELECT b.c_custkey, b.c_mktsegment AS segment, CAST(1 AS BIGINT) AS version,
+      |    TIMESTAMP '1900-01-01' AS valid_from,
+      |    coalesce(c.eff, TIMESTAMP '9999-01-01') AS valid_to
+      |  FROM base b LEFT JOIN changes c USING (c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, new_seg, 2, eff, TIMESTAMP '9999-01-01' FROM changes)
+      |SELECT segment, version, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN dim ON o_custkey = c_custkey
+      |  AND o_orderdate >= valid_from AND o_orderdate < valid_to
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------- grouping sets
 
   /** Full CUBE with grouping_id (`q_grouping_sets`): all four grouping

@@ -41,6 +41,8 @@ object SparkEntry {
     "q_quantile_merge"    -> Relational.qQuantileMerge _,
     "q_theta_sets"        -> Relational.qThetaSets _,
     "q_grouping_sets"       -> Relational.qGroupingSets _,
+    "q_window_range"        -> Relational.qWindowRange _,
+    "q_idle_capital"        -> Relational.qIdleCapital _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     // warehouse maintenance & governance
@@ -196,6 +198,8 @@ object SparkEntry {
     "q_quantile_merge"    -> Relational.oracleQuantileMerge,
     "q_theta_sets"        -> Relational.oracleThetaSets,
     "q_grouping_sets"      -> Relational.oracleGroupingSets,
+    "q_window_range"       -> Relational.oracleWindowRange,
+    "q_idle_capital"       -> Relational.oracleIdleCapital,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_data_quality"      -> Warehouse.oracleDataQuality,

@@ -691,6 +691,73 @@ object Relational {
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
+  // -------------------------------------------------- range-frame windows
+
+  /** Trailing 30-day spend per order (`q_window_range`): a RANGE-framed
+    * window (event-time distance, not row count — the frame a ROWS window
+    * cannot express when order cadence is irregular). Partitioned by
+    * customer (bounded groups, no skew) over epoch seconds; same-day ties
+    * land in the same frame in both engines, so tie order never matters.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(sum("o_totalprice").over(w), 2).as("spend_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  val oracleWindowRange: String =
+    """SELECT o_orderkey, o_custkey,
+      | round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+      | count(*) OVER w AS n_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ Q22-style idle
+
+  /** Q22-shaped "idle capital" (`q_idle_capital`): customer cohorts (a
+    * deterministic key-derived code standing in for Q22's phone prefix)
+    * holding above-average balances but INACTIVE in the final year of the
+    * horizon. Composition: global scalar mean (1-row bounded broadcast,
+    * the q_supplier_share pattern) + left-anti join against recent
+    * orders + one aggregate.
+    */
+  def qIdleCapital(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), (col("c_custkey") % 7).as("code"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .filter(col("acctbal") > 0.0)
+    val meanBal = cust.agg(round(avg("acctbal"), 4).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(meanBal))
+      .filter(col("acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("code")
+      .agg(count(lit(1)).as("n_cust"), round(sum("acctbal"), 2).as("idle_balance"))
+      .orderBy("code")
+  }
+
+  val oracleIdleCapital: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_custkey % 7 AS code, round(c_acctbal, 2) AS acctbal
+      |  FROM customer WHERE round(c_acctbal, 2) > 0.0),
+      |m AS (SELECT round(avg(acctbal), 4) AS avg_bal FROM cust),
+      |recent AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '2000-08-01')
+      |SELECT code, count(*) AS n_cust, round(sum(acctbal), 2) AS idle_balance
+      |FROM cust, m
+      |WHERE acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+      |GROUP BY code ORDER BY code""".stripMargin
+
   // -------------------------------------------------------- order cadence
 
   /** Per-customer order cadence (`q_order_gaps`): lag window for the gap

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_text_winnow"       -> TextAnalysis.qTextWinnow _,
     "q_text_collocations" -> TextAnalysis.qTextCollocations _,
     "q_tokenize_bpe"      -> TextAnalysis.qTokenizeBpe _,
+    "q_bpe_train"         -> TextAnalysis.qBpeTrain _,
     "q_text_lm_score"     -> TextAnalysis.qTextLmScore _,
     "q_bm25"              -> TextAnalysis.qBm25 _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
@@ -301,6 +302,7 @@ object SparkEntry {
     "q_text_winnow"       -> TextAnalysis.oracleTextWinnow,
     "q_text_collocations" -> TextAnalysis.oracleTextCollocations,
     "q_tokenize_bpe"      -> TextAnalysis.oracleTokenizeBpe,
+    "q_bpe_train"         -> TextAnalysis.oracleBpeTrain,
     "q_text_lm_score"     -> TextAnalysis.oracleTextLmScore,
     "q_bm25"              -> TextAnalysis.oracleBm25,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,

@@ -211,6 +211,92 @@ object TextAnalysis {
     filter(mapped, x => x.isNotNull)
   }
 
+  /** [[bpeMergePass]] with the pair as COLUMNS instead of literals — the
+    * trained-merge path, where the pair comes from a broadcast 1-row
+    * argmax frame rather than a compile-time table. Same positional
+    * O(len) semantics; callers must guarantee a != b (the trainer
+    * filters self-pairs out of its candidates).
+    */
+  private def bpeMergePassCol(tokens: Column, a: Column, b: Column): Column = {
+    val n = size(tokens)
+    val mapped = transform(sequence(lit(1), n), i =>
+      when(i < n && element_at(tokens, i) === a && element_at(tokens, i + 1) === b,
+        concat(a, lit("_"), b))
+        .when(i > lit(1) && element_at(tokens, i - 1) === a && element_at(tokens, i) === b,
+          lit(null).cast("string"))
+        .otherwise(element_at(tokens, i)))
+    filter(mapped, x => x.isNotNull)
+  }
+
+  /** Adjacent-pair structs of a token array (multiplicity-preserving). */
+  private def adjacentPairs(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("pa"), element_at(t, i + 1).as("pb"))))
+      .otherwise(array().cast("array<struct<pa:string,pb:string>>"))
+
+  private[graft] val BPE_TRAIN_STEPS = 4
+
+  /** TRAIN the BPE merge table (`q_bpe_train`) — the other half of
+    * `q_tokenize_bpe` (which applies a fixed table): BPE_TRAIN_STEPS
+    * greedy rounds of count-all-adjacent-pairs → deterministic argmax
+    * (count DESC, then lexicographic — integer counts, so cross-engine
+    * exact) → merge that pair corpus-wide with the positional O(len)
+    * pass, re-counting on the MERGED arrays so later rounds can extend
+    * earlier merges (true BPE). Self-pairs are excluded (the positional
+    * pass's non-interaction contract).
+    *
+    * Training runs IN-PLAN: each round is one pair-count aggregate
+    * (map-side combinable) + a TakeOrdered(1) argmax broadcast back —
+    * never a driver-side loop over data; at 100 TB each round is one
+    * corpus scan, and production trains on a sample then applies
+    * corpus-wide via `q_tokenize_bpe`'s path. Output: the learned table
+    * (step, pair_a, pair_b, n_pair).
+    */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var toks = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("t")).cache()
+    var learned = Vector.empty[DataFrame]
+    for (step <- 1 to BPE_TRAIN_STEPS) {
+      val best = toks
+        .select(explode(adjacentPairs(col("t"))).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .filter(col("pa") =!= col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_pair"))
+        .orderBy(desc("n_pair"), col("pa"), col("pb"))
+        .limit(1)
+      learned = learned :+ best.select(lit(step).cast("int").as("step"),
+        col("pa").as("pair_a"), col("pb").as("pair_b"), col("n_pair"))
+      toks = toks.crossJoin(broadcast(best))
+        .select(bpeMergePassCol(col("t"), col("pa"), col("pb")).as("t"))
+        .cache()
+    }
+    learned.reduce(_ unionByName _).orderBy("step")
+  }
+
+  val oracleBpeTrain: String = {
+    def mergeColSql(toks: String): String =
+      s"""list_filter(list_transform(generate_series(1, len($toks)), i ->
+         | CASE WHEN i < len($toks) AND $toks[i] = pa AND $toks[i+1] = pb THEN pa || '_' || pb
+         |      WHEN i > 1 AND $toks[i-1] = pa AND $toks[i] = pb THEN NULL
+         |      ELSE $toks[i] END), x -> x IS NOT NULL)""".stripMargin.replace("\n", " ")
+    val stages = (1 to BPE_TRAIN_STEPS).map { k =>
+      s"""p$k AS (
+         |  SELECT t[i] AS pa, t[i+1] AS pb, count(*) AS n_pair
+         |  FROM (SELECT unnest(generate_series(1, len(t) - 1)) AS i, t FROM d${k - 1})
+         |  WHERE t[i] <> t[i+1] GROUP BY 1, 2),
+         |b$k AS (SELECT pa, pb, n_pair FROM p$k ORDER BY n_pair DESC, pa, pb LIMIT 1),
+         |d$k AS (SELECT ${mergeColSql("t")} AS t FROM d${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BPE_TRAIN_STEPS).map(k =>
+      s"SELECT CAST($k AS INT) AS step, pa AS pair_a, pb AS pair_b, n_pair FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH d0 AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |$stages
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   /** Apply the merge table (`q_tokenize_bpe`): BPE_MERGES passes, each a
     * pure projection (no shuffle — the corpus tokenization pass is
     * embarrassingly parallel), each stage's token array MATERIALIZED

@@ -131,8 +131,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_embedding_jl broadcasts the RECALL_QS-row query sample;
         // q_bm25 broadcasts the 1-row corpus stats frame;
         // q_embedding_probe broadcasts the 1-row trained-weight frame;
-        // q_idle_capital broadcasts the 1-row global-mean frame
-        "q_embedding_jl", "q_bm25", "q_embedding_probe", "q_idle_capital")
+        // q_idle_capital broadcasts the 1-row global-mean frame;
+        // q_bpe_train broadcasts the 1-row per-round argmax pair
+        "q_embedding_jl", "q_bm25", "q_embedding_probe", "q_idle_capital",
+        "q_bpe_train")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

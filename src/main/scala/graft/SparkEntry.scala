@@ -113,6 +113,7 @@ object SparkEntry {
     "q_source_json" -> ((s, d) => graft.sources.Sources.qSourceJson(s, d)),
     "q_source_orc"  -> ((s, d) => graft.sources.Sources.qSourceOrc(s, d)),
     // scale patterns + pipeline composition
+    "q_pagerank"          -> Graph.qPagerank _,
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
     "q_zorder_layout"     -> Layout.qZorderLayout _,
     "q_corpus_curate"     -> Pipeline.qCorpusCurate _,
@@ -315,6 +316,7 @@ object SparkEntry {
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,
     "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
     "q_source_orc"        -> graft.sources.Sources.oracleSourceOrc,
+    "q_pagerank"          -> Graph.oraclePagerank,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
     "q_zorder_layout"     -> Layout.oracleZorderLayout,
     "q_corpus_curate"     -> Pipeline.oracleCorpusCurate,

@@ -132,9 +132,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_bm25 broadcasts the 1-row corpus stats frame;
         // q_embedding_probe broadcasts the 1-row trained-weight frame;
         // q_idle_capital broadcasts the 1-row global-mean frame;
-        // q_bpe_train broadcasts the 1-row per-round argmax pair
+        // q_bpe_train broadcasts the 1-row per-round argmax pair;
+        // q_pagerank broadcasts the 1-row node-count frame
         "q_embedding_jl", "q_bm25", "q_embedding_probe", "q_idle_capital",
-        "q_bpe_train")
+        "q_bpe_train", "q_pagerank")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -106,6 +106,7 @@ object SparkEntry {
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
     "q_media_header"       -> Multimodal.qMediaHeader _,
+    "q_media_frames"       -> Multimodal.qMediaFrames _,
     "q_meta_profile"       -> ((s, d) => MetadataExtractor.qMetaProfile(s, d)),
     "q_lineage_selfcheck"  -> ((s, d) => graft.lineage.SelfCheck.qLineageSelfcheck(s, d)),
     // sources: non-parquet formats, value-fidelity round-trips
@@ -311,6 +312,7 @@ object SparkEntry {
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
     "q_media_header"      -> Multimodal.oracleMediaHeader,
+    "q_media_frames"      -> Multimodal.oracleMediaFrames,
     "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,
     "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck,
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,

@@ -236,4 +236,79 @@ object Multimodal {
        |  $chunks
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------- frame sample
+
+  /** Packed-container geometry for `q_media_frames`: a 12-byte header
+    * (magic "GRFV", u32-BE frame count, u32-BE frame size) followed by
+    * FRAME_BYTES-sized frames. */
+  private val FRAME_BYTES  = 16
+  private val FRAME_STRIDE = 2
+
+  /** Frame SAMPLING from a packed media container (`q_media_frames`):
+    * every doc row synthesizes a valid container (deterministic per-frame
+    * bytes from md5(doc:frame)), then the sampling side — which sees only
+    * the binary column — reads the frame count from the header and
+    * slices out every [[FRAME_STRIDE]]-th frame with pure offset
+    * arithmetic, fingerprinting each sampled frame. This is the video
+    * pre-processing plumbing (sample k-th frames for feature extraction)
+    * with the codec stubbed out: at 100 TB the slicing is a per-row
+    * projection — no decode, no shuffle, frames never leave their
+    * partition — and only the sampled slices flow to the (expensive)
+    * decode stage downstream.
+    */
+  def qMediaFrames(s: SparkSession, dir: String): DataFrame = {
+    def hU32be(c: Column) = lpad(hex(c), 8, "0")
+    val nFrames = (lit(4L) + col("doc_id") % 5).cast("int")
+    val framesHex = array_join(
+      transform(sequence(lit(0), nFrames - 1),
+        f => substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          f.cast("string")).cast("binary")), 1, FRAME_BYTES * 2)), "")
+    val containerHex = concat(lit("47524656"), hU32be(nFrames.cast("long")),
+      hU32be(lit(FRAME_BYTES.toLong)), framesHex)
+    val synth = Tables.documents(s, dir)
+      .select(col("doc_id"), unhex(containerHex).as("payload"))
+    // ---- sampling side: header fields + offset slicing over the binary.
+    // Spark's hex() is UPPERCASE, DuckDB's to_hex/md5 lowercase — the
+    // fingerprint hashes the hex STRING, so normalize to lowercase.
+    val parsed = synth.select(col("doc_id"), lower(hex(col("payload"))).as("hx"))
+      .select(col("doc_id"), col("hx"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("int").as("nf"),
+        conv(substring(col("hx"), 17, 8), 16, 10).cast("int").as("fsize"))
+    parsed
+      .select(col("doc_id"), col("hx"), col("fsize"),
+        explode(sequence(lit(0), col("nf") - 1, lit(FRAME_STRIDE))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(hx, (12 + frame_idx * fsize) * 2 + 1, fsize * 2)").as("frame_hex"))
+      .select(col("doc_id"), col("frame_idx"),
+        graft.functions.HashFns.h60(col("frame_hex")).as("frame_fp"),
+        conv(substring(col("frame_hex"), 1, 2), 16, 10).cast("long").as("first_byte"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val oracleMediaFrames: String = {
+    val fb = FRAME_BYTES
+    s"""WITH synth AS (
+       |  SELECT doc_id,
+       |    '47524656' || lpad(to_hex(4 + doc_id % 5), 8, '0') || lpad(to_hex($fb), 8, '0') ||
+       |    array_to_string(list_transform(generate_series(0, CAST(4 + doc_id % 5 AS INT) - 1),
+       |      f -> substr(md5(doc_id || ':' || f), 1, ${fb * 2})), '') AS hx
+       |  FROM documents),
+       |parsed AS (
+       |  SELECT doc_id, hx,
+       |    CAST(('0x' || substr(hx, 9, 8)) AS UBIGINT)::INT AS nf,
+       |    CAST(('0x' || substr(hx, 17, 8)) AS UBIGINT)::INT AS fsize
+       |  FROM synth),
+       |sampled AS (
+       |  SELECT doc_id, hx, fsize, unnest(generate_series(0, nf - 1, $FRAME_STRIDE)) AS frame_idx
+       |  FROM parsed),
+       |frames AS (
+       |  SELECT doc_id, frame_idx,
+       |    substr(hx, (12 + frame_idx * fsize) * 2 + 1, fsize * 2) AS frame_hex
+       |  FROM sampled)
+       |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(CAST(('0x' || substr(md5(frame_hex), 1, 15)) AS UBIGINT) AS BIGINT) AS frame_fp,
+       |  CAST(('0x' || substr(frame_hex, 1, 2)) AS UBIGINT)::BIGINT AS first_byte
+       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+  }
 }

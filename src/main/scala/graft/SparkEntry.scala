@@ -43,6 +43,7 @@ object SparkEntry {
     "q_grouping_sets"       -> Relational.qGroupingSets _,
     "q_window_range"        -> Relational.qWindowRange _,
     "q_idle_capital"        -> Relational.qIdleCapital _,
+    "q_join_size_est"       -> Relational.qJoinSizeEst _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     // warehouse maintenance & governance
@@ -58,6 +59,7 @@ object SparkEntry {
     "q_retention_cohorts" -> EventOps.qRetentionCohorts _,
     "q_json_props"        -> EventOps.qJsonProps _,
     "q_events_anomaly"    -> EventOps.qEventsAnomaly _,
+    "q_events_ewma"       -> EventOps.qEventsEwma _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -203,6 +205,7 @@ object SparkEntry {
     "q_grouping_sets"      -> Relational.oracleGroupingSets,
     "q_window_range"       -> Relational.oracleWindowRange,
     "q_idle_capital"       -> Relational.oracleIdleCapital,
+    "q_join_size_est"      -> Relational.oracleJoinSizeEst,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
@@ -262,6 +265,7 @@ object SparkEntry {
     "q_retention_cohorts" -> EventOps.oracleRetentionCohorts,
     "q_json_props"        -> EventOps.oracleJsonProps,
     "q_events_anomaly"    -> EventOps.oracleEventsAnomaly,
+    "q_events_ewma"       -> EventOps.oracleEventsEwma,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 

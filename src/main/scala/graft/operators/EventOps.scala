@@ -303,4 +303,63 @@ object EventOps {
       |FROM events e JOIN st USING (event_type)
       |GROUP BY e.event_type, st.n, st.mean_v, st.sd_v
       |ORDER BY e.event_type""".stripMargin
+
+  // --------------------------------------------------------------- EWMA
+
+  /** Smoothing factor for the EWMA monitor — literal text shared with
+    * the oracle. */
+  private val EWMA_ALPHA = "0.3"
+
+  /** EWMA spike monitor (`q_events_ewma`): per event type, hourly counts
+    * folded left-to-right through e_t = α·x_t + (1−α)·e_{t−1} (seeded
+    * with the first hour), counting hours whose count exceeds 2× the
+    * running mean — the TREND-aware anomaly twin of `q_events_anomaly`'s
+    * static z-score (a level shift stops alarming once the EWMA adapts).
+    *
+    * Scale shape: the raw events reduce to an hourly aggregate first
+    * (map-side combinable); the sequential fold runs over each type's
+    * bounded hours-long array only — never the event stream. The fold is
+    * pure double arithmetic in a fixed order, so both engines produce
+    * bit-identical states.
+    */
+  def qEventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val a = expr(EWMA_ALPHA)
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"),
+        floor(col("ts").cast("double") / 3600).cast("long").as("hr"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    hourly.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("series"))
+      .select(col("event_type"),
+        size(col("series")).cast("long").as("n_hours"),
+        aggregate(
+          expr("slice(series, 2, greatest(size(series) - 1, 0))"),
+          array(col("series").getItem(0).getField("n"), lit(0.0)),
+          (acc, x) => array(
+            a * x.getField("n") + (lit(1.0) - a) * element_at(acc, 1),
+            element_at(acc, 2) +
+              (x.getField("n") > element_at(acc, 1) * 2.0).cast("double"))).as("st"))
+      .select(col("event_type"), col("n_hours"),
+        round(element_at(col("st"), 1), 6).as("ewma_final"),
+        element_at(col("st"), 2).cast("long").as("n_spikes"))
+      .orderBy("event_type")
+  }
+
+  val oracleEventsEwma: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(make_timestamp(epoch_ns(ts) // 1000)) / 3600) AS BIGINT) AS hr,
+       |    count(*)::DOUBLE AS n
+       |  FROM events GROUP BY 1, 2),
+       |series AS (SELECT event_type, list(n ORDER BY hr) AS xs FROM hourly GROUP BY 1)
+       |SELECT event_type, CAST(len(xs) AS BIGINT) AS n_hours,
+       | round(list_reduce(list_transform(xs, x -> [x, 0.0]),
+       |   (acc, el) -> [$EWMA_ALPHA * el[1] + (1.0 - $EWMA_ALPHA) * acc[1],
+       |                 acc[2] + CASE WHEN el[1] > acc[1] * 2.0 THEN 1.0 ELSE 0.0 END])[1], 6)
+       |   AS ewma_final,
+       | CAST(list_reduce(list_transform(xs, x -> [x, 0.0]),
+       |   (acc, el) -> [$EWMA_ALPHA * el[1] + (1.0 - $EWMA_ALPHA) * acc[1],
+       |                 acc[2] + CASE WHEN el[1] > acc[1] * 2.0 THEN 1.0 ELSE 0.0 END])[2] AS BIGINT)
+       |   AS n_spikes
+       |FROM series ORDER BY event_type""".stripMargin
 }

@@ -602,6 +602,68 @@ object Relational {
       |WHERE revenue > avg_rev * 1.05
       |ORDER BY revenue DESC, l_suppkey""".stripMargin
 
+  // --------------------------------------------------- join-size estimate
+
+  private val JS_D = 4
+  private val JS_W = 65536
+
+  /** Join-cardinality ESTIMATION via count-min inner products
+    * (`q_join_size_est`) — the AMS/CM sketch move a cost-based planner
+    * makes before committing to a join strategy: |A ⋈ B| = Σ_k cA(k)·cB(k)
+    * is estimated as min_i Σ_j A[i][j]·B[i][j] over the two sides'
+    * CMS rows, WITHOUT executing the join. Each side reduces to one
+    * O(d·w) grid (map-side combinable typed Aggregator), so the estimate
+    * costs two narrow scans + a 2 MB reduce at any scale; the oracle
+    * rebuilds both sketches bucket-by-bucket and pins the estimate
+    * EXACTLY, plus the one-sided guarantee est ≥ exact and the ε-bound
+    * est ≤ exact + e·|A|·|B|/w. The gauge runs the real join to report
+    * exact alongside — at 100 TB you'd run only the sketch side.
+    */
+  def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    val cms = udaf(new graft.functions.CountMinAggregator(JS_D, JS_W))
+    val aKeys = Tables.orders(s, dir).select(col("o_orderkey").cast("string").as("k"))
+    val bKeys = Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("k"))
+    val skA = aKeys.agg(cms(col("k")).as("cms_a"), count(lit(1)).as("na"))
+    val skB = bKeys.agg(cms(col("k")).as("cms_b"), count(lit(1)).as("nb"))
+    val exact = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact_n"))
+    def rowIp(i: Int): Column = aggregate(
+      zip_with(
+        slice(col("cms_a"), i * JS_W + 1, JS_W),
+        slice(col("cms_b"), i * JS_W + 1, JS_W),
+        (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val est = least((0 until JS_D).map(rowIp): _*)
+    skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
+      .select(col("exact_n"), est.as("est_n"),
+        (est >= col("exact_n")).as("overcounts"),
+        (est <= col("exact_n") +
+          ceil(lit(math.E) * col("na") * col("nb") / JS_W).cast("long")).as("within_eps"))
+  }
+
+  val oracleJoinSizeEst: String = {
+    def slice(expr: String, i: Int): String =
+      s"CAST(('0x' || substr(md5($expr), ${1 + 7 * i}, 7)) AS UBIGINT) % $JS_W"
+    def side(table: String, key: String, out: String): String =
+      (0 until JS_D).map { i =>
+        s"SELECT $i AS i, ${slice(s"CAST($key AS VARCHAR)", i)} AS bucket, count(*) AS c FROM $table GROUP BY 2"
+      }.mkString(s"$out AS (", "\n UNION ALL\n", ")")
+    s"""WITH ${side("orders", "o_orderkey", "ca")},
+       |${side("lineitem", "l_orderkey", "cb")},
+       |ip AS (
+       |  SELECT a.i, sum(a.c * b.c) AS ip
+       |  FROM ca a JOIN cb b ON a.i = b.i AND a.bucket = b.bucket
+       |  GROUP BY a.i),
+       |est AS (SELECT min(ip) AS est_n FROM ip),
+       |x AS (SELECT count(*) AS exact_n FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nn AS (SELECT (SELECT count(*) FROM orders) AS na, (SELECT count(*) FROM lineitem) AS nb)
+       |SELECT exact_n, CAST(est_n AS BIGINT) AS est_n,
+       |  est_n >= exact_n AS overcounts,
+       |  est_n <= exact_n + CAST(ceil(2.718281828459045 * na * nb / $JS_W) AS BIGINT) AS within_eps
+       |FROM x, est, nn""".stripMargin
+  }
+
   // ----------------------------------------------------- SCD2 point-in-time
 
   /** Point-in-time (temporal) dimension join (`q_scd2_pit`) — the CONSUMER

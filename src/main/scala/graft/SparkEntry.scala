@@ -60,6 +60,7 @@ object SparkEntry {
     "q_json_props"        -> EventOps.qJsonProps _,
     "q_events_anomaly"    -> EventOps.qEventsAnomaly _,
     "q_events_ewma"       -> EventOps.qEventsEwma _,
+    "q_session_window"    -> EventOps.qSessionWindow _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_bpe_train"         -> TextAnalysis.qBpeTrain _,
     "q_text_lm_score"     -> TextAnalysis.qTextLmScore _,
     "q_bm25"              -> TextAnalysis.qBm25 _,
+    "q_text_entropy"      -> TextAnalysis.qTextEntropy _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     // §2.6 multimodal + §2.1 metadata/lineage
@@ -123,6 +125,7 @@ object SparkEntry {
     "q_sample_stratified" -> Pipeline.qSampleStratified _,
     "q_sample_balanced"   -> Pipeline.qSampleBalanced _,
     "q_sample_importance" -> Pipeline.qSampleImportance _,
+    "q_sample_fixed"      -> Pipeline.qSampleFixed _,
     "q_corpus_drift"      -> Pipeline.qCorpusDrift _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
     "q_pack_sequences"    -> Pipeline.qPackSequences _
@@ -266,6 +269,7 @@ object SparkEntry {
     "q_json_props"        -> EventOps.oracleJsonProps,
     "q_events_anomaly"    -> EventOps.oracleEventsAnomaly,
     "q_events_ewma"       -> EventOps.oracleEventsEwma,
+    "q_session_window"    -> EventOps.oracleSessionWindow,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 
@@ -311,6 +315,7 @@ object SparkEntry {
     "q_bpe_train"         -> TextAnalysis.oracleBpeTrain,
     "q_text_lm_score"     -> TextAnalysis.oracleTextLmScore,
     "q_bm25"              -> TextAnalysis.oracleBm25,
+    "q_text_entropy"      -> TextAnalysis.oracleTextEntropy,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
 
@@ -329,6 +334,7 @@ object SparkEntry {
     "q_sample_stratified" -> Pipeline.oracleSampleStratified,
     "q_sample_balanced"   -> Pipeline.oracleSampleBalanced,
     "q_sample_importance" -> Pipeline.oracleSampleImportance,
+    "q_sample_fixed"      -> Pipeline.oracleSampleFixed,
     "q_corpus_drift"      -> Pipeline.oracleCorpusDrift,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
     "q_pack_sequences"    -> Pipeline.oraclePackSequences

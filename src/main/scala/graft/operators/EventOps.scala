@@ -304,6 +304,39 @@ object EventOps {
       |GROUP BY e.event_type, st.n, st.mean_v, st.sd_v
       |ORDER BY e.event_type""".stripMargin
 
+  // ------------------------------------------------------- session window
+
+  /** Native `session_window` sessionization (`q_session_window`) — the
+    * built-in operator twin of `q_events_sessionize`'s window-cumsum
+    * construction (and of the streaming fMGWS path): one groupBy over
+    * (user, session_window(ts, gap)) — Spark's SessionWindowing plans a
+    * dedicated merging aggregate, no lag/cumsum scaffolding. Spark's gap
+    * semantics are half-open (an event exactly GAP after the previous
+    * starts a NEW session), mirrored by the oracle's `>=` cut.
+    */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("sess_start"),
+        col("sw.end").cast("timestamp_ntz").as("sess_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+
+  val oracleSessionWindow: String =
+    """WITH e AS (SELECT user_id, value, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+      |x AS (SELECT user_id, value, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+      |       THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, value, ts,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
+      | count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
+
   // --------------------------------------------------------------- EWMA
 
   /** Smoothing factor for the EWMA monitor — literal text shared with

@@ -340,4 +340,29 @@ object Pipeline {
        |SELECT split, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words,
        |  round(avg(quality), 6) AS avg_quality
        |FROM curated GROUP BY split ORDER BY split""".stripMargin
+
+  // --------------------------------------------------------- fixed budget
+
+  private val FIXED_K = 100
+
+  /** Fixed-BUDGET deterministic sample (`q_sample_fixed`): exactly
+    * FIXED_K documents, chosen as the K smallest md5-order keys — the
+    * "give me exactly 10k docs for the eval set" op the rate-based
+    * samplers can't express (a rate yields a binomial-sized sample).
+    * Scale shape: TakeOrderedAndProject — per-partition top-K then a
+    * K-sized merge on one reducer; the corpus never globally sorts.
+    * Reproducible on any cluster size (hash order is data-intrinsic).
+    */
+  def qSampleFixed(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        h60(concat(lit("fix:"), col("doc_id").cast("string"))).as("hk"))
+      .orderBy("hk", "doc_id")
+      .limit(FIXED_K)
+
+  val oracleSampleFixed: String =
+    s"""SELECT doc_id, source, lang,
+       | ${h60Sql("'fix:' || doc_id")} AS hk
+       |FROM documents
+       |ORDER BY hk, doc_id LIMIT $FIXED_K""".stripMargin
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.HashFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting,
@@ -787,6 +788,41 @@ object TextAnalysis {
        |FROM exact e JOIN est USING (term), n
        |ORDER BY e.exact_n DESC, e.term""".stripMargin
   }
+
+  // -------------------------------------------------------------- entropy
+
+  /** Per-document word-entropy (`q_text_entropy`): H = −Σ p·ln p over the
+    * doc's word distribution — low entropy flags repetitive/templated
+    * text (the information-density quality signal next to the repetition
+    * ratio). Two hash aggregates — (doc, word) counts, then the per-doc
+    * entropy sum — both map-side combinable; the doc word total rides
+    * along via a window over the (doc, word) frame bounded by doc
+    * vocabulary. ln is libm on both engines; 6dp rounding at the edge
+    * absorbs the last-ulp differences.
+    */
+  def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).cast("double").as("c"))
+    val withN = wc.withColumn("n",
+      sum("c").over(Window.partitionBy("doc_id")))
+    withN
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_words"),
+        round(sum(-(col("c") / col("n")) * log(col("c") / col("n"))), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  val oracleTextEntropy: String =
+    """WITH wc AS (
+      |  SELECT doc_id, word, count(*)::DOUBLE AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY doc_id, word),
+      |wn AS (SELECT doc_id, word, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM wc)
+      |SELECT doc_id, count(*) AS n_distinct_words,
+      | round(sum(-(c / n) * ln(c / n)), 6) AS entropy
+      |FROM wn GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------- BM25 search
 

@@ -620,25 +620,31 @@ object Relational {
     * exact alongside — at 100 TB you'd run only the sketch side.
     */
   def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
-    val cms = udaf(new graft.functions.CountMinAggregator(JS_D, JS_W))
+    // the sketch built DECLARATIVELY as sparse (row, bucket) counts — one
+    // codegen hash-agg per side, only touched buckets exist (the typed
+    // dense-array Aggregator used by q_heavy_hitters cost ~4.5 s/side
+    // here; this shape is ~10×, and it is the oracle's own formulation)
+    def sideCounts(keys: DataFrame): DataFrame =
+      keys.select(md5(col("k")).as("h"))
+        .select(posexplode(array((0 until JS_D).map(i =>
+          conv(substring(col("h"), 1 + 7 * i, 7), 16, 10).cast("long") % JS_W): _*))
+          .as(Seq("i", "bucket")))
+        .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
     val aKeys = Tables.orders(s, dir).select(col("o_orderkey").cast("string").as("k"))
     val bKeys = Tables.lineitem(s, dir).select(col("l_orderkey").cast("string").as("k"))
-    val skA = aKeys.agg(cms(col("k")).as("cms_a"), count(lit(1)).as("na"))
-    val skB = bKeys.agg(cms(col("k")).as("cms_b"), count(lit(1)).as("nb"))
     val exact = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .agg(count(lit(1)).as("exact_n"))
-    def rowIp(i: Int): Column = aggregate(
-      zip_with(
-        slice(col("cms_a"), i * JS_W + 1, JS_W),
-        slice(col("cms_b"), i * JS_W + 1, JS_W),
-        (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
-    val est = least((0 until JS_D).map(rowIp): _*)
-    skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
-      .select(col("exact_n"), est.as("est_n"),
-        (est >= col("exact_n")).as("overcounts"),
-        (est <= col("exact_n") +
+    val nn = aKeys.agg(count(lit(1)).as("na"))
+      .crossJoin(broadcast(bKeys.agg(count(lit(1)).as("nb"))))
+    val est = sideCounts(aKeys).withColumnRenamed("c", "ca")
+      .join(sideCounts(bKeys).withColumnRenamed("c", "cb"), Seq("i", "bucket"))
+      .groupBy("i").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").as("est_n"))
+    est.crossJoin(broadcast(exact)).crossJoin(broadcast(nn))
+      .select(col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).as("overcounts"),
+        (col("est_n") <= col("exact_n") +
           ceil(lit(math.E) * col("na") * col("nb") / JS_W).cast("long")).as("within_eps"))
   }
 

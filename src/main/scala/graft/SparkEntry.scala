@@ -44,6 +44,7 @@ object SparkEntry {
     "q_window_range"        -> Relational.qWindowRange _,
     "q_idle_capital"        -> Relational.qIdleCapital _,
     "q_join_size_est"       -> Relational.qJoinSizeEst _,
+    "q_trend_forecast"      -> Relational.qTrendForecast _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     // warehouse maintenance & governance
@@ -120,6 +121,7 @@ object SparkEntry {
     // scale patterns + pipeline composition
     "q_pagerank"          -> Graph.qPagerank _,
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
+    "q_skew_report"       -> SkewOps.qSkewReport _,
     "q_zorder_layout"     -> Layout.qZorderLayout _,
     "q_corpus_curate"     -> Pipeline.qCorpusCurate _,
     "q_sample_stratified" -> Pipeline.qSampleStratified _,
@@ -209,6 +211,7 @@ object SparkEntry {
     "q_window_range"       -> Relational.oracleWindowRange,
     "q_idle_capital"       -> Relational.oracleIdleCapital,
     "q_join_size_est"      -> Relational.oracleJoinSizeEst,
+    "q_trend_forecast"     -> Relational.oracleTrendForecast,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
@@ -329,6 +332,7 @@ object SparkEntry {
     "q_source_orc"        -> graft.sources.Sources.oracleSourceOrc,
     "q_pagerank"          -> Graph.oraclePagerank,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
+    "q_skew_report"       -> SkewOps.oracleSkewReport,
     "q_zorder_layout"     -> Layout.oracleZorderLayout,
     "q_corpus_curate"     -> Pipeline.oracleCorpusCurate,
     "q_sample_stratified" -> Pipeline.oracleSampleStratified,

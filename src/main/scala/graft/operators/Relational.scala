@@ -602,6 +602,64 @@ object Relational {
       |WHERE revenue > avg_rev * 1.05
       |ORDER BY revenue DESC, l_suppkey""".stripMargin
 
+  // -------------------------------------------------------- trend forecast
+
+  /** Linear trend fit + one-step forecast over monthly revenue
+    * (`q_trend_forecast`): slope/intercept from the EXPLICIT normal-
+    * equation sums — not regr_slope(), whose accumulation algorithm
+    * (Welford vs naive) is implementation-defined per engine and would
+    * diverge beyond rounding. One monthly aggregate (tiny frame), one
+    * 1-row reduce; r² from the same sums. The capacity-planning op a
+    * warehouse runs on its own volume.
+    */
+  def qTrendForecast(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum("o_totalprice").as("rev"))
+      .select(months_between(col("m"),
+        lit("1995-01-01").cast("timestamp")).cast("double").as("t"), col("rev"))
+    monthly.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("t").as("st"), sum("rev").as("sy"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("rev")).as("sty"),
+      sum(col("rev") * col("rev")).as("syy"))
+      .select(
+        col("n").cast("long").as("n_months"),
+        round((col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st")), 4).as("slope"),
+        round((col("sy") - ((col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st"))) * col("st")) / col("n"), 2)
+          .as("intercept"),
+        round(
+          pow(col("n") * col("sty") - col("st") * col("sy"), 2) /
+            ((col("n") * col("stt") - col("st") * col("st")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
+        round(((col("sy") - ((col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st"))) * col("st")) / col("n")) +
+          ((col("n") * col("sty") - col("st") * col("sy")) /
+            (col("n") * col("stt") - col("st") * col("st"))) * col("n"), 2)
+          .as("forecast_next"))
+  }
+
+  val oracleTrendForecast: String =
+    """WITH monthly AS (
+      |  SELECT date_diff('month', TIMESTAMP '1995-01-01',
+      |           date_trunc('month', o_orderdate))::DOUBLE AS t,
+      |         sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY date_trunc('month', o_orderdate)),
+      |s AS (SELECT count(*)::DOUBLE AS n, sum(t) AS st, sum(rev) AS sy,
+      |        sum(t * t) AS stt, sum(t * rev) AS sty, sum(rev * rev) AS syy
+      |      FROM monthly)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      | round((n * sty - st * sy) / (n * stt - st * st), 4) AS slope,
+      | round((sy - ((n * sty - st * sy) / (n * stt - st * st)) * st) / n, 2) AS intercept,
+      | round(pow(n * sty - st * sy, 2) /
+      |   ((n * stt - st * st) * (n * syy - sy * sy)), 6) AS r2,
+      | round(((sy - ((n * sty - st * sy) / (n * stt - st * st)) * st) / n) +
+      |   ((n * sty - st * sy) / (n * stt - st * st)) * n, 2) AS forecast_next
+      |FROM s""".stripMargin
+
   // --------------------------------------------------- join-size estimate
 
   private val JS_D = 4

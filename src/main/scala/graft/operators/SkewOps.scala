@@ -54,4 +54,43 @@ object SkewOps {
       |SELECT flag_class, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
       |FROM lineitem JOIN dim USING (l_returnflag)
       |GROUP BY flag_class ORDER BY flag_class""".stripMargin
+
+  // ---------------------------------------------------------- skew report
+
+  /** Join-key skew DIAGNOSTIC (`q_skew_report`) — the measurement that
+    * decides whether the salted join / AQE skew handling above is needed
+    * at all: per-key frequencies of a candidate shuffle key (here word
+    * tokens — the dedup family's real join key, with genuine stopword
+    * skew), reduced to scale-free indicators: max/avg ratio and the
+    * top-10 share. Shape: one hash-agg on the key, a 1-row stats reduce,
+    * and a TakeOrdered(10) for the head — no sort of the key frame, no
+    * collect; works unchanged on a trillion-row key column.
+    */
+  def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val top10 = counts.orderBy(desc("c"), col("k")).limit(10)
+      .agg(sum("c").as("top10"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum("c").as("total"),
+      max("c").as("max_count"), round(avg("c"), 4).as("avg_count"))
+    stats.crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("total"), col("max_count"), col("avg_count"),
+        round(col("max_count") / col("avg_count"), 4).as("max_over_avg"),
+        round(col("top10") / col("total"), 6).as("top10_share"))
+  }
+
+  val oracleSkewReport: String =
+    """WITH counts AS (
+      |  SELECT k, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS k FROM documents)
+      |  GROUP BY k),
+      |t10 AS (SELECT sum(c) AS top10 FROM (
+      |  SELECT c FROM counts ORDER BY c DESC, k LIMIT 10)),
+      |st AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total, max(c) AS max_count,
+      |        round(avg(c), 4) AS avg_count FROM counts)
+      |SELECT n_keys, total, max_count, avg_count,
+      | round(max_count / avg_count, 4) AS max_over_avg,
+      | round(top10 * 1.0 / total, 6) AS top10_share
+      |FROM st, t10""".stripMargin
 }

@@ -135,8 +135,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_bpe_train broadcasts the 1-row per-round argmax pair;
         // q_pagerank broadcasts the 1-row node-count frame;
         // q_join_size_est crossJoins three 1-row sketch/count frames
+        // q_skew_report crossJoins the 1-row stats and top-10 frames
         "q_embedding_jl", "q_bm25", "q_embedding_probe", "q_idle_capital",
-        "q_bpe_train", "q_pagerank", "q_join_size_est")
+        "q_bpe_train", "q_pagerank", "q_join_size_est", "q_skew_report")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

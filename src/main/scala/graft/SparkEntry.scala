@@ -45,6 +45,7 @@ object SparkEntry {
     "q_idle_capital"        -> Relational.qIdleCapital _,
     "q_join_size_est"       -> Relational.qJoinSizeEst _,
     "q_trend_forecast"      -> Relational.qTrendForecast _,
+    "q_topk_native"         -> Relational.qTopkNative _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     // warehouse maintenance & governance
@@ -212,6 +213,7 @@ object SparkEntry {
     "q_idle_capital"       -> Relational.oracleIdleCapital,
     "q_join_size_est"      -> Relational.oracleJoinSizeEst,
     "q_trend_forecast"     -> Relational.oracleTrendForecast,
+    "q_topk_native"        -> Relational.oracleTopkNative,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_data_quality"      -> Warehouse.oracleDataQuality,

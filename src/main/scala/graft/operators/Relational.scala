@@ -602,6 +602,30 @@ object Relational {
       |WHERE revenue > avg_rev * 1.05
       |ORDER BY revenue DESC, l_suppkey""".stripMargin
 
+  // ------------------------------------------------- native top-k operator
+
+  /** Per-key top-k through the CUSTOM WHOLE-OPERATOR path
+    * (`q_topk_native`): graft's `TopKPerKey` logical node → planner
+    * strategy → two-phase physical operator (bounded per-partition heaps,
+    * then a key-clustered exact pass) — same results as the
+    * `row_number OVER (PARTITION BY …)` shape `q_group_topk_window`
+    * uses, but a hot key ships k·#partitions candidate rows through the
+    * shuffle instead of sorting its entire row set in one window task.
+    */
+  def qTopkNative(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(Tables.orders(s, dir),
+      col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"), 3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "o_orderkey")
+
+  val oracleTopkNative: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      | SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   // -------------------------------------------------------- trend forecast
 
   /** Linear trend fit + one-step forecast over monthly revenue

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.BloomFns.bloomAggDescriptor)
     ext.injectFunction(graft.functions.BloomFns.bloomContainsDescriptor)
     ext.injectOptimizerRule(_ => DimAutoBroadcast)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectCheckRule { session =>
       val listener = GraftExtensions.ensureListener(session)
       // Streaming lineage attaches LAZILY, on the first analyzed plan

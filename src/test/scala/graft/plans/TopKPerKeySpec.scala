@@ -1,0 +1,48 @@
+package graft.plans
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** The whole-operator extension path: logical node → strategy → two-phase
+  * physical operator, equivalent to the window shape without its sort.
+  */
+class TopKPerKeySpec extends AnyFunSpec with SparkTestBase {
+
+  it("matches the row_number window implementation exactly (ties included)") {
+    val viaOp = TopK.perKey(Tables.orders(spark, sfDir),
+      col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"), 3)
+      .select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val viaWindow = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaOp == viaWindow)
+  }
+
+  it("plans partial + exchange + final, and no Window/Sort of the key's row set") {
+    val df = TopK.perKey(Tables.orders(spark, sfDir),
+      col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"), 3)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2,
+      s"expected partial+final custom operators:\n$plan")
+    assert(plan.contains("Exchange"), "final phase must cluster by key")
+    assert(!plan.contains("Window"), "the operator must not fall back to a window")
+  }
+
+  it("handles duplicate rows, ties, and k larger than the group") {
+    import spark.implicits._
+    val tiny = Seq(("a", 5.0, 1L), ("a", 5.0, 2L), ("a", 5.0, 2L), ("b", 1.0, 9L))
+      .toDF("k", "v", "id").repartition(4)
+    val got = TopK.perKey(tiny, col("k"), col("v"), col("id"), 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // group a: two best by (v desc, id asc) = (5.0,1) and one of the (5.0,2) dups
+    assert(got.count(_._1 == "a") == 2)
+    assert(got.filter(_._1 == "a").map(_._3).toSet == Set(1L, 2L))
+    // group b has fewer rows than k: all kept
+    assert(got.count(_._1 == "b") == 1)
+  }
+}

@@ -103,11 +103,27 @@ final class LineageListener(private[lineage] val sinks: Seq[LineageSink]) extend
       rowsWritten = rows,
       bytesWritten = bytesOut,
       bytesRead = bytesIn,
-      planFingerprint = LineageListener.planFingerprint(analyzed)))
+      planFingerprint = LineageListener.planFingerprint(analyzed),
+      observed = LineageListener.harvestObserved(qe)))
   }
 }
 
 object LineageListener {
+
+  /** `Dataset.observe()` metrics of the finished run, flattened to
+    * (metricSet.column, value-string) pairs — the in-plan data-quality
+    * gate values (CollectMetrics accumulates them executor-side for
+    * free; no extra pass over the data). Sorted for record determinism.
+    */
+  private[lineage] def harvestObserved(qe: QueryExecution): Seq[(String, String)] =
+    try {
+      qe.observedMetrics.toSeq.flatMap { case (name, row) =>
+        row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+          (s"$name.$f", String.valueOf(row.get(i)))
+        }
+      }.sortBy(_._1)
+    } catch { case _: Throwable => Seq.empty }
+
   /** Recurring-query identity for the catalog side: sha-256 of the
     * CANONICALIZED analyzed plan — `canonicalized` normalizes attribute
     * ids and alias names, so re-running the same job (fresh session,

@@ -41,7 +41,11 @@ final case class LineageRecord(
     rowsWritten: Option[Long],
     bytesWritten: Option[Long] = None,
     bytesRead: Option[Long] = None,
-    planFingerprint: String = ""
+    planFingerprint: String = "",
+    // Dataset.observe() metrics harvested from the run — the in-plan
+    // data-quality gates (row counts, violation sums) a pipeline attaches
+    // with CollectMetrics, flowing to the catalog with the run record
+    observed: Seq[(String, String)] = Seq.empty
 ) {
 
   /** Dependency-free JSON rendering (newline-safe, driver-parsable). */
@@ -65,7 +69,8 @@ final case class LineageRecord(
       s"""{"kind":${q(o.kind)},"name":${q(o.name)},"format":${opt(o.format)},"mode":${opt(o.mode)}}""").getOrElse("null")
     val colLin = arr(columnLineage.map(m =>
       s"""{"output":${q(m.output)},"sources":${arr(m.sources.map(q))}}"""))
-    s"""{"appId":${q(appId)},"appName":${q(appName)},"user":${q(user)},""" +
+    val obs = arr(observed.map { case (k, v) => s"{${q(k)}:${q(v)}}" })
+    s"""{"appId":${q(appId)},"appName":${q(appName)},"user":${q(user)},"observed":$obs,""" +
       s""""funcName":${q(funcName)},"status":${q(status)},"error":${opt(error)},""" +
       s""""durationNs":$durationNs,"timestampMs":$timestampMs,"inputs":$ins,"output":$out,""" +
       s""""outputColumns":${arr(outputColumns.map(q))},"columnLineage":$colLin,""" +

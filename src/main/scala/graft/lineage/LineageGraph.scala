@@ -61,6 +61,56 @@ object LineageGraph {
     } finally e.unpersist()
   }
 
+  /** Distinct COLUMN-level edges from successful runs: one
+    * `src = "entity.column"` → `dst = "outputEntity.column"` edge per
+    * column-lineage mapping — the column-granular graph under the
+    * dataset-level one above. */
+  def columnEdges(s: SparkSession, records: Seq[LineageRecord]): DataFrame = {
+    import s.implicits._
+    records
+      .filter(r => r.status == "success" && r.output.isDefined)
+      .flatMap { r =>
+        val out = r.output.get.name
+        r.columnLineage.flatMap(m => m.sources.map(src => (src, s"$out.${m.output}")))
+      }
+      .distinct
+      .toDF("src", "dst")
+  }
+
+  /** Columns reachable downstream of `rootColumn` ("entity.column") with
+    * min-hop depth — "every report field this column feeds", the
+    * column-granular blast radius a schema change review needs. Same
+    * frontier-expansion discipline as [[downstream]]. */
+  def downstreamColumns(s: SparkSession, records: Seq[LineageRecord],
+      rootColumn: String, maxDepth: Int = 20): DataFrame = {
+    import s.implicits._
+    val e = columnEdges(s, records).cache()
+    try {
+      var frontier = Seq(rootColumn).toDF("column").withColumn("depth", lit(0))
+      var all = frontier
+      var depth = 0
+      var converged = false
+      while (!converged && depth < maxDepth) {
+        depth += 1
+        val next = frontier.join(e, col("column") === col("src"))
+          .select(col("dst").as("column")).distinct()
+          .join(all.select(col("column").as("seen")),
+            col("column") === col("seen"), "left_anti")
+          .withColumn("depth", lit(depth))
+          .localCheckpoint()
+        if (next.isEmpty) converged = true
+        else {
+          all = all.unionByName(next).localCheckpoint()
+          frontier = next
+        }
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"column lineage closure capped at depth $maxDepth below '$rootColumn'")
+      all
+    } finally e.unpersist()
+  }
+
   /** Fan-out report: every entity with its direct consumer count and the
     * size of its full downstream cone — the blast-radius ranking a data
     * platform reviews before a risky backfill. */

@@ -56,6 +56,36 @@ class LineageGraphSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  it("column-level closure tracks a column through renames and derivations, not siblings") {
+    withTempDir { dir =>
+      val sink = new InMemorySink
+      val l = Lineage.installSync(spark, sink)
+      try {
+        val base = dir.getAbsolutePath
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .select(col("r_regionkey"), col("r_name"))
+          .write.mode("overwrite").parquet(s"$base/a")
+        spark.read.parquet(s"$base/a")
+          .select(col("r_regionkey").as("rk2"),
+            concat(col("r_name"), lit("!")).as("decorated"))
+          .write.mode("overwrite").parquet(s"$base/b")
+        assert(eventually()(sink.records.count(r =>
+          r.output.isDefined && r.columnLineage.nonEmpty) >= 2))
+        val records = sink.records
+        // find the exact source-column id the extractor used for r_name in /a
+        val aRec = records.find(_.output.exists(_.name.endsWith("/a"))).get
+        val nameSrc = aRec.columnLineage.find(_.output == "r_name").get.sources.head
+        val cone = LineageGraph.downstreamColumns(spark, records, nameSrc).collect()
+          .map(r => r.getString(0) -> r.getInt(1)).toMap
+        def at(suffix: String) = cone.collectFirst { case (k, v) if k.endsWith(suffix) => v }
+        assert(at("/a.r_name").contains(1), s"cone: $cone")
+        assert(at("/b.decorated").contains(2), s"derivation lost: $cone")
+        assert(!cone.keys.exists(_.endsWith(".rk2")),
+          s"sibling column leaked into the cone: $cone")
+      } finally Lineage.uninstall(spark, l)
+    }
+  }
+
   it("impact report ranks the shared upstream highest") {
     withTempDir { dir =>
       val records = capturedPipeline(dir)

@@ -104,6 +104,23 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       assert(plan.contains("BroadcastHashJoin"), s"stats did not broadcast:\n$plan")
     }
 
+    it("the second-session family prunes scans to referenced columns") {
+      def readSchemas(df: org.apache.spark.sql.DataFrame): String =
+        explain(df).linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      // RANGE window touches 4 of orders' 6 columns
+      val wr = readSchemas(Relational.qWindowRange(spark, sfDir))
+      assert(!wr.contains("o_orderstatus") && !wr.contains("o_orderpriority"), wr)
+      // CDC merge needs only the key and the price
+      val mu = readSchemas(Warehouse.qMergeUpsert(spark, sfDir))
+      assert(!mu.contains("o_orderdate") && !mu.contains("o_custkey"), mu)
+      // Q21 shape reads 3 of lineitem's 11 columns
+      val ls = readSchemas(Relational.qLateSoleSupplier(spark, sfDir))
+      assert(!ls.contains("l_extendedprice") && !ls.contains("l_quantity"), ls)
+      // segment dedup reads only (doc_id, text) from documents
+      val sd = readSchemas(Dedup.qSegmentDedup(spark, sfDir))
+      assert(!sd.contains("lang") && !sd.contains("source") && !sd.contains("n_chars"), sd)
+    }
+
     it("no query plans a cartesian product or an unbounded nested-loop join") {
       // the O(n²) killers at 100 TB: every candidate-pair generator must
       // ride an equality join. Skip the entries that run side-effecting

@@ -46,6 +46,8 @@ object SparkEntry {
     "q_join_size_est"       -> Relational.qJoinSizeEst _,
     "q_trend_forecast"      -> Relational.qTrendForecast _,
     "q_topk_native"         -> Relational.qTopkNative _,
+    "q_promo_share"         -> Relational.qPromoShare _,
+    "q_band_revenue"        -> Relational.qBandRevenue _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     // warehouse maintenance & governance
@@ -214,6 +216,8 @@ object SparkEntry {
     "q_join_size_est"      -> Relational.oracleJoinSizeEst,
     "q_trend_forecast"     -> Relational.oracleTrendForecast,
     "q_topk_native"        -> Relational.oracleTopkNative,
+    "q_promo_share"        -> Relational.oraclePromoShare,
+    "q_band_revenue"       -> Relational.oracleBandRevenue,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_data_quality"      -> Warehouse.oracleDataQuality,

@@ -602,6 +602,71 @@ object Relational {
       |WHERE revenue > avg_rev * 1.05
       |ORDER BY revenue DESC, l_suppkey""".stripMargin
 
+  // ------------------------------------------------------ promo share Q14
+
+  /** Q14-style promo revenue share (`q_promo_share`): one month's
+    * lineitem joined to the part dim (broadcast), conditional revenue
+    * ratio — the classic conditional-aggregate-over-a-join shape. The
+    * date filter pushes to the fact scan; one shuffle on the tiny final
+    * aggregate.
+    */
+  def qPromoShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-02-01").cast("timestamp"))
+      .join(Tables.dim(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 2).as("promo_rev"),
+        round(sum(rev), 2).as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        round(lit(100.0) * col("promo_rev") / col("total_rev"), 4).as("promo_pct"))
+  }
+
+  val oraclePromoShare: String =
+    """WITH j AS (
+      | SELECT l_extendedprice * (1 - l_discount) AS rev, p_type
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01')
+      |SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END), 2) AS promo_rev,
+      | round(sum(rev), 2) AS total_rev,
+      | round(100.0 * round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END), 2)
+      |   / round(sum(rev), 2), 4) AS promo_pct
+      |FROM j""".stripMargin
+
+  // -------------------------------------------------- OR-band predicate Q19
+
+  /** Q19-style discounted revenue under OR'd attribute bands
+    * (`q_band_revenue`): three disjunctive (brand, size-range,
+    * quantity-range) bands — the predicate shape that exercises
+    * CNF-conversion / join-condition pushdown. The part dim broadcasts;
+    * the band predicate evaluates post-join; quantity bounds prune the
+    * fact scan (the common `l_quantity <= 40` envelope is pushable).
+    */
+  def qBandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") <= 40)
+    val bands =
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 25)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(25, 40))
+    li.join(Tables.dim(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  val oracleBandRevenue: String =
+    """SELECT count(*) AS n_lines,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity <= 40 AND (
+      |  (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 15) OR
+      |  (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25) OR
+      |  (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 40))""".stripMargin
+
   // ------------------------------------------------- native top-k operator
 
   /** Per-key top-k through the CUSTOM WHOLE-OPERATOR path

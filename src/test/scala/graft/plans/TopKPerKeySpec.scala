@@ -33,6 +33,29 @@ class TopKPerKeySpec extends AnyFunSpec with SparkTestBase {
     assert(!plan.contains("Window"), "the operator must not fall back to a window")
   }
 
+  it("matches the window reference on generated data across k, skew, and tie density") {
+    import spark.implicits._
+    // fixed-seed generated datasets: heavy key skew, dense value ties
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { i =>
+      val key = s"k${if (rnd.nextDouble() < 0.5) 0 else rnd.nextInt(20)}" // hot key k0
+      val v = rnd.nextInt(8).toDouble // dense ties
+      (key, v, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id").repartition(7).cache()
+    df.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(desc("v"), col("id"))
+    for (k <- Seq(1, 3, 17)) {
+      val viaOp = TopK.perKey(df, col("k"), col("v"), col("id"), k)
+        .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("k", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(viaOp == viaWindow, s"divergence at k=$k")
+    }
+    df.unpersist()
+  }
+
   it("handles duplicate rows, ties, and k larger than the group") {
     import spark.implicits._
     val tiny = Seq(("a", 5.0, 1L), ("a", 5.0, 2L), ("a", 5.0, 2L), ("b", 1.0, 9L))

@@ -295,5 +295,41 @@ class StreamOpsSpec extends AnyFunSpec with SparkTestBase {
         assert(streamed.values.exists(identity), "no outliers in the replayed slice")
       } finally q.stop()
     }
+
+    it("the batch-trained linear probe scores a stream with identical margin signs") {
+      import spark.implicits._
+      implicit val sql = spark.sqlContext
+      // weights trained in batch (the nightly job); served as literals on
+      // the stream — a 65-double artifact, the train-offline/score-online
+      // shape for the embedding probe
+      val wts = graft.operators.Similarity.probeWeights(spark, sfDir)
+        .collect().head.getSeq[Double](0)
+      val wArr = array(wts.map(lit): _*)
+      def margin(x: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, wArr, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+      val vecs = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val stream = MemoryStream[(Long, Seq[Double])]
+      val scored = stream.toDF().toDF("vec_id", "e")
+        .select(col("vec_id"),
+          (margin(concat(array(lit(1.0)), col("e"))) > 0.0).as("pred"))
+      val q = scored.writeStream.format("memory").queryName("probe_out")
+        .outputMode("append").start()
+      try {
+        stream.addData(vecs.toSeq: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("probe_out")
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        val batch = graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            (margin(concat(array(lit(1.0)), col("embedding").cast("array<double>"))) > 0.0)
+              .as("pred"))
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        assert(streamed == batch, "stream/batch probe prediction divergence")
+        assert(streamed.values.exists(identity) && streamed.values.exists(!_),
+          "probe predictions degenerate on the replayed corpus")
+      } finally q.stop()
+    }
   }
 }

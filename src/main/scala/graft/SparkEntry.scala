@@ -81,6 +81,7 @@ object SparkEntry {
     "q_decontaminate_auto"  -> Dedup.qDecontaminateAuto _,
     "q_split_leakage"       -> Dedup.qSplitLeakage _,
     "q_segment_dedup"       -> Dedup.qSegmentDedup _,
+    "q_dedup_by_source"     -> Dedup.qDedupBySource _,
     // §2.4 similarity
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
@@ -297,6 +298,7 @@ object SparkEntry {
     "q_decontaminate_auto"  -> Dedup.oracleDecontaminate,
     "q_split_leakage"       -> Dedup.oracleSplitLeakage,
     "q_segment_dedup"       -> Dedup.oracleSegmentDedup,
+    "q_dedup_by_source"     -> Dedup.oracleDedupBySource,
 
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,

@@ -883,6 +883,39 @@ object Dedup {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- duplication by source
+
+  /** Duplication rate per SOURCE (`q_dedup_by_source`) — the curation
+    * answer dedup feeds back to acquisition: which sources contribute
+    * mostly redundant documents. Rolls the FULL dedup verdict
+    * ([[qDedupVerdict]]: exact collapse + MinHash near-dup clusters +
+    * keep-first) up by the duplicate's OWN source — one extra
+    * broadcast-sized join and a per-source aggregate on top of the
+    * verdict plan. (Exact-only attribution would be vacuous here: the
+    * driver corpus has no byte-identical copies, only near-dups.)
+    */
+  def qDedupBySource(s: SparkSession, dir: String): DataFrame = {
+    val verdict = qDedupVerdict(s, dir).select(col("doc_id"), col("keep"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(verdict, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("keep")).as("n_dropped"))
+      .withColumn("drop_rate", round(col("n_dropped") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  /** `def`, not `val`: interpolates [[oracleDedupVerdict]], which is
+    * declared later in this object (object vals initialize in
+    * declaration order — the r6 PQ lesson). */
+  def oracleDedupBySource: String =
+    s"""WITH v AS ($oracleDedupVerdict)
+       |SELECT d.source, count(*) AS n_docs,
+       | CAST(sum(1 - v.keep) AS BIGINT) AS n_dropped,
+       | round(sum(1 - v.keep) * 1.0 / count(*), 6) AS drop_rate
+       |FROM v JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // --------------------------------------------------- segment-level dedup
 
   /** Passage segment width (words). Non-overlapping 8-word windows: long

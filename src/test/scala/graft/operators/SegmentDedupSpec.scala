@@ -62,6 +62,14 @@ class SegmentDedupSpec extends AnyFunSpec with SparkTestBase {
       assert(perDoc(3L) == ((3L, 0L)))
     }
 
+    it("q_dedup_by_source rolls the verdict up exactly (totals and drops conserved)") {
+      val bySource = Dedup.qDedupBySource(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val verdict = Dedup.qDedupVerdict(spark, sfDir).collect()
+      assert(bySource.map(_._2).sum == verdict.length)
+      assert(bySource.map(_._3).sum == verdict.count(_.getLong(2) == 0L))
+    }
+
     it("plans no windows and no pair explosion (equality join on the segment hash)") {
       val plan = Dedup.qSegmentDedup(spark, sfDir)
         .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -22,7 +22,7 @@ case class CmsBuf(counters: Array[Long])
   * 1−e^−d).
   *
   * Hashing is engine-portable BY SLICING md5: row `i` uses hex chars
-  * `[1+7i, 7+7i)` of `md5(token)` (28 bits) mod `w` — the same
+  * `[7i, 7i+7)` (0-based) of `md5(token)` (28 bits) mod `w` — the same
   * arithmetic is expressible in Spark SQL (`conv(substring(md5(t),…))`)
   * for the probe side and in DuckDB for the oracle, so the sketch the
   * aggregator builds and the sketch the oracle rebuilds agree exactly

@@ -69,7 +69,10 @@ final case class LineageRecord(
       s"""{"kind":${q(o.kind)},"name":${q(o.name)},"format":${opt(o.format)},"mode":${opt(o.mode)}}""").getOrElse("null")
     val colLin = arr(columnLineage.map(m =>
       s"""{"output":${q(m.output)},"sources":${arr(m.sources.map(q))}}"""))
-    val obs = arr(observed.map { case (k, v) => s"{${q(k)}:${q(v)}}" })
+    // fixed-key objects (not name-keyed pairs) so consumers read a
+    // stable typed schema like every other record field
+    val obs = arr(observed.map { case (k, v) =>
+      s"""{"name":${q(k)},"value":${q(v)}}""" })
     s"""{"appId":${q(appId)},"appName":${q(appName)},"user":${q(user)},"observed":$obs,""" +
       s""""funcName":${q(funcName)},"status":${q(status)},"error":${opt(error)},""" +
       s""""durationNs":$durationNs,"timestampMs":$timestampMs,"inputs":$ins,"output":$out,""" +

@@ -277,6 +277,9 @@ object EventOps {
     * is a broadcast hash join + projection. Mean and σ are rounded 6dp
     * BEFORE the comparison so both engines threshold on the identical
     * double (Welford vs naive σ accumulation differ in final ulps).
+    * Degenerate groups (one row → stddev_samp NULL) make the z-score
+    * predicate NULL for every row, so the sum is coalesced to 0 to match
+    * the oracle's `CASE … ELSE 0` semantics.
     */
   def qEventsAnomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select("event_type", "value")
@@ -286,8 +289,9 @@ object EventOps {
         round(stddev_samp("value"), 6).as("sd_v"))
     ev.join(broadcast(stats), Seq("event_type"))
       .groupBy("event_type", "n", "mean_v", "sd_v")
-      .agg(sum((abs(col("value") - col("mean_v")) > col("sd_v") * 3).cast("long"))
-        .as("n_outliers"))
+      .agg(coalesce(
+        sum((abs(col("value") - col("mean_v")) > col("sd_v") * 3).cast("long")),
+        lit(0L)).as("n_outliers"))
       .select(col("event_type"), col("n"), col("mean_v"), col("sd_v"), col("n_outliers"))
       .orderBy("event_type")
   }

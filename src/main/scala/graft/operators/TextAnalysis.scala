@@ -247,17 +247,23 @@ object TextAnalysis {
     * earlier merges (true BPE). Self-pairs are excluded (the positional
     * pass's non-interaction contract).
     *
-    * Training runs IN-PLAN: each round is one pair-count aggregate
-    * (map-side combinable) + a TakeOrdered(1) argmax broadcast back —
-    * never a driver-side loop over data; at 100 TB each round is one
-    * corpus scan, and production trains on a sample then applies
-    * corpus-wide via `q_tokenize_bpe`'s path. Output: the learned table
-    * (step, pair_a, pair_b, n_pair).
+    * Each round is one pair-count aggregate (map-side combinable) +
+    * a TakeOrdered(1) argmax whose SINGLE row is collected and
+    * re-broadcast as literals — the only driver-side data is one
+    * (pair, count) row per round; at 100 TB each round is one corpus
+    * scan, and production trains on a sample then applies corpus-wide
+    * via `q_tokenize_bpe`'s path. The argmax scan of round k is also
+    * what materializes round k's token cache, so round k−1's cache is
+    * unpersisted right after it (never more than two cached corpora
+    * live; the last is released before returning — the output is the
+    * collected literal table (step, pair_a, pair_b, n_pair), so nothing
+    * lazy still references them).
     */
   def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
     var toks = Tables.documents(s, dir)
       .select(split(col("text"), " ").as("t")).cache()
-    var learned = Vector.empty[DataFrame]
+    var prev: Option[DataFrame] = None
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to BPE_TRAIN_STEPS) {
       val best = toks
         .select(explode(adjacentPairs(col("t"))).as("p"))
@@ -266,13 +272,17 @@ object TextAnalysis {
         .groupBy("pa", "pb").agg(count(lit(1)).as("n_pair"))
         .orderBy(desc("n_pair"), col("pa"), col("pb"))
         .limit(1)
-      learned = learned :+ best.select(lit(step).cast("int").as("step"),
-        col("pa").as("pair_a"), col("pb").as("pair_b"), col("n_pair"))
-      toks = toks.crossJoin(broadcast(best))
-        .select(bpeMergePassCol(col("t"), col("pa"), col("pb")).as("t"))
-        .cache()
+        .collect()(0)
+      prev.foreach(_.unpersist(false)) // this round's cache is now materialized
+      prev = Some(toks)
+      val (pa, pb) = (best.getString(0), best.getString(1))
+      learned += ((step, pa, pb, best.getLong(2)))
+      if (step < BPE_TRAIN_STEPS)
+        toks = toks.select(bpeMergePassCol(col("t"), lit(pa), lit(pb)).as("t")).cache()
     }
-    learned.reduce(_ unionByName _).orderBy("step")
+    toks.unpersist(false)
+    import s.implicits._
+    learned.toSeq.toDF("step", "pair_a", "pair_b", "n_pair").orderBy("step")
   }
 
   val oracleBpeTrain: String = {

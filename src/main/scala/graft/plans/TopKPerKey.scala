@@ -24,10 +24,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * for a hot key at 100 TB that is k·#partitions rows through the wire
   * instead of the key's entire row set into one sort task. State per task
   * is a k-sized heap per distinct key seen (bounded by k·|keys in task|).
-  * Ordering is (ord DESC, tie ASC); callers supply a tie column to make
-  * the result deterministic. Nulls in ord/tie are the caller's problem
-  * (cast/filter first) — the operator treats evaluation results as
-  * non-null primitives.
+  * Ordering is (ord DESC, tie ASC) under the expressions' NATIVE type
+  * ordering (no lossy cast — long ordinals above 2^53 rank exactly);
+  * callers supply a tie column to make the result deterministic.
+  * `TopK.perKey` inserts a null filter on ord/tie (a null has no rank in
+  * a top-k), and the exec still fails fast if a null reaches evaluation
+  * (e.g. the node is constructed directly with nullable expressions).
   */
 case class TopKPerKey(key: Expression, ord: Expression, tie: Expression,
     k: Int, child: LogicalPlan) extends UnaryNode {
@@ -58,25 +60,43 @@ case class TopKPerKeyExec(key: Expression, ord: Expression, tie: Expression,
       val keyProj = UnsafeProjection.create(Seq(keyExpr), childOutput)
       val boundOrd = BindReferences.bindReference(ordExpr, childOutput)
       val boundTie = BindReferences.bindReference(tieExpr, childOutput)
+      // Native type orderings — a LongType ord compares as long (no
+      // double round-trip losing precision above 2^53).
+      val ordCmp = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(boundOrd.dataType)
+      val tieCmp = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(boundTie.dataType)
+      // eval results over unsafe rows may alias the (reused) row buffer
+      def owned(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+        case x => x
+      }
       // min-heap on goodness: head is the WORST kept row (smallest ord,
       // then largest tie) — a new row replaces it when strictly better
-      val worstFirst = Ordering.by[(Double, Long, InternalRow), (Double, Long)] {
-        case (o, t, _) => (-o, t)
+      val worstFirst = new Ordering[(Any, Any, InternalRow)] {
+        override def compare(x: (Any, Any, InternalRow), y: (Any, Any, InternalRow)): Int = {
+          val c = ordCmp.compare(y._1, x._1)
+          if (c != 0) c else tieCmp.compare(x._2, y._2)
+        }
       }
       val heaps = scala.collection.mutable.HashMap
         .empty[org.apache.spark.sql.catalyst.expressions.UnsafeRow,
-          scala.collection.mutable.PriorityQueue[(Double, Long, InternalRow)]]
+          scala.collection.mutable.PriorityQueue[(Any, Any, InternalRow)]]
       iter.foreach { row =>
         val hk = keyProj(row)
-        val o = boundOrd.eval(row).asInstanceOf[Double]
-        val t = boundTie.eval(row).asInstanceOf[Long]
+        val o = boundOrd.eval(row)
+        val t = boundTie.eval(row)
+        if (o == null || t == null) throw new IllegalStateException(
+          "TopKPerKeyExec: null ord/tie evaluation result — a null has no " +
+            "rank in a top-k; filter nulls before the operator (TopK.perKey does)")
         val heap = heaps.getOrElseUpdate(hk.copy(),
           scala.collection.mutable.PriorityQueue.empty(worstFirst))
-        if (heap.size < kk) heap.enqueue((o, t, row.copy()))
+        if (heap.size < kk) heap.enqueue((owned(o), owned(t), row.copy()))
         else {
           val (wo, wt, _) = heap.head
-          if (o > wo || (o == wo && t < wt)) {
-            heap.dequeue(); heap.enqueue((o, t, row.copy()))
+          if (ordCmp.compare(o, wo) > 0 ||
+              (ordCmp.compare(o, wo) == 0 && tieCmp.compare(t, wt) < 0)) {
+            heap.dequeue(); heap.enqueue((owned(o), owned(t), row.copy()))
           }
         }
       }
@@ -109,12 +129,15 @@ object TopK {
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ TopKStrategy
 
   /** Per-key top-k through the custom operator: rows of `df` holding the
-    * k largest `ord` values per `key` (ties broken by smallest `tie`). */
+    * k largest `ord` values per `key` (ties broken by smallest `tie`),
+    * compared under their native types (no lossy double cast). Rows with
+    * a null ord/tie are filtered out first — a null has no rank. */
   def perKey(df: DataFrame, key: Column, ord: Column, tie: Column, k: Int): DataFrame = {
     register(df.sparkSession)
     import org.apache.spark.sql.GraftBridge.expression
-    val plan = TopKPerKey(expression(key), expression(ord.cast("double")),
-      expression(tie.cast("long")), k, df.queryExecution.analyzed)
+    val nonNull = df.filter(ord.isNotNull && tie.isNotNull)
+    val plan = TopKPerKey(expression(key), expression(ord),
+      expression(tie), k, nonNull.queryExecution.analyzed)
     org.apache.spark.sql.GraftBridge.ofRows(df.sparkSession, plan)
   }
 }

@@ -56,6 +56,28 @@ class TopKPerKeySpec extends AnyFunSpec with SparkTestBase {
     df.unpersist()
   }
 
+  it("ranks long ordinals above 2^53 exactly (no double round-trip)") {
+    import spark.implicits._
+    // 2^53 and 2^53+1 collide as doubles; native long ordering must not
+    val big = (1L << 53)
+    val df = Seq(("a", big, 1L), ("a", big + 1, 2L), ("a", big - 1, 3L))
+      .toDF("k", "v", "id").repartition(3)
+    val got = TopK.perKey(df, col("k"), col("v"), col("id"), 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L), s"expected the 2^53+1 row to win, got $got")
+  }
+
+  it("filters null ord/tie rows instead of ranking them as zero") {
+    import spark.implicits._
+    val df = Seq(("a", Some(-5.0), 1L), ("a", None, 2L), ("b", Some(1.0), 3L))
+      .toDF("k", "v", "id").repartition(2)
+    val got = TopK.perKey(df, col("k"), col("v"), col("id"), 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // null v has no rank: group a keeps the -5.0 row (a null coerced to
+    // 0.0 would have beaten it), group b its only non-null row
+    assert(got == Set(1L, 3L), s"got $got")
+  }
+
   it("handles duplicate rows, ties, and k larger than the group") {
     import spark.implicits._
     val tiny = Seq(("a", 5.0, 1L), ("a", 5.0, 2L), ("a", 5.0, 2L), ("b", 1.0, 9L))

@@ -50,6 +50,12 @@ object SparkEntry {
     "q_band_revenue"        -> Relational.qBandRevenue _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
+    // robust stats / distribution audits
+    "q_mad_outliers" -> Stats.qMadOutliers _,
+    "q_histogram"    -> Stats.qHistogram _,
+    "q_benford"      -> Stats.qBenford _,
+    "q_ks_test"      -> Stats.qKsTest _,
+    "q_mutual_info"  -> Stats.qMutualInfo _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
     "q_merge_upsert"    -> Warehouse.qMergeUpsert _,
@@ -221,6 +227,11 @@ object SparkEntry {
     "q_band_revenue"       -> Relational.oracleBandRevenue,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
+    "q_mad_outliers" -> Stats.oracleMadOutliers,
+    "q_histogram"    -> Stats.oracleHistogram,
+    "q_benford"      -> Stats.oracleBenford,
+    "q_ks_test"      -> Stats.oracleKsTest,
+    "q_mutual_info"  -> Stats.oracleMutualInfo,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,
     "q_incremental_agg"   -> Warehouse.oracleIncrementalAgg,

@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust statistics / distribution-audit operators — the monitoring
+  * family a data pipeline runs on every ingest batch alongside
+  * [[EventOps.qEventsAnomaly]]'s mean/σ z-score: median/MAD outliers
+  * (robust to the very outliers a mean-based score absorbs), equi-width
+  * histograms, a Benford first-digit audit, a two-sample KS drift test,
+  * and mutual information between categorical columns.
+  *
+  * Scale notes (100 TB): every operator aggregates the fact table ONCE
+  * per pass into a bounded frame (|event types|, |buckets|, |digits|,
+  * |bins|, |category pairs|) and every join back onto a fact is an
+  * explicit broadcast of such a bounded frame. Window functions appear
+  * ONLY over aggregated frames (≤ a few hundred rows by construction) —
+  * never over a raw fact stream, so no single-task skew partition exists
+  * anywhere here. Cross-engine determinism: aggregates are rounded
+  * before comparisons/thresholds; libm functions (ln, log10, sqrt) feed
+  * only rounded outputs, so a 1-ulp engine difference cannot flip a
+  * reported digit.
+  */
+object Stats {
+
+  // ------------------------------------------------------------ MAD
+  /** Robust outlier detection (`q_mad_outliers`): per event type,
+    * median + MAD (median absolute deviation), then |v − med| >
+    * 3·1.4826·MAD outlier counts (1.4826 scales MAD to σ under
+    * normality). Three fact scans (median, MAD, outlier count) — each a
+    * map-side-combinable aggregate or a broadcast-stats probe; the
+    * fact table never shuffles. Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` both linearly interpolate, and both medians are
+    * rounded 6dp before any arithmetic that feeds a threshold.
+    */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 6).as("med_v"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("value") - col("med_v")).as("adev"))
+      .groupBy("event_type")
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad_v"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type", "n", "med_v", "mad_v")
+      .agg(coalesce(
+        sum((abs(col("value") - col("med_v")) > col("mad_v") * lit(3.0) * lit(1.4826))
+          .cast("long")), lit(0L)).as("n_outliers"))
+      .select("event_type", "n", "med_v", "mad_v", "n_outliers")
+      .orderBy("event_type")
+  }
+
+  val oracleMadOutliers: String =
+    """WITH med AS (
+      |  SELECT event_type, count(*) AS n,
+      |    round(quantile_cont(value, 0.5), 6) AS med_v
+      |  FROM events GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type,
+      |    round(quantile_cont(abs(e.value - m.med_v), 0.5), 6) AS mad_v
+      |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |SELECT e.event_type, m.n, m.med_v, d.mad_v,
+      |  CAST(coalesce(sum(CASE WHEN abs(e.value - m.med_v) > d.mad_v * 3 * 1.4826
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers
+      |FROM events e JOIN med m USING (event_type) JOIN mad d ON d.event_type = e.event_type
+      |GROUP BY e.event_type, m.n, m.med_v, d.mad_v
+      |ORDER BY e.event_type""".stripMargin
+
+  // ------------------------------------------------------ histogram
+  private[graft] val HIST_W = 25000.0
+  private[graft] val HIST_NB = 20
+
+  /** Equi-width histogram (`q_histogram`) of order totals: bucket =
+    * min(⌊price/W⌋, NB−1). One hash aggregate over the fact (map-side
+    * combined), then the cumulative share via a window over the ≤NB-row
+    * aggregated frame (bounded by construction — the only "global"
+    * window is over NB rows). Bucket arithmetic is pure IEEE division +
+    * floor — identical in both engines.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val b = least(floor(col("o_totalprice") / HIST_W), lit(HIST_NB - 1)).cast("int")
+    val agg = Tables.orders(s, dir).select(b.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("lo", col("bucket") * HIST_W)
+      .withColumn("cum_share",
+        round(sum("n").over(w).cast("double") / sum("n").over(all), 6))
+      .select("bucket", "lo", "n", "cum_share")
+      .orderBy("bucket")
+  }
+
+  val oracleHistogram: String =
+    s"""WITH agg AS (
+       |  SELECT CAST(least(floor(o_totalprice / $HIST_W), ${HIST_NB - 1}) AS INT) AS bucket,
+       |    count(*) AS n
+       |  FROM orders GROUP BY 1)
+       |SELECT bucket, bucket * $HIST_W AS lo, n,
+       |  round((sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::DOUBLE
+       |    / (sum(n) OVER ()), 6) AS cum_share
+       |FROM agg ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------- Benford
+  /** Benford first-digit audit (`q_benford`) over lineitem prices — the
+    * classic fabricated-data / corruption screen. The first significant
+    * digit comes from the DECIMAL(12,2) rendering (both engines format
+    * decimals identically; no log10-near-integer hazard, no double→
+    * string formatting divergence). One fact aggregate to 9 rows, then
+    * expected Benford mass log10(1+1/d) and the χ² contribution per
+    * digit; obs/exp shares rounded 6dp, χ² terms 4dp (counts are exact
+    * ints, so the only cross-engine noise is libm log10 at ≤1 ulp,
+    * absorbed by the rounding).
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(col("l_extendedprice").cast("decimal(12,2)").cast("string"), 1, 1)
+    val agg = Tables.lineitem(s, dir).select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("total", sum("n").over(all))
+      .withColumn("obs_p", col("n").cast("double") / col("total"))
+      .withColumn("exp_p", log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .select(col("digit"), col("n"),
+        round(col("obs_p"), 6).as("obs_p"),
+        round(col("exp_p"), 6).as("exp_p"),
+        round(pow(col("obs_p") - col("exp_p"), 2) / col("exp_p") * col("total"), 4)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  val oracleBenford: String =
+    """WITH agg AS (
+      |  SELECT substring(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit,
+      |    count(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |x AS (
+      |  SELECT digit, n, sum(n) OVER () AS total,
+      |    n::DOUBLE / sum(n) OVER () AS obs_p,
+      |    log10(1.0 + 1.0 / digit::DOUBLE) AS exp_p
+      |  FROM agg)
+      |SELECT digit, n, round(obs_p, 6) AS obs_p, round(exp_p, 6) AS exp_p,
+      |  round(pow(obs_p - exp_p, 2) / exp_p * total, 4) AS chi2_term
+      |FROM x ORDER BY digit""".stripMargin
+
+  // ------------------------------------------------------------- KS
+  private[graft] val KS_BIN = 1000.0
+  private[graft] val KS_SEG_A = "BUILDING"
+  private[graft] val KS_SEG_B = "MACHINERY"
+
+  /** Two-sample Kolmogorov–Smirnov drift test (`q_ks_test`): D =
+    * max |F_A − F_B| between two customer segments' order-total
+    * distributions, on a fixed value grid (KS_BIN-wide bins — the 100 TB
+    * shape: the ECDF support is the bounded bin domain, not the raw
+    * value set, so the cumulative window runs over ≤|domain/KS_BIN| rows
+    * no matter the fact size). One broadcast dim join + one fact
+    * aggregate; the α=0.05 decision uses the standard c(α)=1.358
+    * critical value. ECDF ratios are exact-int divisions (identical
+    * doubles in both engines); D is rounded 6dp.
+    */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(s, dir)
+      .join(Tables.dim(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+    val agg = seg.select(
+        floor(col("o_totalprice") / KS_BIN).cast("long").as("b"),
+        (col("c_mktsegment") === KS_SEG_A).cast("long").as("ia"),
+        (col("c_mktsegment") === KS_SEG_B).cast("long").as("ib"))
+      .groupBy("b").agg(sum("ia").as("na"), sum("ib").as("nb"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("ta", sum("na").over(all))
+      .withColumn("tb", sum("nb").over(all))
+      .withColumn("gap", abs(
+        sum("na").over(w).cast("double") / col("ta") -
+          sum("nb").over(w).cast("double") / col("tb")))
+      .groupBy("ta", "tb")
+      .agg(round(max("gap"), 6).as("d_stat"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"), col("d_stat"),
+        (col("d_stat") > lit(1.358) * sqrt((col("ta") + col("tb")).cast("double") /
+          (col("ta").cast("double") * col("tb").cast("double"))))
+          .cast("int").as("reject_05"))
+  }
+
+  val oracleKsTest: String =
+    s"""WITH seg AS (
+       |  SELECT floor(o_totalprice / $KS_BIN)::BIGINT AS b,
+       |    CASE WHEN c_mktsegment = '$KS_SEG_A' THEN 1 ELSE 0 END AS ia,
+       |    CASE WHEN c_mktsegment = '$KS_SEG_B' THEN 1 ELSE 0 END AS ib
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment IN ('$KS_SEG_A', '$KS_SEG_B')),
+       |agg AS (SELECT b, sum(ia) AS na, sum(ib) AS nb FROM seg GROUP BY b),
+       |cum AS (
+       |  SELECT sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+       |    abs((sum(na) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING))::DOUBLE / (sum(na) OVER ())
+       |      - (sum(nb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING))::DOUBLE / (sum(nb) OVER ())) AS gap
+       |  FROM agg)
+       |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b, round(max(gap), 6) AS d_stat,
+       |  CAST(round(max(gap), 6) > 1.358 * sqrt((ta + tb)::DOUBLE / (ta::DOUBLE * tb::DOUBLE)) AS INT) AS reject_05
+       |FROM cum GROUP BY ta, tb""".stripMargin
+
+  // ---------------------------------------------- mutual information
+  /** Mutual information (`q_mutual_info`) between l_returnflag and
+    * l_linestatus — the feature-dependence screen a pipeline runs before
+    * treating two label columns as independent. One fact aggregate to
+    * the |X|·|Y| joint-count frame (≤ a dozen rows); marginals are
+    * window sums over that frame, MI/entropies one final aggregate.
+    * All probabilities are exact-int ratios; ln is libm (≤1 ulp engine
+    * skew) and every reported number is rounded 6dp, so the sums differ
+    * by ≤1e-15 before a 1e-6 rounding grid.
+    */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("nxy"))
+    val wx = Window.partitionBy("l_returnflag")
+    val wy = Window.partitionBy("l_linestatus")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = col("nxy").cast("double") / col("n")
+    joint
+      .withColumn("nx", sum("nxy").over(wx))
+      .withColumn("ny", sum("nxy").over(wy))
+      .withColumn("n", sum("nxy").over(all))
+      .select(col("n"),
+        (p * log(p / ((col("nx").cast("double") / col("n")) *
+          (col("ny").cast("double") / col("n"))))).as("mi_term"),
+        (p * log(col("nx").cast("double") / col("n"))).as("hx_term"),
+        (p * log(col("ny").cast("double") / col("n"))).as("hy_term"))
+      .groupBy("n")
+      .agg(round(sum("mi_term"), 6).as("mi"),
+        round(-sum("hx_term"), 6).as("h_rf"),
+        round(-sum("hy_term"), 6).as("h_ls"),
+        round(sum("mi_term") / sqrt(sum("hx_term") * sum("hy_term")), 6).as("nmi"))
+  }
+
+  val oracleMutualInfo: String =
+    """WITH joint AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS nxy
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT nxy,
+      |    sum(nxy) OVER (PARTITION BY l_returnflag) AS nx,
+      |    sum(nxy) OVER (PARTITION BY l_linestatus) AS ny,
+      |    sum(nxy) OVER () AS n
+      |  FROM joint),
+      |t AS (
+      |  SELECT n,
+      |    (nxy::DOUBLE / n) * ln((nxy::DOUBLE / n) / ((nx::DOUBLE / n) * (ny::DOUBLE / n))) AS mi_term,
+      |    (nxy::DOUBLE / n) * ln(nx::DOUBLE / n) AS hx_term,
+      |    (nxy::DOUBLE / n) * ln(ny::DOUBLE / n) AS hy_term
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n, round(sum(mi_term), 6) AS mi,
+      |  round(-sum(hx_term), 6) AS h_rf,
+      |  round(-sum(hy_term), 6) AS h_ls,
+      |  round(sum(mi_term) / sqrt(sum(hx_term) * sum(hy_term)), 6) AS nmi
+      |FROM t GROUP BY n""".stripMargin
+}

@@ -71,6 +71,8 @@ object SparkEntry {
     "q_events_anomaly"    -> EventOps.qEventsAnomaly _,
     "q_events_ewma"       -> EventOps.qEventsEwma _,
     "q_session_window"    -> EventOps.qSessionWindow _,
+    "q_time_weighted_avg" -> EventOps.qTimeWeightedAvg _,
+    "q_seasonal_profile"  -> EventOps.qSeasonalProfile _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -88,6 +90,8 @@ object SparkEntry {
     "q_split_leakage"       -> Dedup.qSplitLeakage _,
     "q_segment_dedup"       -> Dedup.qSegmentDedup _,
     "q_dedup_by_source"     -> Dedup.qDedupBySource _,
+    "q_dedup_editdist"      -> Dedup.qDedupEditdist _,
+    "q_text_containment"    -> Dedup.qTextContainment _,
     // §2.4 similarity
     "q_knn_brute"    -> Similarity.qKnnBrute _,
     "q_knn_lsh"      -> Similarity.qKnnLsh _,
@@ -130,6 +134,7 @@ object SparkEntry {
     "q_source_orc"  -> ((s, d) => graft.sources.Sources.qSourceOrc(s, d)),
     // scale patterns + pipeline composition
     "q_pagerank"          -> Graph.qPagerank _,
+    "q_graph_triangles"   -> Graph.qGraphTriangles _,
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
     "q_skew_report"       -> SkewOps.qSkewReport _,
     "q_zorder_layout"     -> Layout.qZorderLayout _,
@@ -291,6 +296,8 @@ object SparkEntry {
     "q_events_anomaly"    -> EventOps.oracleEventsAnomaly,
     "q_events_ewma"       -> EventOps.oracleEventsEwma,
     "q_session_window"    -> EventOps.oracleSessionWindow,
+    "q_time_weighted_avg" -> EventOps.oracleTimeWeightedAvg,
+    "q_seasonal_profile"  -> EventOps.oracleSeasonalProfile,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 
@@ -310,6 +317,8 @@ object SparkEntry {
     "q_split_leakage"       -> Dedup.oracleSplitLeakage,
     "q_segment_dedup"       -> Dedup.oracleSegmentDedup,
     "q_dedup_by_source"     -> Dedup.oracleDedupBySource,
+    "q_dedup_editdist"      -> Dedup.oracleDedupEditdist,
+    "q_text_containment"    -> Dedup.oracleTextContainment,
 
     "q_knn_brute"    -> Similarity.oracleKnnBrute,
     "q_knn_lsh"      -> Similarity.oracleKnnLsh,
@@ -350,6 +359,7 @@ object SparkEntry {
     "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
     "q_source_orc"        -> graft.sources.Sources.oracleSourceOrc,
     "q_pagerank"          -> Graph.oraclePagerank,
+    "q_graph_triangles"   -> Graph.oracleGraphTriangles,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
     "q_skew_report"       -> SkewOps.oracleSkewReport,
     "q_zorder_layout"     -> Layout.oracleZorderLayout,

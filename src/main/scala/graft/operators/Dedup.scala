@@ -170,6 +170,69 @@ object Dedup {
        |WHERE shared * 1.0 / (ca.cnt + cb.cnt - shared) >= $JACCARD_T
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ----------------------------------------------------------- containment
+  private[graft] val CONT_T = 0.6
+
+  /** Asymmetric n-gram CONTAINMENT (`q_text_containment`): |A∩B| / |A|
+    * per direction — the quotation/subset detector Jaccard misses (a
+    * paragraph quoted inside a much longer doc has tiny Jaccard but
+    * containment ≈ 1 in one direction). Same candidate machinery as
+    * [[qDedupNgramJaccard]] (df-capped shared-shingle equality join over
+    * exact-dup representatives — never all-pairs), different final
+    * algebra: both directed scores from the one undirected candidate
+    * row, a direction verdict, and a max-containment keep threshold.
+    * Ratios are exact-int divisions rounded 6dp — engine-identical.
+    */
+  def qTextContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir))
+
+  /** The containment pair generator over any (doc_id, text) frame —
+    * shared with the spec's synthetic subset-corpus check. */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val dfw = Window.partitionBy("sh")
+    val sh = shingleTable(collapseExact(docs))
+      .withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= MAX_SHINGLE_DF).drop("df").cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val shared = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val contA = col("shared").cast("double") / col("ca")
+    val contB = col("shared").cast("double") / col("cb")
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("cnt").as("ca")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("cnt").as("cb")), Seq("doc_b"))
+      .filter(greatest(contA, contB) >= CONT_T)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(contA, 6).as("cont_a"), round(contB, 6).as("cont_b"),
+        when(contA >= CONT_T && contB >= CONT_T, "mutual")
+          .when(contA >= CONT_T, "a_in_b")
+          .otherwise("b_in_a").as("direction"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val oracleTextContainment: String =
+    s"""WITH $repsCte,
+       |${shingleCte.replace("sh AS (", "sh0 AS (")},
+       |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $MAX_SHINGLE_DF),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (sh)),
+       |cnt AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_a, doc_b, shared,
+       |    shared::DOUBLE / ca.cnt AS ra, shared::DOUBLE / cb.cnt AS rb
+       |  FROM shared JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, shared,
+       |  round(ra, 6) AS cont_a, round(rb, 6) AS cont_b,
+       |  CASE WHEN ra >= $CONT_T AND rb >= $CONT_T THEN 'mutual'
+       |       WHEN ra >= $CONT_T THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+       |FROM sc WHERE greatest(ra, rb) >= $CONT_T
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------ winnowing
   /** Winnow-overlap near-duplicate pairs (`q_dedup_winnow`): candidate
     * generation over WINNOWED fingerprints instead of full shingle
@@ -325,6 +388,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("copies_a"), col("copies_b"))
       .orderBy("doc_a", "doc_b")
   }
+
+  private[graft] val EDIT_T = 0.8
+
+  /** Edit-distance VERIFICATION of LSH candidates (`q_dedup_editdist`) —
+    * the NeMo-Curator-style two-stage recipe: cheap MinHash banding
+    * proposes, expensive character-level Levenshtein confirms. The
+    * O(len²) DP runs ONLY on the LSH-bounded candidate pairs (never
+    * all-pairs — at 100 TB the candidate count is the banding recall
+    * knob, not a quadratic), with texts joined back by doc_id so the
+    * band shuffle itself never carries document bodies. edit_sim =
+    * 1 − lev/max(len); both engines implement unit-cost Levenshtein.
+    */
+  def qDedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    val reps = collapseExact(Tables.documents(s, dir)).cache()
+    val sig = minhashSignatures(shingleTable(reps)).cache()
+    minhashPairs(sig)
+      .join(reps.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")).cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))), 6).as("edit_sim"))
+      .withColumn("is_dup", (col("edit_sim") >= EDIT_T).cast("int"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // def, not val: minhashPairsCtes is declared below (object-init order)
+  def oracleDedupEditdist: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       |  round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+       |    / greatest(length(a.text), length(b.text)), 6) AS edit_sim,
+       |  CAST(round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+       |    / greatest(length(a.text), length(b.text)), 6) >= $EDIT_T AS INT) AS is_dup
+       |FROM pairs p JOIN reps a ON a.doc_id = p.doc_a JOIN reps b ON b.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
   /** Train/test SPLIT-LEAKAGE audit (`q_split_leakage`) — the
     * benchmark-contamination check a curation pipeline must run after

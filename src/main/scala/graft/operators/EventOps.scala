@@ -399,4 +399,73 @@ object EventOps {
        |                 acc[2] + CASE WHEN el[1] > acc[1] * 2.0 THEN 1.0 ELSE 0.0 END])[2] AS BIGINT)
        |   AS n_spikes
        |FROM series ORDER BY event_type""".stripMargin
+
+  /** Time-weighted average (`q_time_weighted_avg`) — the TWAP of the
+    * value stream per (event type, day): each observation holds until
+    * the next one, so the day's mean weights every value by its holding
+    * interval (irregular cadence makes the plain avg wrong). One lead
+    * window per (type, day) partition — DAY-BOUNDED by construction, so
+    * no partition outgrows a task at any corpus size (contrast a
+    * per-type-only partition: one task per type forever). The last
+    * observation of each day has no successor and carries no weight in
+    * both engines.
+    */
+  def qTimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type", "d").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("dt", lead(col("ts").cast("double"), 1).over(w) - col("ts").cast("double"))
+      .filter(col("dt").isNotNull)
+      .groupBy("event_type", "d")
+      .agg(round(sum(col("value") * col("dt")) / sum("dt"), 6).as("twap"),
+        count(lit(1)).as("n_seg"))
+      .orderBy("event_type", "d")
+  }
+
+  val oracleTimeWeightedAvg: String =
+    """WITH e AS (
+      |  SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id, value
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, value,
+      |    epoch(lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |      ORDER BY ts, event_id)) - epoch(ts) AS dt
+      |  FROM e)
+      |SELECT event_type, d, round(sum(value * dt) / sum(dt), 6) AS twap,
+      |  count(*) AS n_seg
+      |FROM x WHERE dt IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Day-of-week seasonality profile (`q_seasonal_profile`): per
+    * (event type, weekday) counts and mean value, the weekday's share
+    * of the type's volume, and a peak-day flag. One map-side-combined
+    * aggregate to the ≤|types|·7-row frame; share/peak via window sums
+    * over THAT bounded frame only. Weekday numbering is pinned to
+    * 0=Sunday in both engines (Spark dayofweek()−1 = DuckDB dayofweek).
+    */
+  def qSeasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    val agg = events(s, dir)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"), col("value"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_v"))
+    val byType = Window.partitionBy("event_type")
+    agg
+      .withColumn("share", round(col("n").cast("double") / sum("n").over(byType), 6))
+      .withColumn("is_peak", (col("n") === max("n").over(byType)).cast("int"))
+      .select("event_type", "dow", "n", "avg_v", "share", "is_peak")
+      .orderBy("event_type", "dow")
+  }
+
+  val oracleSeasonalProfile: String =
+    """WITH e AS (
+      |  SELECT event_type, dayofweek(make_timestamp(epoch_ns(ts) // 1000)) AS dow, value
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_type, dow, count(*) AS n, round(avg(value), 6) AS avg_v
+      |  FROM e GROUP BY 1, 2)
+      |SELECT event_type, dow, n, avg_v,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type), 6) AS share,
+      |  CAST(n = max(n) OVER (PARTITION BY event_type) AS INT) AS is_peak
+      |FROM agg ORDER BY event_type, dow""".stripMargin
 }

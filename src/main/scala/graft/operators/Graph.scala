@@ -105,4 +105,76 @@ object Graph {
        |SELECT node, round(pr, 6) AS pagerank FROM pr$PR_ITERS
        |ORDER BY pagerank DESC, node LIMIT 20""".stripMargin
   }
+
+  /** Triangle census (`q_graph_triangles`) of the inter-nation trade
+    * graph: nodes are nations, an undirected edge links two nations
+    * whose trade volume (lineitem count between their customers and
+    * suppliers) is at least the mean edge volume. Reports node/edge/
+    * triangle counts and global transitivity 3·Δ/#open-triads.
+    *
+    * Scale shape: ONE fact-table aggregate (orders/customer/supplier
+    * dims broadcast onto lineitem) reduces everything to the ≤|nations|²
+    * edge frame; the triangle 3-way self-join, degree sums, and the
+    * mean-volume threshold (a 1-row broadcast) all run on that bounded
+    * frame — the classic "aggregate to the quotient graph first" move.
+    * Node identity is the integer nation key; a<b<c ordering counts
+    * each triangle exactly once. All counts are exact ints; the
+    * transitivity ratio is one rounded division.
+    */
+  def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val meanW = pairs.agg(avg("w").as("mean_w"))
+    val edges = pairs.crossJoin(broadcast(meanW))
+      .filter(col("w") >= col("mean_w"))
+      .select("a", "b")
+      .localCheckpoint() // bounded (≤|nations|² rows); reused 5×
+    val deg = edges.select(col("a").as("v")).unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val tri = edges.as("ab")
+      .join(edges.as("bc"), col("ab.b") === col("bc.a"))
+      .join(edges.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val summary = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum("d") / 2).cast("long").as("n_edges"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_triads"))
+    summary.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_triads"), 6).as("transitivity"))
+  }
+
+  val oracleGraphTriangles: String =
+    """WITH pairs AS (
+      |  SELECT least(c_nationkey, s_nationkey) AS a,
+      |    greatest(c_nationkey, s_nationkey) AS b, count(*) AS w
+      |  FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT a, b FROM pairs WHERE w >= (SELECT avg(w) FROM pairs)),
+      |deg AS (
+      |  SELECT v, count(*) AS d FROM (
+      |    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+      |  GROUP BY v),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM edges ab JOIN edges bc ON ab.b = bc.a
+      |    JOIN edges ac ON ac.a = ab.a AND ac.b = bc.b),
+      |summary AS (
+      |  SELECT count(*) AS n_nodes,
+      |    CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+      |    CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_triads
+      |  FROM deg)
+      |SELECT n_nodes, n_edges, n_triangles,
+      |  round(3.0 * n_triangles / n_triads, 6) AS transitivity
+      |FROM summary, tri""".stripMargin
 }

@@ -154,7 +154,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_join_size_est crossJoins three 1-row sketch/count frames
         // q_skew_report crossJoins the 1-row stats and top-10 frames
         "q_embedding_jl", "q_bm25", "q_embedding_probe", "q_idle_capital",
-        "q_bpe_train", "q_pagerank", "q_join_size_est", "q_skew_report")
+        "q_bpe_train", "q_pagerank", "q_join_size_est", "q_skew_report",
+        // q_graph_triangles crossJoins the 1-row mean-volume and
+        // triangle-count frames onto ≤|nations|²-row aggregated frames
+        "q_graph_triangles")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

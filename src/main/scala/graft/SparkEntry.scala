@@ -56,6 +56,10 @@ object SparkEntry {
     "q_benford"      -> Stats.qBenford _,
     "q_ks_test"      -> Stats.qKsTest _,
     "q_mutual_info"  -> Stats.qMutualInfo _,
+    "q_gini_binned"  -> Stats.qGiniBinned _,
+    "q_autocorr"     -> Stats.qAutocorr _,
+    "q_cramers_v"    -> Stats.qCramersV _,
+    "q_hhi"          -> Stats.qHhi _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
     "q_merge_upsert"    -> Warehouse.qMergeUpsert _,
@@ -237,6 +241,10 @@ object SparkEntry {
     "q_benford"      -> Stats.oracleBenford,
     "q_ks_test"      -> Stats.oracleKsTest,
     "q_mutual_info"  -> Stats.oracleMutualInfo,
+    "q_gini_binned"  -> Stats.oracleGiniBinned,
+    "q_autocorr"     -> Stats.oracleAutocorr,
+    "q_cramers_v"    -> Stats.oracleCramersV,
+    "q_hhi"          -> Stats.oracleHhi,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,
     "q_incremental_agg"   -> Warehouse.oracleIncrementalAgg,

@@ -238,6 +238,190 @@ object Stats {
         round(sum("mi_term") / sqrt(sum("hx_term") * sum("hy_term")), 6).as("nmi"))
   }
 
+  // --------------------------------------------------- Gini / Lorenz
+  private[graft] val GINI_BIN = 25000.0
+  private[graft] val GINI_NB = 200
+
+  /** Binned Gini coefficient (`q_gini_binned`) of per-customer spend —
+    * the concentration audit (how unequal is the corpus/revenue across
+    * contributors). Per-customer totals bin onto a fixed spend grid, so
+    * the Lorenz curve lives on ≤GINI_NB rows no matter how many
+    * customers exist (the global customer sort a textbook Gini needs is
+    * exactly the 100 TB killer this avoids); Gini is the trapezoid sum
+    * over that bounded frame. Two aggregates + bounded windows only.
+    */
+  def qGiniBinned(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("spend"))
+    val b = least(floor(col("spend") / GINI_BIN), lit(GINI_NB - 1)).cast("int")
+    val bins = spend.select(b.as("bucket"), col("spend"))
+      .groupBy("bucket").agg(count(lit(1)).as("nc"), sum("spend").as("sp"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lorenz = bins
+      .withColumn("cx", sum("nc").over(w).cast("double") / sum("nc").over(all))
+      .withColumn("cy", sum("sp").over(w) / sum("sp").over(all))
+      .withColumn("px", lag("cx", 1, 0.0).over(Window.orderBy("bucket")))
+      .withColumn("py", lag("cy", 1, 0.0).over(Window.orderBy("bucket")))
+    lorenz
+      .agg(sum("nc").as("n_customers"),
+        round(lit(1.0) - sum((col("cx") - col("px")) * (col("cy") + col("py"))), 6)
+          .as("gini"),
+        round(lit(1.0) - min(when(col("cx") >= 0.9, col("py"))), 6).as("top_decile_share"))
+  }
+
+  val oracleGiniBinned: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1),
+       |bins AS (
+       |  SELECT CAST(least(floor(spend / $GINI_BIN), ${GINI_NB - 1}) AS INT) AS bucket,
+       |    count(*) AS nc, sum(spend) AS sp
+       |  FROM spend GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket, nc,
+       |    (sum(nc) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::DOUBLE / (sum(nc) OVER ()) AS cx,
+       |    (sum(sp) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)) / (sum(sp) OVER ()) AS cy
+       |  FROM bins),
+       |lorenz AS (
+       |  SELECT nc, cx, cy,
+       |    coalesce(lag(cx) OVER (ORDER BY bucket), 0.0) AS px,
+       |    coalesce(lag(cy) OVER (ORDER BY bucket), 0.0) AS py
+       |  FROM cum)
+       |SELECT CAST(sum(nc) AS BIGINT) AS n_customers,
+       |  round(1.0 - sum((cx - px) * (cy + py)), 6) AS gini,
+       |  round(1.0 - min(CASE WHEN cx >= 0.9 THEN py END), 6) AS top_decile_share
+       |FROM lorenz""".stripMargin
+
+  // ------------------------------------------------- autocorrelation
+  private[graft] val ACF_LAGS = 3
+
+  /** Daily-revenue autocorrelation (`q_autocorr`): ACF at lags 1..3 of
+    * the day-aggregated order revenue series — the rhythm check before
+    * any forecasting (`q_trend_forecast`) is trusted. The raw fact
+    * reduces to the |days|-row series in the first aggregate; lags are
+    * windows over that bounded frame; r_k = Σ(x_t−μ)(x_{t+k}−μ)/Σ(x_t−μ)²
+    * with the full-series mean (standard ACF denominator). One output
+    * row per lag via a post-aggregate unpivot.
+    */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum("o_totalprice").as("x"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byD = Window.orderBy("d")
+    var f = daily
+      .withColumn("mu", avg("x").over(all))
+      .withColumn("dx", col("x") - col("mu"))
+    for (k <- 1 to ACF_LAGS) f = f.withColumn(s"dx$k", lag("dx", k).over(byD))
+    val aggd = f.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("dx") * col("dx")).as("den") +: (1 to ACF_LAGS).map(k =>
+        sum(col("dx") * col(s"dx$k")).as(s"num$k")): _*)
+    val lagRows = (1 to ACF_LAGS).map(k =>
+      s"struct(CAST($k AS INT) AS lag, round(num$k / den, 6) AS r)").mkString(", ")
+    aggd.select(col("n_days"), explode(expr(s"array($lagRows)")).as("a"))
+      .select(col("a.lag").as("lag"), col("a.r").as("r"), col("n_days"))
+      .orderBy("lag")
+  }
+
+  val oracleAutocorr: String = {
+    val lagCols = (1 to ACF_LAGS).map(k =>
+      s"lag(dx, $k) OVER (ORDER BY d) AS dx$k").mkString(", ")
+    val nums = (1 to ACF_LAGS).map(k => s"sum(dx * dx$k) AS num$k").mkString(", ")
+    val sel = (1 to ACF_LAGS).map(k =>
+      s"SELECT CAST($k AS INT) AS lag, round(num$k / den, 6) AS r, n_days FROM agg").mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+       |  FROM orders GROUP BY 1),
+       |dev AS (SELECT d, x - avg(x) OVER () AS dx FROM daily),
+       |lagged AS (SELECT dx, $lagCols FROM dev),
+       |agg AS (
+       |  SELECT count(*) AS n_days, sum(dx * dx) AS den, $nums FROM lagged)
+       |$sel
+       |ORDER BY lag""".stripMargin
+  }
+
+  // ------------------------------------------------------- Cramér's V
+  /** Cramér's V (`q_cramers_v`) between l_returnflag and l_linestatus —
+    * the χ²-based twin of `q_mutual_info` on the SAME |X|·|Y| joint
+    * frame: χ² against independence margins, V = √(χ²/(n·(min(r,c)−1))).
+    * Counts are exact ints; χ² rounded 4dp, V 6dp.
+    */
+  def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("nxy"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val e = col("nx").cast("double") * col("ny") / col("n")
+    joint
+      .withColumn("nx", sum("nxy").over(Window.partitionBy("l_returnflag")))
+      .withColumn("ny", sum("nxy").over(Window.partitionBy("l_linestatus")))
+      .withColumn("n", sum("nxy").over(all))
+      .withColumn("r", size(collect_set("l_returnflag").over(all)))
+      .withColumn("c", size(collect_set("l_linestatus").over(all)))
+      .groupBy("n", "r", "c")
+      .agg(sum(pow(col("nxy") - e, 2) / e).as("chi2"))
+      .select(col("n"), round(col("chi2"), 4).as("chi2"),
+        ((least(col("r"), col("c")) - 1) * (greatest(col("r"), col("c")) - 1))
+          .cast("long").as("dof"),
+        round(sqrt(col("chi2") / (col("n") * (least(col("r"), col("c")) - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  val oracleCramersV: String =
+    """WITH joint AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS nxy
+      |  FROM lineitem GROUP BY 1, 2),
+      |rc AS (
+      |  SELECT count(DISTINCT l_returnflag) AS r, count(DISTINCT l_linestatus) AS c
+      |  FROM joint),
+      |m AS (
+      |  SELECT nxy,
+      |    sum(nxy) OVER (PARTITION BY l_returnflag) AS nx,
+      |    sum(nxy) OVER (PARTITION BY l_linestatus) AS ny,
+      |    sum(nxy) OVER () AS n,
+      |    rc.r, rc.c
+      |  FROM joint, rc),
+      |agg AS (
+      |  SELECT n, r, c,
+      |    sum(pow(nxy - nx::DOUBLE * ny / n, 2) / (nx::DOUBLE * ny / n)) AS chi2
+      |  FROM m GROUP BY n, r, c)
+      |SELECT CAST(n AS BIGINT) AS n, round(chi2, 4) AS chi2,
+      |  CAST((least(r, c) - 1) * (greatest(r, c) - 1) AS BIGINT) AS dof,
+      |  round(sqrt(chi2 / (n * (least(r, c) - 1))), 6) AS cramers_v
+      |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------- HHI
+  /** Herfindahl–Hirschman concentration (`q_hhi`) of supplier revenue
+    * within each returnflag class: HHI = Σ share² = Σrev²/(Σrev)² per
+    * group — computed with TWO aggregates and NO window at all (the
+    * per-group supplier frame can be arbitrarily wide at scale; the
+    * sum-of-squares identity needs no per-group ordering or window).
+    * effective_n = 1/HHI is the equivalent-equal-suppliers count.
+    */
+  def qHhi(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(sum("l_extendedprice").as("rev"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_suppliers"),
+        (sum(col("rev") * col("rev")) / (sum("rev") * sum("rev"))).as("hhi_raw"))
+      .select(col("l_returnflag"), col("n_suppliers"),
+        round(col("hhi_raw"), 6).as("hhi"),
+        round(lit(1.0) / col("hhi_raw"), 2).as("effective_n"))
+      .orderBy("l_returnflag")
+
+  val oracleHhi: String =
+    """WITH rev AS (
+      |  SELECT l_returnflag, l_suppkey, sum(l_extendedprice) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT l_returnflag, count(*) AS n_suppliers,
+      |    sum(rev * rev) / (sum(rev) * sum(rev)) AS hhi_raw
+      |  FROM rev GROUP BY 1)
+      |SELECT l_returnflag, n_suppliers, round(hhi_raw, 6) AS hhi,
+      |  round(1.0 / hhi_raw, 2) AS effective_n
+      |FROM agg ORDER BY l_returnflag""".stripMargin
+
   val oracleMutualInfo: String =
     """WITH joint AS (
       |  SELECT l_returnflag, l_linestatus, count(*) AS nxy

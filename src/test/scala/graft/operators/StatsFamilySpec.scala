@@ -79,6 +79,78 @@ class StatsFamilySpec extends AnyFunSpec with SparkTestBase {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
 
+  it("q_gini_binned matches a driver-side Lorenz replay on the same bins") {
+    val row = Stats.qGiniBinned(spark, sfDir).collect()(0)
+    val spend = Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("s")).collect().map(_.getDouble(1))
+    assert(row.getLong(0) == spend.length)
+    val bins = spend.groupBy(s =>
+      math.min(math.floor(s / Stats.GINI_BIN).toLong, Stats.GINI_NB - 1L))
+      .toSeq.sortBy(_._1).map { case (_, xs) => (xs.length.toLong, xs.sum) }
+    val (tn, ts) = (bins.map(_._1).sum.toDouble, bins.map(_._2).sum)
+    var (cx, cy, gini) = (0.0, 0.0, 1.0)
+    bins.foreach { case (nc, sp) =>
+      val (nx, ny) = (cx + nc / tn, cy + sp / ts)
+      gini -= (nx - cx) * (ny + cy); cx = nx; cy = ny
+    }
+    val giniR = BigDecimal(gini).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(1) - giniR) < 1e-9, s"gini ${row.getDouble(1)} vs $giniR")
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+    assert(row.getDouble(2) > 0.1, "top decile holds >10% of spend")
+  }
+
+  it("q_autocorr lies in [-1,1] and matches a driver-side ACF replay") {
+    val got = Stats.qAutocorr(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("d")).agg(sum("o_totalprice").as("x"))
+      .orderBy("d").collect().map(_.getDouble(1))
+    val mu = daily.sum / daily.length
+    val dx = daily.map(_ - mu)
+    val den = dx.map(v => v * v).sum
+    (1 to Stats.ACF_LAGS).foreach { k =>
+      val num = dx.drop(k).zip(dx.dropRight(k)).map { case (a, b) => a * b }.sum
+      val want = BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(k) - want) < 1e-9, s"lag $k: got ${got(k)} want $want")
+      assert(got(k) >= -1.0 && got(k) <= 1.0)
+    }
+  }
+
+  it("q_cramers_v agrees with a chi2 replay and stays in [0,1]") {
+    val row = Stats.qCramersV(spark, sfDir).collect()(0)
+    val joint = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = joint.map(_._2).sum.toDouble
+    val nx = joint.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ny = joint.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val chi2 = joint.map { case ((x, y), nxy) =>
+      val e = nx(x).toDouble * ny(y) / n
+      math.pow(nxy - e, 2) / e
+    }.sum
+    assert(math.abs(row.getDouble(1) - chi2) < 1e-2, s"chi2 ${row.getDouble(1)} vs $chi2")
+    val v = row.getDouble(3)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(row.getLong(2) == (math.min(nx.size, ny.size) - 1L) * (math.max(nx.size, ny.size) - 1L))
+  }
+
+  it("q_hhi equals the explicit share-squared sum and bounds effective_n") {
+    val rows = Stats.qHhi(spark, sfDir).collect()
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_suppkey").agg(sum("l_extendedprice").as("r"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).groupBy(_._1)
+    rows.foreach { r =>
+      val xs = rev(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == xs.length)
+      val tot = xs.sum
+      val hhi = xs.map(x => (x / tot) * (x / tot)).sum
+      assert(math.abs(r.getDouble(2) - hhi) < 1e-6, s"${r.getString(0)} hhi")
+      // 1/n <= HHI <= 1, effective_n <= n_suppliers
+      assert(r.getDouble(2) >= 1.0 / xs.length - 1e-9 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) <= xs.length + 1e-6)
+    }
+  }
+
   it("q_mutual_info is non-negative and bounded by both entropies") {
     val r = Stats.qMutualInfo(spark, sfDir).collect()(0)
     val (mi, hx, hy, nmi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))

@@ -267,6 +267,69 @@ object StreamOps {
   }
 
   // --------------------------------------------- streaming heavy hitters
+  /** One timestamped value observation for the streaming TWAP. */
+  case class ValueArrival(key: String, tsSec: Double, eventId: Long, value: Double)
+
+  /** Running TWAP snapshot per key (one row per key per micro-batch). */
+  case class TwapSnapshot(key: String, twap: Double, n_seg: Long)
+
+  /** Per-key fold state: the open segment + closed-segment accumulators. */
+  case class TwapState(lastTs: Double, lastVal: Double,
+      accVdt: Double, accDt: Double, nSeg: Long)
+
+  /** Streaming time-weighted average on `transformWithState` — the
+    * incremental twin of `EventOps.qTimeWeightedAvg`: each observation
+    * holds until the next one, so the key's TWAP is Σv·Δt/ΣΔt over
+    * closed segments. State per key is ONE open segment + two running
+    * sums (O(1) forever — stream length never grows it); each
+    * micro-batch folds its rows in (ts, event_id) order on top of that
+    * state, exactly the batch lead-window semantics. Callers key by
+    * (entity, day) like the batch query so state count is day-bounded;
+    * per-key event-time order across batches is the caller's contract
+    * (watermark + drop-late upstream), matching the batch query's
+    * window ordering.
+    */
+  class TwapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, ValueArrival, TwapSnapshot] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[TwapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TwapState]("twap", Encoders.product[TwapState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[ValueArrival],
+        timerValues: TimerValues): Iterator[TwapSnapshot] = {
+      val ordered = rows.toSeq.sortBy(r => (r.tsSec, r.eventId))
+      if (ordered.isEmpty) Iterator.empty
+      else {
+        var s = if (st.exists()) st.get()
+        else TwapState(ordered.head.tsSec, ordered.head.value, 0.0, 0.0, 0L)
+        val it = if (st.exists()) ordered.iterator else ordered.iterator.drop(1)
+        it.foreach { r =>
+          val dt = r.tsSec - s.lastTs
+          s = TwapState(r.tsSec, r.value,
+            s.accVdt + s.lastVal * dt, s.accDt + dt, s.nSeg + 1L)
+        }
+        st.update(s)
+        if (s.accDt > 0.0) Iterator.single(TwapSnapshot(key, s.accVdt / s.accDt, s.nSeg))
+        else Iterator.empty
+      }
+    }
+  }
+
+  /** Value stream → per-key running TWAP snapshots (Update mode). */
+  def twapStream(values: Dataset[ValueArrival]): Dataset[TwapSnapshot] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .transformWithState(new TwapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** One token arrival routed to its shard. */
   case class TokenArrival(shard: Int, token: String)
 

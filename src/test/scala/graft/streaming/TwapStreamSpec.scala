@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import StreamOps.{TwapSnapshot, ValueArrival}
+
+/** transformWithState streaming TWAP: cross-batch state accumulation and
+  * exact parity with the batch lead-window query on the replayed table.
+  */
+class TwapStreamSpec extends AnyFunSpec with SparkTestBase {
+
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Feed batches; returns the latest snapshot per key after the run. */
+  private def run(batches: Seq[Seq[ValueArrival]]): Map[String, (Double, Long)] = {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[ValueArrival]
+      val q = StreamOps.twapStream(in.toDS())
+        .writeStream.format("memory").queryName("twap_out")
+        .outputMode("update").start()
+      try {
+        val latest = scala.collection.mutable.Map.empty[String, (Double, Long)]
+        var seen = 0
+        batches.foreach { b =>
+          in.addData(b: _*)
+          q.processAllAvailable()
+          val all = spark.table("twap_out").as[TwapSnapshot].collect()
+          all.drop(seen).foreach(s => latest(s.key) = (s.twap, s.n_seg))
+          seen = all.length
+        }
+        latest.toMap
+      } finally q.stop()
+    }
+  }
+
+  it("matches the batch lead-window TWAP when the events table is replayed in time order") {
+    val arrivals = graft.operators.EventOps.events(spark, sfDir)
+      .select(concat_ws("|", col("event_type"), to_date(col("ts"))).as("key"),
+        col("ts").cast("double").as("tsSec"), col("event_id"), col("value"))
+      .collect()
+      .map(r => ValueArrival(r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(a => (a.tsSec, a.eventId))
+    // three batches split on global time: per-key arrival order holds,
+    // and most keys accumulate state across batch boundaries
+    val cut = arrivals.length / 3
+    val got = run(Seq(
+      arrivals.slice(0, cut).toSeq,
+      arrivals.slice(cut, 2 * cut).toSeq,
+      arrivals.slice(2 * cut, arrivals.length).toSeq))
+    val want = graft.operators.EventOps.qTimeWeightedAvg(spark, sfDir).collect()
+      .map(r => s"${r.getString(0)}|${r.getDate(1)}" -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == want.keySet,
+      s"key sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    want.foreach { case (k, (twap, nSeg)) =>
+      val (gt, gn) = got(k)
+      assert(gn == nSeg, s"$k segments: got $gn want $nSeg")
+      // batch rounds to 6dp; the sequential fold agrees to summation noise
+      assert(math.abs(gt - twap) < 1e-5, s"$k twap: got $gt want $twap")
+    }
+  }
+
+  it("accumulates state across batches: a key's snapshot refines, single events emit nothing") {
+    val a = Seq(ValueArrival("k", 0.0, 1L, 10.0))
+    val b = Seq(ValueArrival("k", 10.0, 2L, 20.0))
+    val c = Seq(ValueArrival("k", 30.0, 3L, 40.0), ValueArrival("lone", 5.0, 9L, 1.0))
+    val after1 = run(Seq(a))
+    assert(after1.isEmpty, "a single observation has no closed segment")
+    val after3 = run(Seq(a, b, c))
+    // segments: 10.0 held 10s, 20.0 held 20s -> (100+400)/30
+    assert(math.abs(after3("k")._1 - 500.0 / 30.0) < 1e-12)
+    assert(after3("k")._2 == 2L)
+    assert(!after3.contains("lone"))
+  }
+}

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_autocorr"     -> Stats.qAutocorr _,
     "q_cramers_v"    -> Stats.qCramersV _,
     "q_hhi"          -> Stats.qHhi _,
+    "q_cusum_changepoint" -> Stats.qCusumChangepoint _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
     "q_merge_upsert"    -> Warehouse.qMergeUpsert _,
@@ -245,6 +246,7 @@ object SparkEntry {
     "q_autocorr"     -> Stats.oracleAutocorr,
     "q_cramers_v"    -> Stats.oracleCramersV,
     "q_hhi"          -> Stats.oracleHhi,
+    "q_cusum_changepoint" -> Stats.oracleCusumChangepoint,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,
     "q_incremental_agg"   -> Warehouse.oracleIncrementalAgg,

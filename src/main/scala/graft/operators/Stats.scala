@@ -341,6 +341,68 @@ object Stats {
        |ORDER BY lag""".stripMargin
   }
 
+  // ------------------------------------------------------------ CUSUM
+  /** CUSUM changepoint monitor (`q_cusum_changepoint`) on daily event
+    * volumes: S_t = max(0, S_{t−1} + (x_t − μ − 0.5σ)), alarm while
+    * S_t > 4σ — the sustained-level-shift detector that complements
+    * `q_events_ewma`'s spike monitor (CUSUM integrates small persistent
+    * drifts a spike test never fires on). The stream reduces to the
+    * |types|·|days| daily frame first; the fold runs left-to-right over
+    * each type's bounded day series only (the EWMA shape). μ/σ are
+    * rounded 6dp before the fold and the fold arithmetic is written
+    * identically in both engines — bit-identical accumulators, so even
+    * the alarm comparisons can't diverge.
+    */
+  def qCusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = EventOps.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg("x"), 6).as("mu"), round(stddev_samp("x"), 6).as("sd"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("sx"))
+      .select(col("event_type"), expr("transform(sx, e -> e.x)").as("xs"))
+    def sNew(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+      greatest(lit(0.0), element_at(acc, 1) + (x - col("mu") - lit(0.5) * col("sd")))
+    series.join(broadcast(st), Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        aggregate(col("xs"), array(lit(0.0), lit(0.0), lit(0.0)),
+          (acc, x) => array(
+            sNew(acc, x),
+            greatest(element_at(acc, 2), sNew(acc, x)),
+            element_at(acc, 3) +
+              (sNew(acc, x) > lit(4.0) * col("sd")).cast("double"))).as("f"))
+      .select(col("event_type"), col("n_days"),
+        round(element_at(col("f"), 2), 6).as("max_cusum"),
+        element_at(col("f"), 3).cast("long").as("n_alarms"))
+      .orderBy("event_type")
+  }
+
+  val oracleCusumChangepoint: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d,
+      |    count(*)::DOUBLE AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    round(avg(x), 6) AS mu, round(stddev_samp(x), 6) AS sd
+      |  FROM daily GROUP BY 1),
+      |series AS (SELECT event_type, list(x ORDER BY d) AS xs FROM daily GROUP BY 1),
+      |folded AS (
+      |  SELECT s.event_type, st.n_days,
+      |    list_reduce(
+      |      list_prepend([0.0, 0.0, 0.0], list_transform(xs, x -> [x, 0.0, 0.0])),
+      |      (acc, el) -> [
+      |        greatest(0.0, acc[1] + (el[1] - mu - 0.5 * sd)),
+      |        greatest(acc[2], greatest(0.0, acc[1] + (el[1] - mu - 0.5 * sd))),
+      |        acc[3] + CASE WHEN greatest(0.0, acc[1] + (el[1] - mu - 0.5 * sd)) > 4.0 * sd
+      |                 THEN 1.0 ELSE 0.0 END]) AS f
+      |  FROM series s JOIN st USING (event_type))
+      |SELECT event_type, n_days, round(f[2], 6) AS max_cusum,
+      |  CAST(f[3] AS BIGINT) AS n_alarms
+      |FROM folded ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------- Cramér's V
   /** Cramér's V (`q_cramers_v`) between l_returnflag and l_linestatus —
     * the χ²-based twin of `q_mutual_info` on the SAME |X|·|Y| joint

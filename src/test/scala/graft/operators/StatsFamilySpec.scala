@@ -151,6 +151,31 @@ class StatsFamilySpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  it("q_cusum_changepoint matches a sequential driver-side CUSUM replay per type") {
+    val got = Stats.qCusumChangepoint(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val daily = EventOps.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d")).count()
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2).toDouble))
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val mu = BigDecimal(xs.sum / xs.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sd = BigDecimal(math.sqrt(xs.map(x => (x - xs.sum / xs.length) *
+        (x - xs.sum / xs.length)).sum / (xs.length - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var (s, maxS, alarms) = (0.0, 0.0, 0L)
+      xs.foreach { x =>
+        s = math.max(0.0, s + (x - mu - 0.5 * sd))
+        maxS = math.max(maxS, s)
+        if (s > 4.0 * sd) alarms += 1
+      }
+      val (gn, gmax, galarms) = got(t)
+      assert(gn == xs.length, s"$t n_days")
+      assert(math.abs(gmax - maxS) < 1e-4, s"$t max_cusum: got $gmax want $maxS")
+      assert(galarms == alarms, s"$t alarms: got $galarms want $alarms")
+    }
+  }
+
   it("q_mutual_info is non-negative and bounded by both entropies") {
     val r = Stats.qMutualInfo(spark, sfDir).collect()(0)
     val (mi, hx, hy, nmi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))

@@ -50,6 +50,8 @@ object SparkEntry {
     "q_band_revenue"        -> Relational.qBandRevenue _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
+    "q_profit_by_nation_year" -> Relational.qProfitByNationYear _,
+    "q_big_orders"          -> Relational.qBigOrders _,
     // robust stats / distribution audits
     "q_mad_outliers" -> Stats.qMadOutliers _,
     "q_histogram"    -> Stats.qHistogram _,
@@ -237,6 +239,8 @@ object SparkEntry {
     "q_band_revenue"       -> Relational.oracleBandRevenue,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
+    "q_profit_by_nation_year" -> Relational.oracleProfitByNationYear,
+    "q_big_orders"         -> Relational.oracleBigOrders,
     "q_mad_outliers" -> Stats.oracleMadOutliers,
     "q_histogram"    -> Stats.oracleHistogram,
     "q_benford"      -> Stats.oracleBenford,

@@ -1052,4 +1052,76 @@ object Relational {
       |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 1400 DAY)
       |) t JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** Q9-style profit attribution (`q_profit_by_nation_year`): profit of
+    * red parts by supplier nation × order year. The driver schema has
+    * no partsupp table, so supply cost is synthesized as
+    * 0.6·p_retailprice·l_quantity (a fixed, documented rule — the JOIN
+    * SHAPE is the point): lineitem filtered through a broadcast part
+    * dim (name predicate applied dim-side, fact probes a small hash
+    * set), supplier+nation broadcast, ONE fact-fact shuffle with orders
+    * for the year. Classic multi-dim star: every dimension flies, the
+    * fact shuffles once.
+    */
+  def qProfitByNationYear(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.dim(s, dir, "part")
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, dir)
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.dim(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dim(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(profit), 2).as("profit"))
+      .select(col("nation"), col("o_year"), col("profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  val oracleProfitByNationYear: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      | round(sum(l_extendedprice * (1.0 - l_discount)
+      |   - 0.6 * p_retailprice * l_quantity), 2) AS profit
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  private[graft] val BIG_ORDER_QTY = "140"
+
+  /** Q18-style large-volume customers (`q_big_orders`): orders whose
+    * total quantity exceeds a threshold, with their customer. The
+    * HAVING-on-aggregate semi-join shape: ONE orderkey aggregate
+    * (map-side combined) filters to the rare big orders, which then
+    * join back to orders+customer — the fact never joins customer
+    * directly; only the filtered survivors do (broadcast-sized after
+    * the HAVING at any scale where big orders are rare).
+    */
+  def qBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > expr(BIG_ORDER_QTY))
+    big
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val oracleBigOrders: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+       |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > $BIG_ORDER_QTY)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+       |FROM big JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 }

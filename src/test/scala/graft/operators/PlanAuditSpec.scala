@@ -121,6 +121,36 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       assert(!sd.contains("lang") && !sd.contains("source") && !sd.contains("n_chars"), sd)
     }
 
+    it("the round-7 stats family shuffles only aggregated frames") {
+      // HHI uses the sum-of-squares identity: NO window node at all
+      val hhi = explain(Stats.qHhi(spark, sfDir))
+      assert(countNodes(hhi, "Window") == 0, s"hhi must be windowless:\n$hhi")
+      // histogram/benford/gini: one fact aggregate + windows over the
+      // bounded bucket/digit frame — exchange count stays small and the
+      // window inputs are post-aggregate (single-partition by design)
+      for ((name, df) <- Seq(
+          "q_histogram" -> Stats.qHistogram(spark, sfDir),
+          "q_benford" -> Stats.qBenford(spark, sfDir),
+          "q_gini_binned" -> Stats.qGiniBinned(spark, sfDir))) {
+        val plan = explain(df)
+        assert(countNodes(plan, "Exchange") <= 4, s"$name over-shuffled:\n$plan")
+      }
+      // mad outliers: the event stream itself never shuffles — stats
+      // broadcast back onto the probe scans
+      val mad = EventOps.qEventsAnomaly(spark, sfDir)
+      mad.collect()
+      assert(explain(mad).contains("BroadcastHashJoin"))
+    }
+
+    it("q_profit_by_nation_year broadcasts every dimension (Q9 star shape)") {
+      val plan = explain(Relational.qProfitByNationYear(spark, sfDir))
+      assert(countNodes(plan, "BroadcastHashJoin") >= 3,
+        s"part/supplier/nation must broadcast:\n$plan")
+      // the name predicate is applied before the join (dim-side filter),
+      // so the fact probes an already-filtered hash set
+      assert(plan.contains("p_name"), plan)
+    }
+
     it("no query plans a cartesian product or an unbounded nested-loop join") {
       // the O(n²) killers at 100 TB: every candidate-pair generator must
       // ride an equality join. Skip the entries that run side-effecting

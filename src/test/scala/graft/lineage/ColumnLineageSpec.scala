@@ -94,5 +94,18 @@ class ColumnLineageSpec extends AnyFunSpec with SparkTestBase {
       val lin = lineage(df)
       assert(lin("m1").map(_.split('.').last) == Set("l_extendedprice"))
     }
+
+    it("flows through the custom TopKPerKey logical node (pass-through outputs)") {
+      // the custom whole-operator node preserves child output attributes,
+      // so lineage must resolve THROUGH it like any pass-through node —
+      // the integration contract between the §2.8 operator path and §2.1
+      val df = graft.plans.TopK.perKey(ord,
+          col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"), 3)
+        .select(col("o_orderkey"), (col("o_totalprice") * lit(2)).as("dbl"))
+      val lin = lineage(df)
+      assert(lin("dbl").map(_.split('.').last) == Set("o_totalprice"))
+      assert(lin("dbl").forall(_.contains("orders.parquet")))
+      assert(lin("o_orderkey").map(_.split('.').last) == Set("o_orderkey"))
+    }
   }
 }

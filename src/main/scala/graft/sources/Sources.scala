@@ -89,6 +89,35 @@ object Sources {
   def readMerged(s: SparkSession, path: String): DataFrame =
     s.read.option("mergeSchema", "true").parquet(path)
 
+  /** PERMISSIVE read with a quarantine channel: malformed CSV lines land
+    * in a `_corrupt_record` column instead of failing the job (the
+    * FAILFAST twin above is for trusted writers; ingest from the wild
+    * needs a dead-letter path). Returns (clean, quarantine): clean rows
+    * with the corrupt column dropped, and the raw text of every
+    * malformed line for the dead-letter sink. The parsed frame is
+    * CACHED before splitting — Spark refuses plans whose scan
+    * references ONLY the corrupt column (UNSUPPORTED_FEATURE.
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the cache also makes the
+    * two branches share one parse of each split instead of re-reading.
+    * Callers unpersist either branch when done (cheap: the cache holds
+    * one ingest batch, the unit this API is called per).
+    */
+  def readCsvQuarantine(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = s.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache()
+    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
+
   // ------------------------------------------------------ roundtrip queries
   /** Orders → CSV → re-read → aggregate. The aggregate over the re-read
     * CSV must equal the oracle computed on the original parquet — an

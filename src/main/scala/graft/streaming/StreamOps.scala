@@ -330,6 +330,64 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** One ordered observation for the streaming control chart. */
+  case class CusumArrival(key: String, seq: Long, x: Double)
+
+  /** Control-chart snapshot per key per micro-batch. */
+  case class CusumSnapshot(key: String, s: Double, max_s: Double, n_alarms: Long)
+
+  case class CusumState(s: Double, maxS: Double, alarms: Long)
+
+  /** Streaming CUSUM control chart on `transformWithState` — the
+    * train-offline/monitor-online twin of `Stats.qCusumChangepoint`:
+    * control limits (μ, σ) come from a nightly batch job as a bounded
+    * per-key map closed over by the processor (the same serve-as-
+    * literals shape as the batch-trained probe weights); the stream
+    * folds S_t = max(0, S_{t−1} + (x_t − μ − 0.5σ)) with O(1) state
+    * per key, alarming while S_t > 4σ. Batch-order parity: rows fold
+    * in `seq` order within a batch on top of the persisted state, so a
+    * replayed series produces bit-identical accumulators to the batch
+    * fold (the spec's contract).
+    */
+  class CusumProcessor(limits: Map[String, (Double, Double)])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, CusumArrival, CusumSnapshot] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum", Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[CusumArrival],
+        timerValues: TimerValues): Iterator[CusumSnapshot] =
+      limits.get(key) match {
+        case None => Iterator.empty // unknown key: no control limits trained
+        case Some((mu, sd)) =>
+          var s = if (st.exists()) st.get() else CusumState(0.0, 0.0, 0L)
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            val sNew = math.max(0.0, s.s + (r.x - mu - 0.5 * sd))
+            s = CusumState(sNew, math.max(s.maxS, sNew),
+              s.alarms + (if (sNew > 4.0 * sd) 1L else 0L))
+          }
+          st.update(s)
+          Iterator.single(CusumSnapshot(key, s.s, s.maxS, s.alarms))
+      }
+  }
+
+  /** Observation stream → per-key CUSUM snapshots under batch-trained
+    * limits (Update mode). */
+  def cusumStream(values: Dataset[CusumArrival],
+      limits: Map[String, (Double, Double)]): Dataset[CusumSnapshot] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .transformWithState(new CusumProcessor(limits),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** One token arrival routed to its shard. */
   case class TokenArrival(shard: Int, token: String)
 

@@ -64,6 +64,31 @@ class SourcesSpec extends AnyFunSpec with SparkTestBase {
           msg.contains("FAILED_READ"))
       }
     }
+
+    it("quarantine read splits malformed CSV lines into a dead-letter frame") {
+      withTempDir { dir =>
+        val p = new java.io.File(dir, "mixed.csv")
+        java.nio.file.Files.writeString(p.toPath,
+          """id,qty,name
+            |1,10,alpha
+            |2,notanumber,beta
+            |3,30,gamma
+            |4,40
+            |5,50,epsilon
+            |""".stripMargin)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, qty BIGINT, name STRING")
+        val (clean, quarantine) = Sources.readCsvQuarantine(spark, p.getAbsolutePath, schema)
+        val good = clean.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        assert(good == Set((1L, 10L, "alpha"), (3L, 30L, "gamma"), (5L, 50L, "epsilon")),
+          s"clean rows: $good")
+        val bad = quarantine.collect().map(_.getString(0)).toSet
+        assert(bad.exists(_.contains("notanumber")), s"quarantine: $bad")
+        assert(bad.size == 2, s"expected 2 dead-letter lines, got $bad")
+        // nothing silently dropped: every input line is in exactly one channel
+        assert(clean.count() + quarantine.count() == 5)
+      }
+    }
   }
 
   describe("partitioned writes") {

@@ -75,6 +75,45 @@ class TwapStreamSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  it("streaming CUSUM under batch-trained limits matches the batch fold exactly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // train control limits in batch — the nightly job
+    val daily = graft.operators.EventOps.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val limits = daily.groupBy("event_type")
+      .agg(round(avg("x"), 6).as("mu"), round(stddev_samp("x"), 6).as("sd"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val series = daily.orderBy("event_type", "d").collect()
+      .map(r => StreamOps.CusumArrival(r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getDouble(2)))
+    val cut = series.length / 2
+    withRocksDb {
+      val in = MemoryStream[StreamOps.CusumArrival]
+      val q = StreamOps.cusumStream(in.toDS(), limits)
+        .writeStream.format("memory").queryName("cusum_out")
+        .outputMode("update").start()
+      try {
+        in.addData(series.take(cut).toSeq: _*); q.processAllAvailable()
+        in.addData(series.drop(cut).toSeq: _*); q.processAllAvailable()
+        // max_s and n_alarms are monotone across snapshots, so the
+        // latest snapshot is the max — no reliance on sink row order
+        val latest = spark.table("cusum_out").as[StreamOps.CusumSnapshot].collect()
+          .groupBy(_.key).map { case (k, xs) =>
+            k -> xs.maxBy(s => (s.max_s, s.n_alarms))
+          }
+        val batch = graft.operators.Stats.qCusumChangepoint(spark, sfDir).collect()
+          .map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+        assert(latest.keySet == batch.keySet)
+        batch.foreach { case (k, (maxS, alarms)) =>
+          assert(math.abs(latest(k).max_s - maxS) < 1e-6,
+            s"$k max_s: got ${latest(k).max_s} want $maxS")
+          assert(latest(k).n_alarms == alarms, s"$k alarms")
+        }
+      } finally q.stop()
+    }
+  }
+
   it("accumulates state across batches: a key's snapshot refines, single events emit nothing") {
     val a = Seq(ValueArrival("k", 0.0, 1L, 10.0))
     val b = Seq(ValueArrival("k", 10.0, 2L, 20.0))

@@ -129,6 +129,7 @@ object SparkEntry {
     "q_text_entropy"      -> TextAnalysis.qTextEntropy _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
+    "q_k_anonymity"       -> Privacy.qKAnonymity _,
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
     "q_media_header"       -> Multimodal.qMediaHeader _,
@@ -363,6 +364,7 @@ object SparkEntry {
     "q_text_entropy"      -> TextAnalysis.oracleTextEntropy,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
+    "q_k_anonymity"       -> Privacy.oracleKAnonymity,
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
     "q_media_header"      -> Multimodal.oracleMediaHeader,

@@ -76,6 +76,88 @@ object Privacy {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- k-anonymity audit
+
+  /** Re-identification threshold: a quasi-identifier group smaller than
+    * K is "unsafe" (its members are re-identifiable by joining the QI
+    * columns against an external dataset). */
+  private[graft] val ANON_K = 5
+  /** Sensitive-attribute diversity floor: a QI group whose members span
+    * fewer than L distinct sensitive values leaks the attribute even
+    * when the group is k-anonymous (homogeneity attack). */
+  private[graft] val ANON_L = 3
+  /** Generalization ladder for the continuous QI: account balance is
+    * coarsened from 100-wide bands (level 0) to 2000-wide (level 1) —
+    * the release-side knob that trades utility for group size. */
+  private[graft] val ANON_BANDS: Seq[(Int, Int)] = Seq(0 -> 100, 1 -> 2000)
+
+  /** k-anonymity + l-diversity audit of the customer table at each
+    * generalization level — the privacy gate a data release runs before
+    * publishing quasi-identifiable rows.
+    *
+    * QIs: (c_nationkey, c_mktsegment, banded c_acctbal). Sensitive
+    * attribute: o_orderpriority of the customer's orders (joined in for
+    * the diversity check; population = customers with ≥1 order).
+    *
+    * Scale shape: each level is two bounded aggregations — a groupBy
+    * over the QI domain (map-side combined, output bounded by
+    * |nations|×|segments|×|bands|, thousands of rows at any corpus
+    * size) folded to ONE stats row, and an orders⨝customer join (fact
+    * shuffles on custkey, or broadcast dim at this SF) folded the same
+    * way. The 1-row frames cross-join (broadcast) and the per-level
+    * rows union — nothing here grows with the fact table.
+    */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val levels = ANON_BANDS.map { case (level, width) =>
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / width).cast("long").as("bal_band"))
+      val groups = cust
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("sz"))
+      val kStats = groups.agg(
+        count(lit(1)).as("n_groups"),
+        min("sz").as("min_group_size"),
+        sum((col("sz") < ANON_K).cast("long")).as("n_unsafe_groups"),
+        sum(when(col("sz") < ANON_K, col("sz")).otherwise(lit(0L))).as("risky_rows"),
+        round(sum(when(col("sz") < ANON_K, col("sz")).otherwise(lit(0L)))
+          / sum("sz"), 6).as("risky_frac"))
+      val lStats = Tables.orders(s, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(countDistinct("o_orderpriority").as("l"))
+        .agg(min("l").as("min_l"),
+          sum((col("l") < ANON_L).cast("long")).as("n_low_l_groups"))
+      kStats.crossJoin(broadcast(lStats))
+        .select(lit(level).as("gen_level"), col("n_groups"),
+          col("min_group_size"), col("n_unsafe_groups"), col("risky_rows"),
+          col("risky_frac"), col("min_l"), col("n_low_l_groups"))
+    }
+    levels.reduce(_.union(_)).orderBy("gen_level")
+  }
+
+  val oracleKAnonymity: String = {
+    val perLevel = ANON_BANDS.map { case (level, width) =>
+      s"""SELECT $level AS gen_level, k.n_groups, k.min_group_size,
+         |  k.n_unsafe_groups, k.risky_rows, k.risky_frac, l.min_l, l.n_low_l_groups
+         |FROM (
+         |  SELECT count(*) AS n_groups, min(sz) AS min_group_size,
+         |    CAST(sum(CASE WHEN sz < $ANON_K THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_groups,
+         |    CAST(sum(CASE WHEN sz < $ANON_K THEN sz ELSE 0 END) AS BIGINT) AS risky_rows,
+         |    round(sum(CASE WHEN sz < $ANON_K THEN sz ELSE 0 END) * 1.0 / sum(sz), 6) AS risky_frac
+         |  FROM (SELECT count(*) AS sz FROM customer
+         |        GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / $width) AS BIGINT)) g
+         |) k, (
+         |  SELECT min(l) AS min_l,
+         |    CAST(sum(CASE WHEN l < $ANON_L THEN 1 ELSE 0 END) AS BIGINT) AS n_low_l_groups
+         |  FROM (SELECT count(DISTINCT o_orderpriority) AS l
+         |        FROM orders JOIN customer ON o_custkey = c_custkey
+         |        GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / $width) AS BIGINT)) g
+         |) l""".stripMargin
+    }
+    perLevel.mkString("", "\nUNION ALL\n", "\nORDER BY gen_level")
+  }
+
   val oraclePiiRedact: String = {
     // DuckDB single-quoted strings keep backslashes literal, so the
     // runtime pattern values interpolate into RE2 unchanged

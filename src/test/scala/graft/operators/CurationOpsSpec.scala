@@ -43,6 +43,26 @@ class CurationOpsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("Privacy.qKAnonymity") {
+    it("generalization monotonically improves every risk metric") {
+      val rows = Privacy.qKAnonymity(spark, sfDir).collect()
+        .map(r => r.getAs[Int]("gen_level") -> r).toMap
+      assert(rows.keySet == Set(0, 1))
+      val (fine, coarse) = (rows(0), rows(1))
+      // level-1 bands (width 2000) are exact unions of level-0 bands
+      // (width 100), so every coarse group is a union of fine groups:
+      // group count shrinks, min size and diversity can only rise
+      assert(coarse.getAs[Long]("n_groups") < fine.getAs[Long]("n_groups"))
+      assert(coarse.getAs[Long]("min_group_size") >= fine.getAs[Long]("min_group_size"))
+      assert(coarse.getAs[Long]("n_unsafe_groups") <= fine.getAs[Long]("n_unsafe_groups"))
+      assert(coarse.getAs[Double]("risky_frac") <= fine.getAs[Double]("risky_frac"))
+      assert(coarse.getAs[Long]("min_l") >= fine.getAs[Long]("min_l"))
+      // the audit is non-vacuous at this SF: fine bands leave unsafe groups
+      assert(fine.getAs[Long]("n_unsafe_groups") > 0L)
+      assert(fine.getAs[Long]("risky_rows") >= fine.getAs[Long]("n_unsafe_groups"))
+    }
+  }
+
   describe("Pipeline.qPackSequences") {
     it("packs every document exactly once into contiguous zero-based bins per shard") {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()

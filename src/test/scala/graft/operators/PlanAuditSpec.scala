@@ -187,7 +187,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_bpe_train", "q_pagerank", "q_join_size_est", "q_skew_report",
         // q_graph_triangles crossJoins the 1-row mean-volume and
         // triangle-count frames onto ≤|nations|²-row aggregated frames
-        "q_graph_triangles")
+        "q_graph_triangles",
+        // q_k_anonymity crossJoins two 1-row per-level stat frames
+        "q_k_anonymity")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_cusum_changepoint" -> Stats.qCusumChangepoint _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
+    "q_cdc_apply"       -> Warehouse.qCdcApply _,
     "q_merge_upsert"    -> Warehouse.qMergeUpsert _,
     "q_incremental_agg" -> Warehouse.qIncrementalAgg _,
     // §2.2 events
@@ -253,6 +254,7 @@ object SparkEntry {
     "q_hhi"          -> Stats.oracleHhi,
     "q_cusum_changepoint" -> Stats.oracleCusumChangepoint,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
+    "q_cdc_apply"         -> Warehouse.oracleCdcApply,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,
     "q_incremental_agg"   -> Warehouse.oracleIncrementalAgg,
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse maintenance & governance operators: declarative data-quality
@@ -147,6 +147,69 @@ object Warehouse {
       |  coalesce(op, 'K') AS action
       |FROM orders FULL OUTER JOIN changes ON o_orderkey = c_orderkey
       |WHERE coalesce(op, 'K') <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------- cdc apply
+
+  /** Compact a multi-version CDC log: latest version wins per key,
+    * regardless of arrival order. One hash aggregate (`max_by` on the
+    * version column — no sort window, map-side combinable), so the log
+    * never needs to arrive ordered and no per-key sort happens. Keys
+    * whose latest op is a tombstone are dropped AFTER compaction, so a
+    * delete can be superseded by a later re-insert (resurrection). */
+  private[graft] def compactCdc(log: DataFrame): DataFrame =
+    log.groupBy("k")
+      .agg(
+        max("version").as("final_version"),
+        max_by(col("op"), col("version")).as("last_op"),
+        max_by(col("price"), col("version")).as("final_price"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("last_op") =!= "D")
+
+  /** CDC log compaction end-to-end — the multi-version, out-of-order twin
+    * of [[qMergeUpsert]] (which applies ONE change set against a base):
+    * here the key's whole history (insert → corrections → tombstone →
+    * possible re-insert) arrives as log entries with versions, in a
+    * deliberately shuffled arrival order, and compaction is latest-wins.
+    *
+    * Deterministic log, rebuilt identically by the oracle: every key has
+    * a v1 INSERT; keys ≡2 (mod 5) a v2 price+5 correction; keys ≡2
+    * (mod 15) a v3 price+12 correction on top; keys ≡4 (mod 9) a v4
+    * tombstone; keys ≡4 (mod 27) a v5 re-insert at price+100 (the
+    * resurrection case). Arrival order in the union is v4,v3,v1,v2,v5 —
+    * the result must not depend on it. Exact IEEE adds, no rounding.
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+    def slice(mod: Int, rem: Int, version: Int, op: String, price: Column): DataFrame =
+      base.filter(col("o_orderkey") % mod === rem)
+        .select(col("o_orderkey").as("k"), lit(version).as("version"),
+          lit(op).as("op"), price.as("price"))
+    val log = slice(9, 4, 4, "D", lit(null).cast("double"))
+      .unionByName(slice(15, 2, 3, "U", col("o_totalprice") + 12.0))
+      .unionByName(slice(1, 0, 1, "I", col("o_totalprice")))
+      .unionByName(slice(5, 2, 2, "U", col("o_totalprice") + 5.0))
+      .unionByName(slice(27, 4, 5, "I", col("o_totalprice") + 100.0))
+    compactCdc(log)
+      .select(col("k").as("o_orderkey"), col("final_price"),
+        col("final_version"), col("n_ops"))
+      .orderBy("o_orderkey")
+  }
+
+  val oracleCdcApply: String =
+    """WITH log AS (
+      | SELECT o_orderkey AS k, 4 AS version, 'D' AS op, CAST(NULL AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 9 = 4
+      | UNION ALL SELECT o_orderkey, 3, 'U', o_totalprice + 12.0 FROM orders WHERE o_orderkey % 15 = 2
+      | UNION ALL SELECT o_orderkey, 1, 'I', o_totalprice FROM orders
+      | UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice + 5.0 FROM orders WHERE o_orderkey % 5 = 2
+      | UNION ALL SELECT o_orderkey, 5, 'I', o_totalprice + 100.0 FROM orders WHERE o_orderkey % 27 = 4)
+      |SELECT k AS o_orderkey,
+      |  arg_max(price, version) AS final_price,
+      |  max(version) AS final_version,
+      |  count(*) AS n_ops
+      |FROM log GROUP BY k
+      |HAVING arg_max(op, version) <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
   // ------------------------------------------------------------ incremental

@@ -74,6 +74,49 @@ class WarehouseSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_cdc_apply (multi-version log compaction)") {
+
+    it("is invariant to arrival order and honors tombstone/resurrection semantics") {
+      import spark.implicits._
+      // key 1: insert then two corrections — latest correction wins
+      // key 2: insert then tombstone — gone
+      // key 3: insert, tombstone, later re-insert — resurrected
+      val entries = Seq(
+        (1L, 1, "I", Some(10.0)), (1L, 2, "U", Some(11.0)), (1L, 3, "U", Some(12.0)),
+        (2L, 1, "I", Some(20.0)), (2L, 2, "D", None),
+        (3L, 1, "I", Some(30.0)), (3L, 2, "D", None), (3L, 3, "I", Some(33.0)))
+      def run(order: Seq[(Long, Int, String, Option[Double])]) =
+        Warehouse.compactCdc(order.toDF("k", "version", "op", "price"))
+          .orderBy("k")
+          .collect().map(r => (r.getLong(0), r.getDouble(3), r.getInt(1), r.getLong(4)))
+          .toSeq
+      val expected = Seq((1L, 12.0, 3, 3L), (3L, 33.0, 3, 3L))
+      assert(run(entries) == expected)
+      assert(run(entries.reverse) == expected)
+      assert(run(scala.util.Random.shuffle(entries)) == expected)
+    }
+
+    it("end-to-end: superseded versions invisible, n_ops counts full history") {
+      val out = Warehouse.qCdcApply(spark, sfDir).collect()
+      val byKey = out.map(r => r.getLong(0) -> r).toMap
+      val base = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_totalprice").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      base.keys.foreach { k =>
+        val deleted = k % 9 == 4 && k % 27 != 4
+        assert(byKey.contains(k) != deleted, s"key $k presence")
+      }
+      byKey.foreach { case (k, r) =>
+        val want =
+          if (k % 27 == 4) base(k) + 100.0
+          else if (k % 15 == 2) base(k) + 12.0
+          else if (k % 5 == 2) base(k) + 5.0
+          else base(k)
+        assert(r.getDouble(1) == want, s"key $k final price")
+      }
+    }
+  }
+
   describe("q_incremental_agg (delta-merge == full recompute)") {
 
     it("every month matches the full recompute and covers the whole range") {

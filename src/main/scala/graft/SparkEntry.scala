@@ -73,6 +73,7 @@ object SparkEntry {
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
     "q_asof_join"         -> EventOps.qAsofJoin _,
     "q_events_funnel"     -> EventOps.qEventsFunnel _,
+    "q_markov_transitions" -> EventOps.qMarkovTransitions _,
     "q_range_join"        -> EventOps.qRangeJoin _,
     "q_retention_cohorts" -> EventOps.qRetentionCohorts _,
     "q_json_props"        -> EventOps.qJsonProps _,
@@ -307,6 +308,7 @@ object SparkEntry {
         |ORDER BY p.purchase_id""".stripMargin,
 
     "q_events_funnel"   -> EventOps.oracleEventsFunnel,
+    "q_markov_transitions" -> EventOps.oracleMarkovTransitions,
     "q_range_join"      -> EventOps.oracleRangeJoin,
     "q_retention_cohorts" -> EventOps.oracleRetentionCohorts,
     "q_json_props"        -> EventOps.oracleJsonProps,

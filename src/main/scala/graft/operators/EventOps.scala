@@ -468,4 +468,58 @@ object EventOps {
       |  round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type), 6) AS share,
       |  CAST(n = max(n) OVER (PARTITION BY event_type) AS INT) AS is_peak
       |FROM agg ORDER BY event_type, dow""".stripMargin
+
+  /** First-order Markov transition model over per-user event paths — the
+    * path-mining primitive behind next-action prediction and funnel
+    * drop-off attribution: P(next event type | current event type), top-3
+    * next states per state.
+    *
+    * Scale shape: the only fact-sized work is one `lead` window over
+    * per-user history (shuffles once on user_id — the same partitioning
+    * every operator in this file rides) and one map-side-combined
+    * groupBy; everything after runs on the ≤|event_types|² transition
+    * frame (bounded at any corpus size), so the per-state total join is
+    * broadcast and the ranking window is over a bounded frame, never raw
+    * events.
+    */
+  def qMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bigrams = events(s, dir)
+      .select(col("event_type").as("cur_state"),
+        lead("event_type", 1).over(byUser).as("next_state"))
+      .filter(col("next_state").isNotNull)
+    val counts = bigrams.groupBy("cur_state", "next_state")
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = counts.groupBy("cur_state").agg(sum("n_trans").as("tot"))
+    val byCur = Window.partitionBy("cur_state")
+      .orderBy(desc("n_trans"), col("next_state"))
+    counts.join(broadcast(totals), "cur_state")
+      .withColumn("prob", round(col("n_trans") / col("tot"), 6))
+      .withColumn("trans_rank", row_number().over(byCur))
+      .filter(col("trans_rank") <= 3)
+      .select("cur_state", "next_state", "n_trans", "prob", "trans_rank")
+      .orderBy("cur_state", "trans_rank")
+  }
+
+  val oracleMarkovTransitions: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         make_timestamp(epoch_ns(ts) // 1000) AS t
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type AS cur_state,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS next_state
+      |  FROM e),
+      |c AS (SELECT cur_state, next_state, count(*) AS n_trans
+      |      FROM b WHERE next_state IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT cur_state, CAST(sum(n_trans) AS BIGINT) AS tot FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT cur_state, next_state, n_trans,
+      |         round(n_trans * 1.0 / tot, 6) AS prob,
+      |         row_number() OVER (PARTITION BY cur_state
+      |                            ORDER BY n_trans DESC, next_state) AS trans_rank
+      |  FROM c JOIN tot USING (cur_state))
+      |SELECT cur_state, next_state, n_trans, prob, CAST(trans_rank AS INT) AS trans_rank
+      |FROM r WHERE trans_rank <= 3
+      |ORDER BY cur_state, trans_rank""".stripMargin
 }

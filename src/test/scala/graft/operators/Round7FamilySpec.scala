@@ -37,6 +37,37 @@ class Round7FamilySpec extends AnyFunSpec with SparkTestBase {
       BigDecimal(3.0 * tri / triads).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  it("q_markov_transitions matches a driver-side sequential path replay") {
+    val out = EventOps.qMarkovTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    // replay: per-user ordered walk, count bigrams in plain Scala
+    val walked = EventOps.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+      .flatMap { evs =>
+        evs.sortBy(e => (e._2.toInstant.getEpochSecond * 1000000L + e._2.toInstant.getNano / 1000, e._3))
+          .map(_._4).sliding(2).collect { case Array(a, b) => (a, b) }
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val totals = walked.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    // every reported transition carries the replayed count and probability
+    out.foreach { case ((cur, nxt), (n, prob, rk)) =>
+      assert(walked((cur, nxt)) == n, s"$cur->$nxt count")
+      assert(math.abs(prob - n.toDouble / totals(cur)) < 1e-6, s"$cur->$nxt prob")
+      assert(rk >= 1 && rk <= 3)
+    }
+    // and each state's reported top-3 really is the replayed top-3
+    walked.groupBy(_._1._1).foreach { case (cur, m) =>
+      val top = m.toSeq.map { case ((_, nxt), n) => (nxt, n) }
+        .sortBy { case (nxt, n) => (-n, nxt) }.take(3).map(_._1)
+      val got = out.collect { case ((c, nxt), (_, _, rk)) if c == cur => (rk, nxt) }
+        .toSeq.sortBy(_._1).map(_._2)
+      assert(got == top, s"state $cur top-3")
+    }
+  }
+
   it("q_time_weighted_avg matches a sequential per-day replay") {
     val got = EventOps.qTimeWeightedAvg(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDate(1).toString) -> ((r.getDouble(2), r.getLong(3))))

@@ -144,6 +144,7 @@ object SparkEntry {
     "q_source_orc"  -> ((s, d) => graft.sources.Sources.qSourceOrc(s, d)),
     // scale patterns + pipeline composition
     "q_pagerank"          -> Graph.qPagerank _,
+    "q_kcore"             -> Graph.qKcore _,
     "q_graph_triangles"   -> Graph.qGraphTriangles _,
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
     "q_skew_report"       -> SkewOps.qSkewReport _,
@@ -379,6 +380,7 @@ object SparkEntry {
     "q_source_json"       -> graft.sources.Sources.oracleSourceJson,
     "q_source_orc"        -> graft.sources.Sources.oracleSourceOrc,
     "q_pagerank"          -> Graph.oraclePagerank,
+    "q_kcore"             -> Graph.oracleKcore,
     "q_graph_triangles"   -> Graph.oracleGraphTriangles,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
     "q_skew_report"       -> SkewOps.oracleSkewReport,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics beyond the dedup connected components: PageRank over
@@ -177,4 +178,112 @@ object Graph {
       |SELECT n_nodes, n_edges, n_triangles,
       |  round(3.0 * n_triangles / n_triads, 6) AS transitivity
       |FROM summary, tri""".stripMargin
+
+  /** k-core peel: edge = trading pair with ≥ KCORE_T lineitems (the
+    * weight threshold is what gives the peel its cascade — the
+    * unthresholded bipartite graph converges in one round). */
+  private val KCORE_T = 3
+  /** Survive a round with ≥ KCORE_K alive neighbors. */
+  private val KCORE_K = 3
+  /** Fixed unroll depth: both engines peel exactly this many rounds, so
+    * the result is well-defined (and identical) even if some SF needs
+    * more rounds to converge; `converged` reports whether the last
+    * round was a fixpoint. At sf0.01 the cascade settles in 3. */
+  private val KCORE_ROUNDS = 5
+
+  /** k-core decomposition (`q_kcore`) of the thresholded
+    * customer↔supplier trading graph: repeatedly drop nodes with fewer
+    * than K alive neighbors; what survives is the K-core — the
+    * mutually-reinforcing trading cluster that stays dense no matter
+    * how much periphery is stripped (the graph-robustness twin of
+    * `q_pagerank`'s importance ranking).
+    *
+    * Scale shape: one fact aggregate reduces lineitem⨝orders to the
+    * distinct-pair edge frame; each peel round is two vertex-set
+    * semi-joins (alive src ∧ alive dst) + one map-side-combined degree
+    * aggregate. The alive set is vertex-sized — broadcast here for the
+    * same reason as the PageRank rank frame (per-round stage overhead
+    * dominates a dim-scale graph); on a billion-vertex graph the same
+    * joins run as shuffle joins with only the hints changing. Rounds
+    * are unrolled a FIXED number of times — O(log peel-depth) plans,
+    * no data-dependent driver loop — and each round's alive set is
+    * `localCheckpoint`ed so round r+1's plan doesn't replay rounds
+    * 1..r. Output is the 6-row per-round census; the raw vertex set
+    * never leaves the executors.
+    */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KCORE_T)
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .localCheckpoint()
+    def census(alive: DataFrame, round: Int): DataFrame =
+      alive.agg(
+        sum(when(col("v").startsWith("c"), 1L).otherwise(0L)).as("n_alive_cust"),
+        sum(when(col("v").startsWith("s"), 1L).otherwise(0L)).as("n_alive_supp"))
+        .select(lit(round).as("peel_round"),
+          coalesce(col("n_alive_cust"), lit(0L)).as("n_alive_cust"),
+          coalesce(col("n_alive_supp"), lit(0L)).as("n_alive_supp"))
+    var alive = edges.select(col("src").as("v")).distinct().localCheckpoint()
+    var rounds = Seq(census(alive, 0))
+    for (r <- 1 to KCORE_ROUNDS) {
+      val deg = edges
+        .join(broadcast(alive.select(col("v").as("src"))), "src", "left_semi")
+        .join(broadcast(alive.select(col("v").as("dst"))), "dst", "left_semi")
+        .groupBy("src").agg(count(lit(1)).as("d"))
+      alive = deg.filter(col("d") >= KCORE_K).select(col("src").as("v"))
+        .localCheckpoint()
+      rounds = rounds :+ census(alive, r)
+    }
+    val byRound = Window.orderBy("peel_round")
+    rounds.reduce(_.union(_))
+      .withColumn("n_alive", col("n_alive_cust") + col("n_alive_supp"))
+      .withColumn("n_dropped",
+        coalesce(lag("n_alive", 1).over(byRound) - col("n_alive"), lit(0L)))
+      .withColumn("converged",
+        col("peel_round") === KCORE_ROUNDS && col("n_dropped") === 0L)
+      .select("peel_round", "n_dropped", "n_alive_cust", "n_alive_supp",
+        "n_alive", "converged")
+      .orderBy("peel_round")
+  }
+
+  val oracleKcore: String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"a${r - 1}"
+      s"""d$r AS (
+         |  SELECT e.src AS v, count(*) AS d
+         |  FROM edges e JOIN $prev s ON e.src = s.v JOIN $prev t ON e.dst = t.v
+         |  GROUP BY 1),
+         |a$r AS (SELECT v FROM d$r WHERE d >= $KCORE_K)""".stripMargin
+    }
+    val iters = (1 to KCORE_ROUNDS).map(roundCtes).mkString(",\n")
+    val censuses = (0 to KCORE_ROUNDS).map(r =>
+      s"""SELECT $r AS peel_round,
+         |  CAST(coalesce(sum(CASE WHEN v LIKE 'c%' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alive_cust,
+         |  CAST(coalesce(sum(CASE WHEN v LIKE 's%' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alive_supp
+         |FROM a$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (
+       |  SELECT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $KCORE_T),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode, cnode FROM pairs),
+       |a0 AS (SELECT DISTINCT src AS v FROM edges),
+       |$iters,
+       |census AS (
+       |$censuses)
+       |SELECT peel_round,
+       |  CAST(coalesce(lag(n_alive_cust + n_alive_supp) OVER (ORDER BY peel_round)
+       |    - (n_alive_cust + n_alive_supp), 0) AS BIGINT) AS n_dropped,
+       |  n_alive_cust, n_alive_supp,
+       |  n_alive_cust + n_alive_supp AS n_alive,
+       |  peel_round = $KCORE_ROUNDS AND coalesce(lag(n_alive_cust + n_alive_supp)
+       |    OVER (ORDER BY peel_round) - (n_alive_cust + n_alive_supp), 0) = 0 AS converged
+       |FROM census ORDER BY peel_round""".stripMargin
+  }
 }

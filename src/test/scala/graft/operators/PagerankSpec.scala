@@ -31,4 +31,34 @@ class PagerankSpec extends AnyFunSpec with SparkTestBase {
     val b = Graph.qPagerank(spark, sfDir).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(a == b)
   }
+
+  it("q_kcore matches a driver-side sequential peel of the same edge set") {
+    import graft.Tables
+    val rows = Graph.qKcore(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(rows.size == 6)
+    // independent replay: build the thresholded pair set, peel in Scala
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey")).count()
+      .filter(col("count") >= 3)
+      .select("o_custkey", "l_suppkey").collect()
+      .map(r => (s"c${r.getLong(0)}", s"s${r.getLong(1)}"))
+    val adj = pairs.flatMap { case (c, sup) => Seq(c -> sup, sup -> c) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    var alive: Set[String] = adj.keySet
+    (1 to 5).foreach { r =>
+      val next = alive.filter(v => (adj(v) & alive).size >= 3)
+      val (nc, ns) = (next.count(_.startsWith("c")).toLong, next.count(_.startsWith("s")).toLong)
+      val (dropped, expected) = (alive.size - next.size.toLong, rows(r))
+      assert(expected == ((dropped, nc, ns, nc + ns, r == 5 && dropped == 0L)), s"round $r")
+      alive = next
+    }
+    // the peel bites at this SF (multi-round cascade is pinned by the
+    // sf0.01 oracle gate, where drops run [634, 6, 7])
+    assert(rows(1)._1 > 0, "peel removed nothing — threshold/K need retuning")
+    assert(rows(5)._4 > 0, "core emptied out")
+    assert(rows(5)._5, "expected convergence within the unroll depth")
+  }
 }

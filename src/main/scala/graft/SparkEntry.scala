@@ -145,6 +145,7 @@ object SparkEntry {
     // scale patterns + pipeline composition
     "q_pagerank"          -> Graph.qPagerank _,
     "q_kcore"             -> Graph.qKcore _,
+    "q_coreset_kcenter"   -> Similarity.qCoresetKcenter _,
     "q_graph_triangles"   -> Graph.qGraphTriangles _,
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
     "q_skew_report"       -> SkewOps.qSkewReport _,
@@ -381,6 +382,7 @@ object SparkEntry {
     "q_source_orc"        -> graft.sources.Sources.oracleSourceOrc,
     "q_pagerank"          -> Graph.oraclePagerank,
     "q_kcore"             -> Graph.oracleKcore,
+    "q_coreset_kcenter"   -> Similarity.oracleCoresetKcenter,
     "q_graph_triangles"   -> Graph.oracleGraphTriangles,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
     "q_skew_report"       -> SkewOps.oracleSkewReport,

@@ -1018,4 +1018,83 @@ object Similarity {
        |FROM e, wi$PROBE_ITERS
        |GROUP BY label ORDER BY label""".stripMargin
   }
+
+  // ------------------------------------------------------- k-center coreset
+
+  /** Coreset size for `q_coreset_kcenter` (seed + 7 greedy picks). */
+  private[graft] val CORESET_K = 8
+
+  /** Greedy k-center (farthest-point traversal) coreset selection —
+    * the diversity-sampling primitive of training-data curation: pick
+    * the seed, then repeatedly add the point farthest from everything
+    * chosen so far. The selected set 2-approximates the optimal
+    * k-center cover, so it's the canonical "small set that spans the
+    * embedding space" (dataset distillation, active-learning seeding,
+    * eval-set picking).
+    *
+    * Scale shape: the textbook distributed farthest-point algorithm —
+    * K passes, each ONE narrow scan computing `least(mind, d²(x, c))`
+    * (the new center is a plan LITERAL, so no join at all) followed by
+    * a TakeOrdered(1) argmax whose single row is collected; the
+    * running min-distance frame is `localCheckpoint`ed per round so
+    * round r's plan never replays rounds 1..r-1 (the BPE-train
+    * pattern). Distances are rounded 9dp before the argmax comparison
+    * (ties then break on vec_id) so cross-engine double drift can't
+    * flip a pick — the Lloyd/PageRank pin.
+    */
+  def qCoresetKcenter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("emb"))
+    def centerLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+    val seed = e.orderBy("vec_id").limit(1).collect()(0)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (0, seed.getLong(0), 0.0))
+    var cur = e.filter(col("vec_id") =!= seed.getLong(0))
+      .select(col("vec_id"), col("emb"),
+        l2sq(col("emb"), centerLit(seed.getSeq[Double](1))).as("mind"))
+      .localCheckpoint()
+    for (r <- 1 until CORESET_K) {
+      val far = cur.orderBy(round(col("mind"), 9).desc, col("vec_id")).limit(1).collect()(0)
+      picked += ((r, far.getLong(0), far.getDouble(2)))
+      if (r < CORESET_K - 1)
+        cur = cur.filter(col("vec_id") =!= far.getLong(0))
+          .select(col("vec_id"), col("emb"),
+            least(col("mind"), l2sq(col("emb"), centerLit(far.getSeq[Double](1)))).as("mind"))
+          .localCheckpoint()
+    }
+    import s.implicits._
+    picked.toSeq.toDF("sel_round", "vec_id", "dist")
+      .select(col("sel_round"), col("vec_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("sel_round")
+  }
+
+  val oracleCoresetKcenter: String = {
+    def sq(p: String, c: String): String =
+      s"list_sum(list_transform(generate_series(1, len($p.emb)), " +
+        s"i -> ($p.emb[i] - $c.emb[i]) * ($p.emb[i] - $c.emb[i])))"
+    val rounds = (1 until CORESET_K).map { r =>
+      val (prevM, prevC) = (s"m${r - 1}", s"c$r")
+      val pick =
+        s"""c$r AS (SELECT vec_id, emb, mind FROM ${s"m${r - 1}"}
+           |  ORDER BY round(mind, 9) DESC, vec_id LIMIT 1)""".stripMargin
+      val next = if (r < CORESET_K - 1)
+        s""",
+           |m$r AS (SELECT p.vec_id, p.emb, least(p.mind, ${sq("p", "c")}) AS mind
+           |  FROM $prevM p, $prevC c WHERE p.vec_id <> c.vec_id)""".stripMargin
+      else ""
+      pick + next
+    }.mkString(",\n")
+    val selects = (1 until CORESET_K).map(r =>
+      s"UNION ALL SELECT $r, vec_id, round(mind, 6) FROM c$r").mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+       |m0 AS (SELECT p.vec_id, p.emb, ${sq("p", "c")} AS mind
+       |  FROM e p, c0 c WHERE p.vec_id <> c.vec_id),
+       |$rounds
+       |SELECT 0 AS sel_round, vec_id, 0.0 AS dist FROM c0
+       |$selects
+       |ORDER BY sel_round""".stripMargin
+  }
 }

@@ -68,6 +68,36 @@ class Round7FamilySpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  it("q_coreset_kcenter matches a driver-side greedy farthest-point replay") {
+    val out = Similarity.qCoresetKcenter(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val embs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+    var mind = embs.filter(_._1 != embs.head._1)
+      .map { case (id, v) => id -> d2(v, embs.head._2) }.toMap
+    val replay = scala.collection.mutable.ArrayBuffer((0, embs.head._1, 0.0))
+    val byId = embs.toMap
+    (1 until 8).foreach { r =>
+      val (farId, farD) = mind.toSeq
+        .maxBy { case (id, d) => (BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP), -id) }
+      replay += ((r, farId, farD))
+      mind = (mind - farId).map { case (id, d) => id -> math.min(d, d2(byId(id), byId(farId))) }
+    }
+    assert(out.length == 8)
+    out.zip(replay).foreach { case ((gr, gid, gd), (er, eid, ed)) =>
+      assert(gr == er && gid == eid, s"round $er picked $gid, replay wants $eid")
+      assert(math.abs(gd - ed) < 1e-6, s"round $er dist")
+    }
+    // coverage property: every point is within the last pick's distance
+    // of SOME chosen center (greedy k-center's defining invariant:
+    // selection distances are non-increasing)
+    val dists = replay.toSeq.drop(1).map(_._3)
+    assert(dists == dists.sorted.reverse, "selection distances must be non-increasing")
+  }
+
   it("q_time_weighted_avg matches a sequential per-day replay") {
     val got = EventOps.qTimeWeightedAvg(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDate(1).toString) -> ((r.getDouble(2), r.getLong(3))))

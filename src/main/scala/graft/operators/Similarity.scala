@@ -1019,6 +1019,86 @@ object Similarity {
        |GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup drop threshold: pairs at or above this cosine are
+    * duplicates. The corpus's random-pair ceiling is cos≈0.51, planted
+    * dups land ≈0.999 — the threshold sits in the wide gap between. */
+  private[graft] val SEMDEDUP_TAU = 0.9
+
+  /** Semantic deduplication (SemDeDup): cluster with the trained coarse
+    * quantizer, then drop the higher vec_id of any WITHIN-CLUSTER pair
+    * with cosine ≥ τ — the embedding-space twin of the text near-dup
+    * family, catching paraphrases that share no n-grams.
+    *
+    * The synthetic corpus has no true semantic dups (measured: max
+    * random-pair cos 0.51), so the query plants a DETERMINISTIC dup
+    * fixture — every 25th vec_id re-enters under id+100000 with +0.05
+    * on its first coordinate (cos≈0.999 to its source), mirrored
+    * exactly in the oracle — and dedups the extended corpus against
+    * the quantizer trained on the ORIGINAL corpus (the production
+    * shape: the quantizer is a trained artifact, dedup runs per ingest
+    * batch).
+    *
+    * Scale shape: this is SemDeDup's whole point — the quadratic
+    * pair-scan is confined WITHIN cells by an equality join on cell id
+    * (cell population ≈ n/K; at 100 TB IVF_K grows ≈ √n so cells stay
+    * bounded), never across the corpus. Output is the K-row per-cell
+    * census. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dups = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("emb"), (v, i) =>
+          v + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("emb"))
+    val corpus = e.unionByName(dups)
+    val cent = trainedCentroids(s, e).cache()
+    val assigned = assignCells(s, corpus, cent)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("b.vec_id").as("drop_id"),
+        cosine(s, "a.emb", "b.emb").as("cos"))
+      .filter(round(col("cos"), 6) >= SEMDEDUP_TAU)
+    val dropped = pairs.select("drop_id").distinct()
+    assigned
+      .join(dropped, col("vec_id") === col("drop_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), count(col("drop_id")).as("n_dropped"))
+      .select(col("cell"), col("n_members"), col("n_dropped"),
+        round(col("n_dropped") / col("n_members"), 6).as("drop_frac"))
+      .orderBy("cell")
+  }
+
+  val oracleDedupSemantic: String =
+    s"""WITH $kmeansCtes,
+       |e2 AS (
+       |  SELECT vec_id, emb FROM e
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         list_transform(generate_series(1, len(emb)),
+       |           i -> emb[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END)
+       |  FROM e WHERE vec_id % 25 = 0),
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e2.vec_id, e2.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e2.vec_id
+       |        ORDER BY ${cosSql("e2.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e2 CROSS JOIN cent c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.cell, b.vec_id AS drop_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosSql("a.emb", "b.emb")}, 6) >= $SEMDEDUP_TAU),
+       |dropped AS (SELECT DISTINCT drop_id FROM pairs)
+       |SELECT CAST(a.cell AS INT) AS cell,
+       |  count(*) AS n_members,
+       |  count(d.drop_id) AS n_dropped,
+       |  round(count(d.drop_id) * 1.0 / count(*), 6) AS drop_frac
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.drop_id
+       |GROUP BY a.cell ORDER BY cell""".stripMargin
+
   // ------------------------------------------------------- k-center coreset
 
   /** Coreset size for `q_coreset_kcenter` (seed + 7 greedy picks). */

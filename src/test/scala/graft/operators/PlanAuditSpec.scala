@@ -189,7 +189,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // triangle-count frames onto ≤|nations|²-row aggregated frames
         "q_graph_triangles",
         // q_k_anonymity crossJoins two 1-row per-level stat frames
-        "q_k_anonymity")
+        "q_k_anonymity",
+        // q_dedup_semantic broadcasts the IVF_K-row trained centroids
+        // (same bounded shape as q_knn_ivf)
+        "q_dedup_semantic")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -68,6 +68,23 @@ class Round7FamilySpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  it("q_dedup_semantic drops exactly the planted near-duplicates, inside their clusters") {
+    val rows = Similarity.qDedupSemantic(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = Tables.embeddings(spark, sfDir).count()
+    val planted = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 25 === 0).count()
+    assert(planted > 0, "fixture is vacuous at this SF")
+    // census covers the extended corpus; drops are exactly the fixture
+    assert(rows.map(_._2).sum == n + planted, "per-cell members must cover corpus+dups")
+    assert(rows.map(_._3).sum == planted,
+      s"expected exactly the $planted planted dups dropped")
+    rows.foreach { case (cell, members, dropped, frac) =>
+      assert(dropped <= members && frac == BigDecimal(dropped.toDouble / members)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"cell $cell")
+    }
+  }
+
   it("q_coreset_kcenter matches a driver-side greedy farthest-point replay") {
     val out = Similarity.qCoresetKcenter(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

@@ -147,6 +147,7 @@ object SparkEntry {
     "q_kcore"             -> Graph.qKcore _,
     "q_coreset_kcenter"   -> Similarity.qCoresetKcenter _,
     "q_dedup_semantic"    -> Similarity.qDedupSemantic _,
+    "q_segment_scrub"     -> Dedup.qSegmentScrub _,
     "q_graph_triangles"   -> Graph.qGraphTriangles _,
     "q_skew_salted_join"  -> SkewOps.qSkewSaltedJoin _,
     "q_skew_report"       -> SkewOps.qSkewReport _,
@@ -385,6 +386,7 @@ object SparkEntry {
     "q_kcore"             -> Graph.oracleKcore,
     "q_coreset_kcenter"   -> Similarity.oracleCoresetKcenter,
     "q_dedup_semantic"    -> Similarity.oracleDedupSemantic,
+    "q_segment_scrub"     -> Dedup.oracleSegmentScrub,
     "q_graph_triangles"   -> Graph.oracleGraphTriangles,
     "q_skew_salted_join"  -> SkewOps.oracleSkewSaltedJoin,
     "q_skew_report"       -> SkewOps.oracleSkewReport,

@@ -1085,4 +1085,82 @@ object Dedup {
        | round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
        |FROM sh JOIN df USING (sg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** [[segmentTable]] variant that keeps the segment TEXT and its
+    * position — the applied scrub needs both to reconstruct documents. */
+  private[graft] def segmentTableIdx(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    words
+      .select(col("doc_id"),
+        when(size(col("w")) >= SEG_N,
+          transform(sequence(lit(0), (size(col("w")) / SEG_N).cast("int") - 1),
+            i => concat_ws(" ", slice(col("w"), i * SEG_N + 1, lit(SEG_N)))))
+          .otherwise(array().cast("array<string>")).as("segs"))
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "segment")))
+      .withColumn("sg", h60(col("segment")))
+  }
+
+  /** APPLIED segment-level dedup (`q_segment_scrub`) — where
+    * `q_segment_dedup` measures duplicated-passage incidence, this one
+    * actually removes it (the Lee-et-al-style "deduplicate repeated
+    * passages across the corpus" training-data pass): every duplicated
+    * SEG_N-word segment keeps only its FIRST global occurrence
+    * (ordered by doc_id, then position within doc) and each document
+    * is reconstructed from its surviving segments in original order.
+    * Output per doc: segments kept/dropped and the h60 fingerprint of
+    * the scrubbed text (both engines rebuild the same bytes, so the
+    * fingerprint pins value fidelity end-to-end).
+    *
+    * Scale shape: first-occurrence is a map-side-combinable
+    * `min(okey)` per segment hash — NO per-segment-hash window, so a
+    * passage duplicated a million times costs one combiner cell, not
+    * one task (the rep-collapse lesson); the join back fans in one
+    * row per distinct segment. Reconstruction groups by doc_id —
+    * bounded by document length.
+    */
+  def qSegmentScrub(s: SparkSession, dir: String): DataFrame =
+    segmentScrub(Tables.documents(s, dir))
+
+  private[graft] def segmentScrub(docs: DataFrame): DataFrame = {
+    val segs = segmentTableIdx(docs)
+      .withColumn("okey", col("doc_id") * 1000000L + col("seg_idx"))
+    val firstOcc = segs.groupBy("sg").agg(min("okey").as("fk"))
+    segs.join(firstOcc, "sg")
+      .groupBy("doc_id")
+      .agg(
+        sum((col("okey") === col("fk")).cast("long")).as("n_kept"),
+        sum((col("okey") =!= col("fk")).cast("long")).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("okey") === col("fk"),
+              struct(col("seg_idx"), col("segment"))))),
+            x => x.getField("segment"))).as("clean"))
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        h60(col("clean")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val oracleSegmentScrub: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |seg AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |         array_to_string(ws[i*$SEG_N+1 : i*$SEG_N+$SEG_N], ' ') AS segment
+       |  FROM w, unnest(CASE WHEN len(ws) >= $SEG_N
+       |    THEN generate_series(0, CAST(len(ws) // $SEG_N AS INT) - 1)
+       |    ELSE [] END) AS t(i)),
+       |sh AS (SELECT doc_id, seg_idx, segment,
+       |              doc_id * 1000000 + seg_idx AS okey,
+       |              ${h60Sql("segment")} AS sg
+       |       FROM seg),
+       |first_occ AS (SELECT sg, min(okey) AS fk FROM sh GROUP BY sg),
+       |recon AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN okey = fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN okey <> fk THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |    coalesce(string_agg(CASE WHEN okey = fk THEN segment END, ' '
+       |      ORDER BY seg_idx), '') AS clean
+       |  FROM sh JOIN first_occ USING (sg)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_kept, n_dropped, ${h60Sql("clean")} AS clean_fp
+       |FROM recon ORDER BY doc_id""".stripMargin
 }

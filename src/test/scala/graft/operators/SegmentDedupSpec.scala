@@ -78,4 +78,57 @@ class SegmentDedupSpec extends AnyFunSpec with SparkTestBase {
         "segment dedup must not window the raw segment stream")
     }
   }
+
+  describe("q_segment_scrub (applied passage removal)") {
+
+    it("keeps only the first global occurrence and reconstructs in original order") {
+      val passage = (1 to 8).map(i => s"copied$i").mkString(" ")
+      val aTail   = (1 to 8).map(i => s"atail$i").mkString(" ")
+      val bTail   = (1 to 8).map(i => s"btail$i").mkString(" ")
+      // doc 1: [passage][atail]; doc 2: [btail][passage] — doc 2 loses the
+      // passage (doc 1 saw it first) but keeps btail, order preserved.
+      val docs = Seq((1L, passage + " " + aTail), (2L, bTail + " " + passage))
+        .toDF("doc_id", "text")
+      val got = Dedup.segmentScrub(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got(1L) == ((2L, 0L)), "doc 1 holds both first occurrences")
+      assert(got(2L) == ((1L, 1L)), "doc 2 drops the copied passage only")
+      // fingerprint fidelity: doc 2's clean text must equal btail alone
+      val fpGot = Dedup.segmentScrub(docs).filter(col("doc_id") === 2L)
+        .select("clean_fp").as[Long].head()
+      val fpWant = Seq(bTail).toDF("s").select(graft.functions.HashFns.h60(col("s"))).as[Long].head()
+      assert(fpGot == fpWant)
+    }
+
+    it("an exact duplicate document scrubs to the empty string") {
+      val text = (1 to 24).map(i => s"tok$i").mkString(" ")
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val got = Dedup.segmentScrub(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got(1L) == ((3L, 0L)) && got(2L) == ((0L, 3L)))
+      val fpEmpty = Seq("").toDF("s").select(graft.functions.HashFns.h60(col("s"))).as[Long].head()
+      val fp2 = Dedup.segmentScrub(docs).filter(col("doc_id") === 2L)
+        .select("clean_fp").as[Long].head()
+      assert(fp2 == fpEmpty)
+    }
+
+    it("repeated passage WITHIN one doc keeps only the earliest position") {
+      val p = (1 to 8).map(i => s"rep$i").mkString(" ")
+      val mid = (1 to 8).map(i => s"mid$i").mkString(" ")
+      val docs = Seq((1L, p + " " + mid + " " + p)).toDF("doc_id", "text")
+      val r = Dedup.segmentScrub(docs).collect().head
+      assert((r.getLong(1), r.getLong(2)) == ((2L, 1L)))
+      val fpWant = Seq(p + " " + mid).toDF("s")
+        .select(graft.functions.HashFns.h60(col("s"))).as[Long].head()
+      assert(r.getLong(3) == fpWant)
+    }
+
+    it("plans first-occurrence as a partial-aggregable min — no window, no cartesian") {
+      val plan = Dedup.qSegmentScrub(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"))
+      assert(plan.linesIterator.count(_.matches("^\\(\\d+\\) Window.*")) == 0,
+        "scrub must not window the raw segment stream")
+    }
+  }
 }

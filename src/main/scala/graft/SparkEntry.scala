@@ -145,6 +145,9 @@ object SparkEntry {
     // scale patterns + pipeline composition
     "q_pagerank"          -> Graph.qPagerank _,
     "q_kcore"             -> Graph.qKcore _,
+    "q_graph_bfs"         -> Graph.qGraphBfs _,
+    "q_target_encode"     -> MlPrep.qTargetEncode _,
+    "q_feature_hash"      -> MlPrep.qFeatureHash _,
     "q_coreset_kcenter"   -> Similarity.qCoresetKcenter _,
     "q_dedup_semantic"    -> Similarity.qDedupSemantic _,
     "q_segment_scrub"     -> Dedup.qSegmentScrub _,
@@ -384,6 +387,9 @@ object SparkEntry {
     "q_source_orc"        -> graft.sources.Sources.oracleSourceOrc,
     "q_pagerank"          -> Graph.oraclePagerank,
     "q_kcore"             -> Graph.oracleKcore,
+    "q_graph_bfs"         -> Graph.oracleGraphBfs,
+    "q_target_encode"     -> MlPrep.oracleTargetEncode,
+    "q_feature_hash"      -> MlPrep.oracleFeatureHash,
     "q_coreset_kcenter"   -> Similarity.oracleCoresetKcenter,
     "q_dedup_semantic"    -> Similarity.oracleDedupSemantic,
     "q_segment_scrub"     -> Dedup.oracleSegmentScrub,

@@ -286,4 +286,104 @@ object Graph {
        |    OVER (ORDER BY peel_round) - (n_alive_cust + n_alive_supp), 0) = 0 AS converged
        |FROM census ORDER BY peel_round""".stripMargin
   }
+
+  /** BFS seed: every customer node of this nation that appears in the
+    * thresholded graph. */
+  private val BFS_SEED_NATION = 0
+  /** Frontier rounds — bipartite, so odd hops land on suppliers, even
+    * hops on customers. 4 covers c→s→c→s→c reach. */
+  private val BFS_MAX_HOPS = 4
+
+  /** Multi-source BFS hop-distance census (`q_graph_bfs`) over the same
+    * thresholded customer↔supplier graph as [[qKcore]]: distance from
+    * the nearest seed (all nation-`BFS_SEED_NATION` customers present
+    * in the graph), reported as a per-hop census plus an `hop = -1`
+    * unreached row — "how many trading partners are within k
+    * introductions of this market" reachability.
+    *
+    * Scale shape: the textbook distributed frontier BFS — each round is
+    * ONE semi-join of the edge set against the current frontier (new
+    * candidates) + one anti-join against the visited set (drop already-
+    * reached), both vertex-sized frames broadcast here (dim-scale
+    * graph; on a billion-vertex graph the same joins shuffle, hints
+    * only). Rounds are unrolled a FIXED `BFS_MAX_HOPS` times with each
+    * round's frontier `localCheckpoint`ed, so round r+1 never replays
+    * rounds 1..r. Only the bounded per-hop census leaves the executors.
+    * The oracle walks the identical graph with a recursive CTE
+    * (`min(d)` per vertex = BFS distance, depth-capped).
+    */
+  def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KCORE_T)
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("v")).distinct().localCheckpoint()
+    val seeds = nodes.join(
+      broadcast(Tables.dim(s, dir, "customer")
+        .filter(col("c_nationkey") === BFS_SEED_NATION)
+        .select(concat(lit("c"), col("c_custkey")).as("v"))),
+      "v", "left_semi")
+    var dist = seeds.select(col("v"), lit(0).as("hop")).localCheckpoint()
+    var frontier = dist.select("v")
+    for (r <- 1 to BFS_MAX_HOPS) {
+      val next = edges
+        .join(broadcast(frontier.select(col("v").as("src"))), "src", "left_semi")
+        .select(col("dst").as("v")).distinct()
+        .join(broadcast(dist.select("v")), Seq("v"), "left_anti")
+        .select(col("v"), lit(r).as("hop"))
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next.select("v")
+    }
+    val reached = dist.groupBy("hop").agg(
+      sum(when(col("v").startsWith("c"), 1L).otherwise(0L)).as("n_cust"),
+      sum(when(col("v").startsWith("s"), 1L).otherwise(0L)).as("n_supp"))
+    val unreached = nodes.join(broadcast(dist.select("v")), Seq("v"), "left_anti")
+      .agg(coalesce(sum(when(col("v").startsWith("c"), 1L).otherwise(0L)), lit(0L)).as("n_cust"),
+        coalesce(sum(when(col("v").startsWith("s"), 1L).otherwise(0L)), lit(0L)).as("n_supp"))
+      .select(lit(-1).as("hop"), col("n_cust"), col("n_supp"))
+    reached.unionByName(unreached)
+      .select(col("hop"), col("n_cust"), col("n_supp"),
+        (col("n_cust") + col("n_supp")).as("n_total"))
+      .orderBy("hop")
+  }
+
+  val oracleGraphBfs: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $KCORE_T),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode, cnode FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS v FROM edges),
+       |seeds AS (
+       |  SELECT v FROM nodes
+       |  WHERE v IN (SELECT 'c' || c_custkey FROM customer
+       |              WHERE c_nationkey = $BFS_SEED_NATION)),
+       |bfs(v, d) AS (
+       |  SELECT v, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, b.d + 1
+       |  FROM bfs b JOIN edges e ON b.v = e.src
+       |  WHERE b.d < $BFS_MAX_HOPS),
+       |dist AS (SELECT v, min(d) AS hop FROM bfs GROUP BY v),
+       |reached AS (
+       |  SELECT hop,
+       |    CAST(sum(CASE WHEN v LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
+       |    CAST(sum(CASE WHEN v LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT) AS n_supp
+       |  FROM dist GROUP BY hop),
+       |unreached AS (
+       |  SELECT -1 AS hop,
+       |    CAST(coalesce(sum(CASE WHEN v LIKE 'c%' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cust,
+       |    CAST(coalesce(sum(CASE WHEN v LIKE 's%' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_supp
+       |  FROM nodes WHERE v NOT IN (SELECT v FROM dist))
+       |SELECT hop, n_cust, n_supp, n_cust + n_supp AS n_total
+       |FROM (SELECT * FROM reached UNION ALL SELECT * FROM unreached)
+       |ORDER BY hop""".stripMargin
 }

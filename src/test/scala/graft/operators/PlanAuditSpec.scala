@@ -192,7 +192,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_k_anonymity",
         // q_dedup_semantic broadcasts the IVF_K-row trained centroids
         // (same bounded shape as q_knn_ivf)
-        "q_dedup_semantic")
+        "q_dedup_semantic",
+        // q_target_encode crossJoins the 1-row global-mean frame
+        "q_target_encode")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

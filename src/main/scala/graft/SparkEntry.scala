@@ -148,6 +148,8 @@ object SparkEntry {
     "q_graph_bfs"         -> Graph.qGraphBfs _,
     "q_target_encode"     -> MlPrep.qTargetEncode _,
     "q_feature_hash"      -> MlPrep.qFeatureHash _,
+    "q_assoc_rules"       -> MlPrep.qAssocRules _,
+    "q_auc_probe"         -> Similarity.qAucProbe _,
     "q_coreset_kcenter"   -> Similarity.qCoresetKcenter _,
     "q_dedup_semantic"    -> Similarity.qDedupSemantic _,
     "q_segment_scrub"     -> Dedup.qSegmentScrub _,
@@ -390,6 +392,8 @@ object SparkEntry {
     "q_graph_bfs"         -> Graph.oracleGraphBfs,
     "q_target_encode"     -> MlPrep.oracleTargetEncode,
     "q_feature_hash"      -> MlPrep.oracleFeatureHash,
+    "q_assoc_rules"       -> MlPrep.oracleAssocRules,
+    "q_auc_probe"         -> Similarity.oracleAucProbe,
     "q_coreset_kcenter"   -> Similarity.oracleCoresetKcenter,
     "q_dedup_semantic"    -> Similarity.oracleDedupSemantic,
     "q_segment_scrub"     -> Dedup.oracleSegmentScrub,

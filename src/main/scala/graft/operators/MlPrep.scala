@@ -105,6 +105,79 @@ object MlPrep {
       .orderBy("bucket")
   }
 
+  /** Rules must hold in at least this fraction of baskets. */
+  private val AR_MIN_SUP = "0.01" // literal text shared with the oracle
+  private val AR_TOP = 20
+
+  /** Market-basket association rules (`q_assoc_rules`): which part
+    * brands co-occur in the same order beyond chance — the classic
+    * support/confidence/lift pattern-mining readout, mined A-priori
+    * style. Baskets are orders, items are the DISTINCT part brands in
+    * each order (a bounded item vocabulary, so supports are dense and
+    * the pair space is ≤|brands|² no matter the corpus).
+    *
+    * Scale shape: the pair generator is a self-join on the basket key —
+    * fan-out bounded by (items-per-basket choose 2), never |items|² —
+    * and everything after it is ≤|brands|²-row frames (item counts
+    * broadcast, 1-row basket total). Ratios are each ONE division of
+    * exact integer counts (lift's numerator/denominator multiplied out
+    * in int64 first), so the doubles are engine-identical with no
+    * rounding pin needed.
+    */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.dim(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("bid"), col("p_brand").as("brand"))
+      .distinct()
+      .cache()
+    val nB = baskets.agg(countDistinct("bid").as("nb"))
+    val items = baskets.groupBy("brand").agg(count(lit(1)).as("ni"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.bid") === col("b.bid") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("x"), col("b.brand").as("y"))
+      .agg(count(lit(1)).as("n_both"))
+    val rules = pairs.select(col("x").as("ant"), col("y").as("cons"), col("n_both"))
+      .unionByName(pairs.select(col("y").as("ant"), col("x").as("cons"), col("n_both")))
+    rules
+      .join(broadcast(items.select(col("brand").as("ant"), col("ni").as("n_ant"))), "ant")
+      .join(broadcast(items.select(col("brand").as("cons"), col("ni").as("n_cons"))), "cons")
+      .crossJoin(broadcast(nB))
+      .filter(col("n_both").cast("double") / col("nb") >= expr(AR_MIN_SUP))
+      .select(col("ant"), col("cons"), col("n_both"),
+        (col("n_both").cast("double") / col("nb")).as("support"),
+        (col("n_both").cast("double") / col("n_ant")).as("confidence"),
+        ((col("n_both") * col("nb")).cast("double") / (col("n_ant") * col("n_cons"))).as("lift"))
+      .orderBy(desc("lift"), col("ant"), col("cons"))
+      .limit(AR_TOP)
+  }
+
+  val oracleAssocRules: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS bid, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT count(DISTINCT bid) AS nb FROM baskets),
+       |items AS (SELECT brand, count(*) AS ni FROM baskets GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.brand AS x, b.brand AS y, count(*) AS n_both
+       |  FROM baskets a JOIN baskets b
+       |    ON a.bid = b.bid AND a.brand < b.brand
+       |  GROUP BY 1, 2),
+       |rules AS (
+       |  SELECT x AS ant, y AS cons, n_both FROM pairs
+       |  UNION ALL SELECT y, x, n_both FROM pairs)
+       |SELECT ant, cons, n_both,
+       |  CAST(n_both AS DOUBLE) / nb AS support,
+       |  CAST(n_both AS DOUBLE) / ia.ni AS confidence,
+       |  CAST(n_both * nb AS DOUBLE) / (ia.ni * ic.ni) AS lift
+       |FROM rules
+       |  JOIN items ia ON rules.ant = ia.brand
+       |  JOIN items ic ON rules.cons = ic.brand, n
+       |WHERE CAST(n_both AS DOUBLE) / nb >= $AR_MIN_SUP
+       |ORDER BY lift DESC, ant, cons LIMIT $AR_TOP""".stripMargin
+
   val oracleFeatureHash: String = {
     val h = h60Sql("f")
     s"""WITH f AS (

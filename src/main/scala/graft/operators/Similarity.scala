@@ -994,30 +994,98 @@ object Similarity {
     w
   }
 
-  val oracleEmbeddingProbe: String = {
-    val dotXW = "list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * w[i]))"
+  /** DuckDB x·w over the bias-extended feature list — same sequential
+    * fold order as [[dot]]. */
+  private val probeDotXW =
+    "list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * w[i]))"
+
+  /** Shared CTE prefix replaying the probe training in SQL: `e`
+    * (features+label), `w0i` (zero weights), and the `wi1..wiN` GD
+    * steps — ends with trained weights in `wi{PROBE_ITERS}`. */
+  private def probeTrainSql: String = {
     def stepCte(prev: String, out: String): String =
       s"""$out AS (
          |  SELECT list(wj ORDER BY pos) AS w FROM (
          |    SELECT pos, round(any_value(w)[pos] - $PROBE_LR * avg(d * v), 6) AS wj FROM (
-         |      SELECT 1.0 / (1.0 + exp(-($dotXW))) - y AS d,
+         |      SELECT 1.0 / (1.0 + exp(-($probeDotXW))) - y AS d,
          |             unnest(x) AS v, unnest(generate_series(1, len(x))) AS pos, w
          |      FROM e, $prev)
          |    GROUP BY pos))""".stripMargin
     val steps = (1 to PROBE_ITERS).map(i =>
       stepCte(if (i == 1) "w0i" else s"wi${i - 1}", s"wi$i")).mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT label, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
        |         list_prepend(1.0, list_transform(embedding, v -> v::DOUBLE)) AS x
        |  FROM embeddings),
        |w0i AS (SELECT list_transform(generate_series(1, ${1 + DIM}), i -> 0.0) AS w),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  val oracleEmbeddingProbe: String =
+    s"""WITH $probeTrainSql
        |SELECT label, count(*) AS n,
-       | CAST(sum(CASE WHEN $dotXW > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
-       | round(avg(CASE WHEN (CASE WHEN $dotXW > 0.0 THEN 1.0 ELSE 0.0 END) = y THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+       | CAST(sum(CASE WHEN $probeDotXW > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       | round(avg(CASE WHEN (CASE WHEN $probeDotXW > 0.0 THEN 1.0 ELSE 0.0 END) = y THEN 1.0 ELSE 0.0 END), 4) AS accuracy
        |FROM e, wi$PROBE_ITERS
        |GROUP BY label ORDER BY label""".stripMargin
+
+  /** ROC AUC of the trained probe (`q_auc_probe`): threshold-free
+    * ranking quality of the probe's margin scores, via the
+    * Mann-Whitney rank statistic with tie-aware average ranks —
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    *
+    * Scale shape: the classic two-phase rank trick (the percentile
+    * bracket's sibling) — scores collapse to a per-DISTINCT-margin
+    * frame first (margins are 6dp-rounded, so the frame is bounded by
+    * the score range × 10⁶ cells, not by corpus rows), then ONE
+    * ordered window over that collapsed frame accumulates the
+    * below-count, and rank sums are exact: every term is an integer
+    * or half-integer, so double summation is drift-free in any order.
+    * The final AUC is one division of engine-identical doubles.
+    */
+  def qAucProbe(s: SparkSession, dir: String): DataFrame =
+    aucOf(Tables.embeddings(s, dir)
+      .select(when(col("label") < 5, 1.0).otherwise(0.0).as("y"), probeX.as("x"))
+      .crossJoin(broadcast(probeWeights(s, dir)))
+      .select(col("y"), round(dot(col("x"), col("w")), 6).as("sc")))
+
+  /** Tie-aware rank AUC over any (y ∈ {0,1}, sc) frame. */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    val perScore = scored.groupBy("sc")
+      .agg(count(lit(1)).as("cnt"), sum("y").cast("long").as("pos"))
+    val below = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cumbelow", coalesce(sum("cnt").over(below), lit(0L)))
+      .agg(sum("pos").as("np"), sum("cnt").as("nall"),
+        sum(col("pos") * (col("cumbelow") + (col("cnt") + 1) / lit(2.0))).as("rplus"))
+      .select(col("np").as("n_pos"), (col("nall") - col("np")).as("n_neg"),
+        ((col("rplus") - col("np") * (col("np") + 1) / lit(2.0)) /
+          (col("np") * (col("nall") - col("np")))).as("auc"))
+      .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"),
+        round(lit(2.0) * col("auc") - 1.0, 6).as("gini"))
   }
+
+  val oracleAucProbe: String =
+    s"""WITH $probeTrainSql,
+       |scored AS (
+       |  SELECT y, round($probeDotXW, 6) AS sc FROM e, wi$PROBE_ITERS),
+       |per AS (
+       |  SELECT sc, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM scored GROUP BY sc),
+       |rk AS (
+       |  SELECT pos, cnt,
+       |    CAST(coalesce(sum(cnt) OVER (ORDER BY sc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumbelow
+       |  FROM per),
+       |agg AS (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(cnt) AS BIGINT) AS nall,
+       |    sum(pos * (cumbelow + (cnt + 1) / 2.0)) AS rplus
+       |  FROM rk)
+       |SELECT np AS n_pos, nall - np AS n_neg,
+       |  round((rplus - np * (np + 1) / 2.0) / (np * (nall - np)), 6) AS auc,
+       |  round(2.0 * ((rplus - np * (np + 1) / 2.0) / (np * (nall - np))) - 1.0, 6) AS gini
+       |FROM agg""".stripMargin
 
   // ------------------------------------------------------ semantic dedup
 

@@ -194,7 +194,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // (same bounded shape as q_knn_ivf)
         "q_dedup_semantic",
         // q_target_encode crossJoins the 1-row global-mean frame
-        "q_target_encode")
+        "q_target_encode",
+        // q_auc_probe broadcasts the 1-row trained-weight frame;
+        // q_assoc_rules crossJoins the 1-row basket-count frame
+        "q_auc_probe", "q_assoc_rules")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -146,10 +146,12 @@ object SparkEntry {
     "q_pagerank"          -> Graph.qPagerank _,
     "q_kcore"             -> Graph.qKcore _,
     "q_graph_bfs"         -> Graph.qGraphBfs _,
+    "q_label_prop"        -> Graph.qLabelProp _,
     "q_target_encode"     -> MlPrep.qTargetEncode _,
     "q_feature_hash"      -> MlPrep.qFeatureHash _,
     "q_assoc_rules"       -> MlPrep.qAssocRules _,
     "q_auc_probe"         -> Similarity.qAucProbe _,
+    "q_hard_negatives"    -> Similarity.qHardNegatives _,
     "q_coreset_kcenter"   -> Similarity.qCoresetKcenter _,
     "q_dedup_semantic"    -> Similarity.qDedupSemantic _,
     "q_segment_scrub"     -> Dedup.qSegmentScrub _,
@@ -390,10 +392,12 @@ object SparkEntry {
     "q_pagerank"          -> Graph.oraclePagerank,
     "q_kcore"             -> Graph.oracleKcore,
     "q_graph_bfs"         -> Graph.oracleGraphBfs,
+    "q_label_prop"        -> Graph.oracleLabelProp,
     "q_target_encode"     -> MlPrep.oracleTargetEncode,
     "q_feature_hash"      -> MlPrep.oracleFeatureHash,
     "q_assoc_rules"       -> MlPrep.oracleAssocRules,
     "q_auc_probe"         -> Similarity.oracleAucProbe,
+    "q_hard_negatives"    -> Similarity.oracleHardNegatives,
     "q_coreset_kcenter"   -> Similarity.oracleCoresetKcenter,
     "q_dedup_semantic"    -> Similarity.oracleDedupSemantic,
     "q_segment_scrub"     -> Dedup.oracleSegmentScrub,

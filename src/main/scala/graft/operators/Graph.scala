@@ -353,6 +353,87 @@ object Graph {
       .orderBy("hop")
   }
 
+  private val LPA_ROUNDS = 3
+
+  /** Synchronous label-propagation community detection (`q_label_prop`)
+    * on the thresholded trade graph: every node starts as its own
+    * community and each round adopts the label most frequent among its
+    * neighbors, ties broken by MIN label — fully deterministic, so both
+    * engines converge identically round by round. Output is the
+    * per-round community census (communities, largest size,
+    * singletons): how fast the market coalesces into trading blocs.
+    *
+    * Scale shape: one round = edges⨝labels (label frame vertex-sized,
+    * broadcast at dim scale, shuffle at web scale) + TWO map-side-
+    * combinable hash-aggs — the per-(node, neighbor-label) count, then
+    * the deterministic argmax as `min(struct(-cnt, label))` (max count,
+    * then min label) with NO window over the neighbor stream. Fixed
+    * `LPA_ROUNDS` unroll, per-round `localCheckpoint`; only the
+    * bounded census leaves the executors.
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KCORE_T)
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .localCheckpoint()
+    def census(labels: DataFrame, round: Int): DataFrame =
+      labels.groupBy("label").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_comms"), max("sz").as("max_size"),
+          sum((col("sz") === 1L).cast("long")).as("n_singletons"))
+        .select(lit(round).as("round"), col("n_comms"), col("max_size"),
+          col("n_singletons"))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint()
+    var rounds = Seq(census(labels, 0))
+    for (r <- 1 to LPA_ROUNDS) {
+      labels = edges
+        .join(broadcast(labels.select(col("v").as("src"), col("label"))), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("v"))
+        .agg(min(struct((col("cnt") * -1).as("nc"), col("label"))).as("m"))
+        .select(col("v"), col("m.label").as("label"))
+        .localCheckpoint()
+      rounds = rounds :+ census(labels, r)
+    }
+    rounds.reduce(_.union(_)).orderBy("round")
+  }
+
+  val oracleLabelProp: String = {
+    def roundCte(r: Int): String = {
+      val prev = s"l${r - 1}"
+      s"""l$r AS (
+         |  SELECT dst AS v, label FROM (
+         |    SELECT dst, label,
+         |           row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+         |    FROM (SELECT e.dst, l.label, count(*) AS cnt
+         |          FROM edges e JOIN $prev l ON e.src = l.v GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val iters = (1 to LPA_ROUNDS).map(roundCte).mkString(",\n")
+    val censuses = (0 to LPA_ROUNDS).map(r =>
+      s"""SELECT $r AS round, count(*) AS n_comms,
+         |  CAST(max(sz) AS BIGINT) AS max_size,
+         |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons
+         |FROM (SELECT label, count(*) AS sz FROM l$r GROUP BY label)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (
+       |  SELECT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $KCORE_T),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode, cnode FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),
+       |$iters
+       |$censuses
+       |ORDER BY round""".stripMargin
+  }
+
   val oracleGraphBfs: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode

@@ -236,7 +236,7 @@ object Similarity {
     * map-side-combinable struct-min argmin (no per-vector window
     * shuffle), ties to the lowest cell id — mirrored by the oracle's
     * ORDER BY cos DESC, cell. */
-  private def assignCells(s: SparkSession, e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignCells(s: SparkSession, e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("emb"),
         struct((-cosine(s, "emb", "centroid")).as("nc"), col("cell")).as("sc"))
@@ -1138,6 +1138,64 @@ object Similarity {
         round(col("n_dropped") / col("n_members"), 6).as("drop_frac"))
       .orderBy("cell")
   }
+
+  /** Contrastive hard-negative mining (`q_hard_negatives`): for every
+    * anchor vector, the most-similar vector with a DIFFERENT label
+    * inside the anchor's trained IVF cell — the "hardest negative"
+    * an embedding-training pipeline pairs with each anchor so the
+    * contrastive loss learns from near-misses instead of random
+    * negatives.
+    *
+    * Scale shape: identical to SemDeDup's — the quadratic scan is
+    * confined within coarse-quantizer cells by an equality join on
+    * cell id (cell population ≈ n/K), and the per-anchor argmax is a
+    * deterministic `min(struct(-cos, neg_id))` hash-agg — no window
+    * over the candidate stream, no global top-k. Anchors whose cell
+    * holds no other label are honestly absent (a cell purity signal in
+    * itself).
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = trainedCentroids(s, e).cache()
+    val assigned = assignCells(s, e, cent)
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        struct((-cosine(s, "a.emb", "b.emb")).as("nc"),
+          col("b.vec_id").as("neg_id"), col("b.label").as("neg_label")).as("sc"))
+      .groupBy("vec_id", "label")
+      .agg(min("sc").as("m"))
+      .select(col("vec_id"), col("label"),
+        col("m.neg_id").as("neg_id"), col("m.neg_label").as("neg_label"),
+        round(-col("m.nc"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  val oracleHardNegatives: String =
+    s"""WITH $kmeansCtes,
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id, la.label, b.vec_id AS neg_id, lb.label AS neg_label,
+       |    ${cosSql("a.emb", "b.emb")} AS cos
+       |  FROM assigned a
+       |    JOIN assigned b ON a.cell = b.cell
+       |    JOIN lbl la ON a.vec_id = la.vec_id
+       |    JOIN lbl lb ON b.vec_id = lb.vec_id
+       |  WHERE la.label <> lb.label)
+       |SELECT vec_id, label, neg_id, neg_label, round(cos, 6) AS cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, neg_id) AS rn
+       |  FROM cand) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
 
   val oracleDedupSemantic: String =
     s"""WITH $kmeansCtes,

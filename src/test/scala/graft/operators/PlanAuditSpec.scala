@@ -196,8 +196,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_target_encode crossJoins the 1-row global-mean frame
         "q_target_encode",
         // q_auc_probe broadcasts the 1-row trained-weight frame;
-        // q_assoc_rules crossJoins the 1-row basket-count frame
-        "q_auc_probe", "q_assoc_rules")
+        // q_assoc_rules crossJoins the 1-row basket-count frame;
+        // q_hard_negatives broadcasts the IVF_K-row trained centroids
+        "q_auc_probe", "q_assoc_rules", "q_hard_negatives")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

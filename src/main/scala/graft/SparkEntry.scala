@@ -152,6 +152,10 @@ object SparkEntry {
     "q_assoc_rules"       -> MlPrep.qAssocRules _,
     "q_auc_probe"         -> Similarity.qAucProbe _,
     "q_hard_negatives"    -> Similarity.qHardNegatives _,
+    "q_calibration"       -> Similarity.qCalibration _,
+    "q_mmr_rerank"        -> Similarity.qMmrRerank _,
+    "q_rrf_fusion"        -> MlPrep.qRrfFusion _,
+    "q_winsorize"         -> MlPrep.qWinsorize _,
     "q_coreset_kcenter"   -> Similarity.qCoresetKcenter _,
     "q_dedup_semantic"    -> Similarity.qDedupSemantic _,
     "q_segment_scrub"     -> Dedup.qSegmentScrub _,
@@ -398,6 +402,10 @@ object SparkEntry {
     "q_assoc_rules"       -> MlPrep.oracleAssocRules,
     "q_auc_probe"         -> Similarity.oracleAucProbe,
     "q_hard_negatives"    -> Similarity.oracleHardNegatives,
+    "q_calibration"       -> Similarity.oracleCalibration,
+    "q_mmr_rerank"        -> Similarity.oracleMmrRerank,
+    "q_rrf_fusion"        -> MlPrep.oracleRrfFusion,
+    "q_winsorize"         -> MlPrep.oracleWinsorize,
     "q_coreset_kcenter"   -> Similarity.oracleCoresetKcenter,
     "q_dedup_semantic"    -> Similarity.oracleDedupSemantic,
     "q_segment_scrub"     -> Dedup.oracleSegmentScrub,

@@ -178,6 +178,121 @@ object MlPrep {
        |WHERE CAST(n_both AS DOUBLE) / nb >= $AR_MIN_SUP
        |ORDER BY lift DESC, ant, cons LIMIT $AR_TOP""".stripMargin
 
+  /** RRF smoothing constant (the standard k=60), fused-list depth, and
+    * final cut. */
+  private val RRF_C   = 60
+  private val RRF_N   = 20
+  private val RRF_TOP = 10
+
+  /** Reciprocal-rank fusion of keyword and vector retrieval
+    * (`q_rrf_fusion`): BM25's top-N for the fixed keyword query fused
+    * with brute-cosine top-N for the vec-0 query vector by
+    * RRF(d) = Σ 1/(60 + rank_r(d)) — the standard hybrid-search
+    * combiner (Cormack et al.), score-scale-free so the two rankers
+    * need no calibration against each other. vec_id ≡ doc_id in the
+    * corpus, so the fusion join is the identity key.
+    *
+    * Scale shape: each ranker ends in TakeOrdered(N) — the only
+    * unbounded work is the two scans the rankers already do; ranks,
+    * the full-outer fusion join, and the final sort all run on
+    * BOUNDED ≤N-row frames. The RRF score is a sum of two exact unit
+    * fractions — engine-identical with no rounding pin.
+    */
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = TextAnalysis.bm25Scores(s, dir)
+      .orderBy(desc("score"), col("doc_id")).limit(RRF_N)
+      .withColumn("rt", row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+    val kn = Similarity.knnScores(s, dir)
+      .orderBy(desc("cos"), col("vec_id")).limit(RRF_N)
+      .withColumn("rv", row_number().over(Window.orderBy(desc("cos"), col("vec_id"))))
+    bm.select(col("doc_id").as("id"), col("rt"))
+      .join(kn.select(col("vec_id").as("id"), col("rv")), Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("rt"), lit(-1)).as("rank_text"),
+        coalesce(col("rv"), lit(-1)).as("rank_vec"),
+        (coalesce(lit(1.0) / (col("rt") + RRF_C), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rv") + RRF_C), lit(0.0))).as("rrf"))
+      .orderBy(desc("rrf"), col("id"))
+      .limit(RRF_TOP)
+  }
+
+  val oracleRrfFusion: String =
+    s"""WITH ${TextAnalysis.bm25SqlCtes},
+       |bmr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rt
+       |  FROM (SELECT * FROM bmscore ORDER BY score DESC, doc_id LIMIT $RRF_N)),
+       |ev AS (
+       |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+       |  FROM embeddings),
+       |qv AS (SELECT emb AS qemb FROM ev WHERE vec_id = 0),
+       |kn AS (
+       |  SELECT vec_id, cos FROM (
+       |    SELECT ev.vec_id, ${Similarity.cosSql("ev.emb", "qv.qemb")} AS cos
+       |    FROM ev, qv WHERE ev.vec_id <> 0)
+       |  ORDER BY cos DESC, vec_id LIMIT $RRF_N),
+       |knr AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rv FROM kn)
+       |SELECT coalesce(b.doc_id, k.vec_id) AS id,
+       |  CAST(coalesce(rt, -1) AS INT) AS rank_text,
+       |  CAST(coalesce(rv, -1) AS INT) AS rank_vec,
+       |  coalesce(1.0::DOUBLE / (rt + $RRF_C), 0.0) +
+       |    coalesce(1.0::DOUBLE / (rv + $RRF_C), 0.0) AS rrf
+       |FROM bmr b FULL OUTER JOIN knr k ON b.doc_id = k.vec_id
+       |ORDER BY rrf DESC, id LIMIT $RRF_TOP""".stripMargin
+
+  /** Winsorization bounds. */
+  private val WZ_LO = 0.01
+  private val WZ_HI = 0.99
+
+  /** Winsorized robust-scaling audit (`q_winsorize`): clamp
+    * `l_extendedprice` to its per-group [p01, p99] and report the
+    * clipping counts and the winsorized mean — the outlier-robust
+    * feature-scaling pass (and its audit trail) that precedes any
+    * scale-sensitive model on heavy-tailed warehouse features.
+    *
+    * Scale shape: percentile bounds come from the repo's two-phase
+    * exact-percentile bracket (no whole-group sort), broadcast back as
+    * a |groups|-row frame onto one more fact scan. The winsorized mean
+    * is pinned exactly: clamped values are cast to DECIMAL(18,4)
+    * (originals are 2dp, bounds are 4dp-rounded — both exact at scale
+    * 4), summed exactly, and divided once.
+    */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = Relational.percentilesTwoPhase(
+      src, "l_returnflag", "l_extendedprice",
+      Seq("p01" -> WZ_LO, "p99" -> WZ_HI))
+    src.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"),
+        col("p01"), col("p99"),
+        greatest(col("p01"), least(col("p99"), col("l_extendedprice")))
+          .cast("decimal(18,4)").as("xw"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") < col("p01")).cast("long")).as("n_clip_lo"),
+        sum((col("x") > col("p99")).cast("long")).as("n_clip_hi"),
+        first("p01").as("p01"), first("p99").as("p99"),
+        (sum("xw").cast("double") / count(lit(1))).as("mean_w"))
+      .orderBy("l_returnflag")
+  }
+
+  val oracleWinsorize: String =
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    round(quantile_cont(l_extendedprice, $WZ_LO), 4) AS p01,
+       |    round(quantile_cont(l_extendedprice, $WZ_HI), 4) AS p99
+       |  FROM lineitem GROUP BY 1),
+       |w AS (
+       |  SELECT l.l_returnflag, l.l_extendedprice AS x, p01, p99,
+       |    CAST(greatest(p01, least(p99, l.l_extendedprice)) AS DECIMAL(18,4)) AS xw
+       |  FROM lineitem l JOIN b USING (l_returnflag))
+       |SELECT l_returnflag, count(*) AS n,
+       |  CAST(sum(CASE WHEN x < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       |  CAST(sum(CASE WHEN x > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       |  any_value(p01) AS p01, any_value(p99) AS p99,
+       |  CAST(sum(xw) AS DOUBLE) / count(*) AS mean_w
+       |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val oracleFeatureHash: String = {
     val h = h60Sql("f")
     s"""WITH f AS (

@@ -69,16 +69,21 @@ object Similarity {
   }
 
   /** Exact brute-force cosine top-10 for query vector vec_id=0. */
-  def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame =
+    knnScores(s, dir)
+      .orderBy(desc("cos"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+
+  /** Raw cosine of every vector against the vec-0 query — shared by the
+    * brute-force top-k and the RRF hybrid-fusion ranker. */
+  private[graft] def knnScores(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qemb")))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(q)
       .select(col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
-      .orderBy(desc("cos"), col("vec_id"))
-      .limit(10)
-      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
   }
 
   val oracleKnnBrute: String =
@@ -182,7 +187,7 @@ object Similarity {
        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
   /** DuckDB fragment: cosine(aExpr, bExpr) over list columns. */
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
        | / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
        |  * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))"""
@@ -1137,6 +1142,142 @@ object Similarity {
       .select(col("cell"), col("n_members"), col("n_dropped"),
         round(col("n_dropped") / col("n_members"), 6).as("drop_frac"))
       .orderBy("cell")
+  }
+
+  /** Calibration bin width over the probe margin axis. */
+  private val CAL_BIN = "0.5" // literal text shared with the oracle
+
+  /** Reliability (calibration) curve of the trained probe
+    * (`q_calibration`): bin the margin axis into fixed-width cells and
+    * report, per bin, how often the label is actually positive — the
+    * "can I trust the score as a probability" readout that accompanies
+    * [[qAucProbe]]'s ranking quality.
+    *
+    * Scale shape: fixed-width binning (`floor(sc / w)`) instead of
+    * ntile — NO global sort, one map-side-combinable hash-agg onto a
+    * bounded bin frame. Every output value is exact: bin bounds are
+    * exact multiples of the width, counts are ints, and the positive
+    * rate is one division of exact ints.
+    */
+  def qCalibration(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(when(col("label") < 5, 1.0).otherwise(0.0).as("y"), probeX.as("x"))
+      .crossJoin(broadcast(probeWeights(s, dir)))
+      .select(col("y"), round(dot(col("x"), col("w")), 6).as("sc"))
+      .select(col("y"), floor(col("sc") / expr(CAL_BIN)).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_pos"))
+      .select(col("bin"), (col("bin") * expr(CAL_BIN)).as("bin_lo"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"))
+      .orderBy("bin")
+
+  val oracleCalibration: String =
+    s"""WITH $probeTrainSql,
+       |scored AS (
+       |  SELECT y, round($probeDotXW, 6) AS sc FROM e, wi$PROBE_ITERS),
+       |b AS (
+       |  SELECT CAST(floor(sc / $CAL_BIN) AS BIGINT) AS bin,
+       |         count(*) AS n,
+       |         CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM scored GROUP BY 1)
+       |SELECT bin, bin * $CAL_BIN AS bin_lo, n, n_pos,
+       |  CAST(n_pos AS DOUBLE) / n AS pos_rate
+       |FROM b ORDER BY bin""".stripMargin
+
+  /** MMR hyperparameters: relevance weight λ, candidate-pool size, and
+    * picks. */
+  private val MMR_L    = "0.7" // literal text shared with the oracle
+  private[graft] val MMR_POOL = 30
+  private[graft] val MMR_K    = 10
+
+  /** Maximal-marginal-relevance reranking (`q_mmr_rerank`): greedy
+    * top-K that trades relevance against redundancy — each round picks
+    * argmax λ·rel(x) − (1−λ)·max-sim(x, selected) — the diversified
+    * retrieval pass a RAG/eval pipeline runs after ANN so near-
+    * duplicate hits don't crowd the context window.
+    *
+    * Scale shape: the DISTRIBUTED part is pool selection (one brute
+    * scan → TakeOrdered(MMR_POOL) — swap in the IVF probe at 100 TB
+    * unchanged); the greedy loop then runs over the BOUNDED pool as
+    * K in-plan rounds of the coreset/BPE pattern: the picked vector is
+    * a plan literal, each round is one `greatest(maxsim, cos(x, pick))`
+    * projection + a TakeOrdered(1) argmax, `localCheckpoint`ed so
+    * round r never replays 1..r-1. Scores are rounded 9dp before the
+    * argmax (ties → vec_id) so cross-engine drift can't flip a pick.
+    */
+  def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val l = expr(MMR_L)
+    def centerLit(v: Seq[Double]): Column = array(v.map(lit): _*)
+    val pool = knnScores(s, dir)
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")), "vec_id")
+      .orderBy(desc("cos"), col("vec_id")).limit(MMR_POOL)
+      .select(col("vec_id"), col("emb"), col("cos").as("rel"))
+      .localCheckpoint()
+    // round 0: pure relevance argmax
+    val seed = pool.orderBy(round(col("rel"), 9).desc, col("vec_id")).limit(1).collect()(0)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (0, seed.getLong(0), MMR_L.toDouble * seed.getDouble(2)))
+    var cur = pool.filter(col("vec_id") =!= seed.getLong(0))
+      .select(col("vec_id"), col("emb"), col("rel"),
+        cosine(s, "emb", s"array(${seed.getSeq[Double](1).map(d => s"${d}D").mkString(",")})").as("maxsim"))
+      .localCheckpoint()
+    for (r <- 1 until MMR_K) {
+      val mmr = l * col("rel") - (lit(1.0) - l) * col("maxsim")
+      val pick = cur.select(col("vec_id"), col("emb"), col("rel"), col("maxsim"), mmr.as("mmr"))
+        .orderBy(round(col("mmr"), 9).desc, col("vec_id")).limit(1).collect()(0)
+      picked += ((r, pick.getLong(0), pick.getDouble(4)))
+      if (r < MMR_K - 1)
+        cur = cur.filter(col("vec_id") =!= pick.getLong(0))
+          .select(col("vec_id"), col("emb"), col("rel"),
+            greatest(col("maxsim"),
+              cosine(s, "emb", s"array(${pick.getSeq[Double](1).map(d => s"${d}D").mkString(",")})")).as("maxsim"))
+          .localCheckpoint()
+    }
+    import s.implicits._
+    picked.toSeq.toDF("sel_round", "vec_id", "mmr")
+      .select(col("sel_round"), col("vec_id"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("sel_round")
+  }
+
+  val oracleMmrRerank: String = {
+    val l = MMR_L
+    val rounds = (1 until MMR_K).map { r =>
+      val prev = s"m${r - 1}"
+      val pick =
+        s"""c$r AS (
+           |  SELECT vec_id, emb, rel, $l * rel - (1.0 - $l) * maxsim AS mmr
+           |  FROM $prev
+           |  ORDER BY round($l * rel - (1.0 - $l) * maxsim, 9) DESC, vec_id LIMIT 1)""".stripMargin
+      val next = if (r < MMR_K - 1)
+        s""",
+           |m$r AS (
+           |  SELECT p.vec_id, p.emb, p.rel,
+           |         greatest(p.maxsim, ${cosSql("p.emb", "c.emb")}) AS maxsim
+           |  FROM $prev p, c$r c WHERE p.vec_id <> c.vec_id)""".stripMargin
+      else ""
+      pick + next
+    }.mkString(",\n")
+    val selects = (1 until MMR_K).map(r =>
+      s"UNION ALL SELECT $r, vec_id, round(mmr, 6) FROM c$r").mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+       |pool AS (
+       |  SELECT vec_id, emb, cos AS rel FROM (
+       |    SELECT e.vec_id, e.emb, ${cosSql("e.emb", "q.qemb")} AS cos
+       |    FROM e, q WHERE e.vec_id <> 0)
+       |  ORDER BY cos DESC, vec_id LIMIT $MMR_POOL),
+       |c0 AS (SELECT vec_id, emb, rel FROM pool
+       |       ORDER BY round(rel, 9) DESC, vec_id LIMIT 1),
+       |m0 AS (SELECT p.vec_id, p.emb, p.rel, ${cosSql("p.emb", "c.emb")} AS maxsim
+       |       FROM pool p, c0 c WHERE p.vec_id <> c.vec_id),
+       |$rounds
+       |SELECT 0 AS sel_round, vec_id, round($l * rel, 6) AS mmr FROM c0
+       |$selects
+       |ORDER BY sel_round""".stripMargin
   }
 
   /** Contrastive hard-negative mining (`q_hard_negatives`): for every

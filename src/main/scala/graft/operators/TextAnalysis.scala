@@ -856,7 +856,14 @@ object TextAnalysis {
     * and ORDER BY uses the rounded score with doc_id ties so the top-10
     * boundary is engine-stable.
     */
-  def qBm25(s: SparkSession, dir: String): DataFrame = {
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+
+  /** Full per-matching-doc BM25 score frame (6dp) — shared by the
+    * top-10 query and the RRF hybrid-fusion ranker. */
+  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val k1 = expr(BM25_K1); val b = expr(BM25_B)
     val docsW = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -876,26 +883,30 @@ object TextAnalysis {
           (col("tf") * (k1 + 1.0)) /
           (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))).as("sc"))
       .groupBy("doc_id").agg(round(sum("sc"), 6).as("score"))
-      .orderBy(desc("score"), col("doc_id"))
-      .limit(10)
   }
 
-  val oracleBm25: String = {
+  /** Shared BM25 CTE chain ending in `bmscore(doc_id, score)`. */
+  private[graft] val bm25SqlCtes: String = {
     val terms = BM25_QUERY.map(t => s"'$t'").mkString("(", ",", ")")
-    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
+    s"""d AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
        |                  string_split(text, ' ') AS w FROM documents),
        |toks AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
        |hits AS (SELECT doc_id, dl, term FROM toks WHERE term IN $terms),
        |ft AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
        |       FROM hits GROUP BY doc_id, term),
        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d),
-       |dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM hits GROUP BY term)
-       |SELECT doc_id,
-       | round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-       |   * (tf * ($BM25_K1 + 1.0))
-       |   / (tf + $BM25_K1 * (1.0 - $BM25_B + $BM25_B * dl / avgdl))), 6) AS score
-       |FROM ft JOIN dfq USING (term), stats
-       |GROUP BY doc_id
-       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+       |dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM hits GROUP BY term),
+       |bmscore AS (
+       |  SELECT doc_id,
+       |   round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |     * (tf * ($BM25_K1 + 1.0))
+       |     / (tf + $BM25_K1 * (1.0 - $BM25_B + $BM25_B * dl / avgdl))), 6) AS score
+       |  FROM ft JOIN dfq USING (term), stats
+       |  GROUP BY doc_id)""".stripMargin
   }
+
+  val oracleBm25: String =
+    s"""WITH $bm25SqlCtes
+       |SELECT doc_id, score FROM bmscore
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 }

@@ -198,7 +198,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_auc_probe broadcasts the 1-row trained-weight frame;
         // q_assoc_rules crossJoins the 1-row basket-count frame;
         // q_hard_negatives broadcasts the IVF_K-row trained centroids
-        "q_auc_probe", "q_assoc_rules", "q_hard_negatives")
+        "q_auc_probe", "q_assoc_rules", "q_hard_negatives",
+        // q_calibration broadcasts the 1-row trained-weight frame;
+        // q_mmr_rerank and q_rrf_fusion broadcast the 1-row query
+        // vector (q_knn_brute's shape) and 1-row BM25 corpus stats
+        "q_calibration", "q_mmr_rerank", "q_rrf_fusion")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

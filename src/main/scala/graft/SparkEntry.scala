@@ -170,7 +170,11 @@ object SparkEntry {
     "q_sample_fixed"      -> Pipeline.qSampleFixed _,
     "q_corpus_drift"      -> Pipeline.qCorpusDrift _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
-    "q_pack_sequences"    -> Pipeline.qPackSequences _
+    "q_pack_sequences"    -> Pipeline.qPackSequences _,
+    "q_chunk_overlap"     -> Pipeline.qChunkOverlap _,
+    "q_attribution"       -> EventOps.qAttribution _,
+    "q_group_kfold"       -> MlPrep.qGroupKfold _,
+    "q_knn_outlier"       -> Similarity.qKnnOutlier _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -420,6 +424,10 @@ object SparkEntry {
     "q_sample_fixed"      -> Pipeline.oracleSampleFixed,
     "q_corpus_drift"      -> Pipeline.oracleCorpusDrift,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
-    "q_pack_sequences"    -> Pipeline.oraclePackSequences
+    "q_pack_sequences"    -> Pipeline.oraclePackSequences,
+    "q_chunk_overlap"     -> Pipeline.oracleChunkOverlap,
+    "q_attribution"       -> EventOps.oracleAttribution,
+    "q_group_kfold"       -> MlPrep.oracleGroupKfold,
+    "q_knn_outlier"       -> Similarity.oracleKnnOutlier
   )
 }

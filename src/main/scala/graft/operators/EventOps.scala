@@ -522,4 +522,68 @@ object EventOps {
       |SELECT cur_state, next_state, n_trans, prob, CAST(trans_rank AS INT) AS trans_rank
       |FROM r WHERE trans_rank <= 3
       |ORDER BY cur_state, trans_rank""".stripMargin
+
+  /** Multi-touch attribution (`q_attribution`): credit each purchase's
+    * preceding touches (same user, since the previous purchase) under
+    * BOTH standard models at once — last-touch (the final touch before
+    * the conversion gets the whole credit) and linear (every touch in
+    * the journey segment gets 1/n) — the marketing/behavior attribution
+    * readout over event paths. Touches in a segment with no closing
+    * purchase earn nothing.
+    *
+    * Scale shape: segments come from ONE user-partitioned running sum
+    * (purchases-before-me), so journey assembly is a window, not a
+    * self-join; the closing-purchase check is an equality join on
+    * (user, seg). Per-touch linear credit 1/n is rounded to 9dp and
+    * summed as DECIMAL(18,9) — one correctly-rounded IEEE division per
+    * touch, then an EXACT sum, so the total is engine-identical in any
+    * aggregation order (the float-sum-order trap never opens). Raw
+    * nanos `ts` is used for ordering only, never emitted.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val evs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("seg",
+        sum("is_p").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("is_p"))
+    val closed = evs.filter(col("is_p") === 1).select(col("user_id"), col("seg"))
+    val bySeg = Window.partitionBy("user_id", "seg")
+    val touches = evs.filter(col("is_p") === 0)
+      .join(closed, Seq("user_id", "seg"))
+      .withColumn("rn", row_number().over(bySeg.orderBy(desc("ts"), desc("event_id"))))
+      .withColumn("nseg", count(lit(1)).over(bySeg))
+    touches.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_touch"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("last_touch"),
+        sum(round(lit(1.0) / col("nseg"), 9).cast("decimal(18,9)"))
+          .cast("double").as("linear"))
+      .orderBy("event_type")
+  }
+
+  val oracleAttribution: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events),
+      |s AS (
+      |  SELECT *, sum(is_p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) - is_p AS seg
+      |  FROM e),
+      |closed AS (SELECT user_id, seg FROM s WHERE is_p = 1),
+      |t AS (
+      |  SELECT s.user_id, s.seg, s.event_type, s.ts, s.event_id
+      |  FROM s JOIN closed USING (user_id, seg) WHERE s.is_p = 0),
+      |r AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY user_id, seg
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, seg) AS nseg
+      |  FROM t)
+      |SELECT event_type, count(*) AS n_touch,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+      |  CAST(sum(CAST(round(1.0::DOUBLE / nseg, 9) AS DECIMAL(18,9))) AS DOUBLE) AS linear
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 }

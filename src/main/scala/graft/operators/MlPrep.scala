@@ -307,4 +307,56 @@ object MlPrep {
        |  CAST(sum(CASE WHEN $h % ${2 * FH_DIM} >= $FH_DIM THEN -1 ELSE 1 END) AS BIGINT) AS net_weight
        |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin
   }
+
+  /** Number of cross-validation folds. */
+  private[graft] val KFOLD = 5
+
+  /** Group-aware k-fold assignment audit (`q_group_kfold`): assign
+    * every order to one of KFOLD cross-validation folds BY CUSTOMER
+    * (fold = h60("fold:" + custkey) % K), so all of a customer's orders
+    * land in the same fold and a model can never see a validation
+    * customer during training — the GroupKFold contract that
+    * `q_split_leakage` checks for after the fact, built correct by
+    * construction here. Output is the balance audit a pipeline reads
+    * before trusting the folds: per-fold order/customer counts and
+    * revenue share.
+    *
+    * Scale shape: the fold key is a stateless hash on the group column
+    * — no group directory, no shuffle to assign; ONE map-side-combinable
+    * aggregate to a K-row frame. Revenue sums run in DECIMAL(18,2)
+    * (exact, order-independent); the share is one division of exact
+    * values against a broadcast 1-row total.
+    */
+  def qGroupKfold(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (h60(concat(lit("fold:"), col("o_custkey").cast("string"))) % KFOLD).as("fold"))
+    val tot = orders.agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+    orders.groupBy("fold")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("o_custkey").as("n_customers"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_orders"), col("n_customers"),
+        col("revenue").cast("double").as("revenue"),
+        round(col("revenue").cast("double") / col("tot").cast("double"), 6).as("rev_share"))
+      .orderBy("fold")
+  }
+
+  val oracleGroupKfold: String = {
+    val h = h60Sql("'fold:' || o_custkey")
+    s"""WITH f AS (
+       |  SELECT o_custkey, o_totalprice, $h % $KFOLD AS fold
+       |  FROM orders),
+       |g AS (
+       |  SELECT fold, count(*) AS n_orders,
+       |    count(DISTINCT o_custkey) AS n_customers,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       |  FROM f GROUP BY fold),
+       |tot AS (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot FROM orders)
+       |SELECT fold, n_orders, n_customers,
+       |  CAST(revenue AS DOUBLE) AS revenue,
+       |  round(CAST(revenue AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share
+       |FROM g, tot ORDER BY fold""".stripMargin
+  }
 }

@@ -365,4 +365,58 @@ object Pipeline {
        | ${h60Sql("'fix:' || doc_id")} AS hk
        |FROM documents
        |ORDER BY hk, doc_id LIMIT $FIXED_K""".stripMargin
+
+  // ------------------------------------------------- overlapping chunks
+
+  /** Chunk window (tokens) and stride; overlap = CHUNK_W - CHUNK_STRIDE. */
+  private[graft] val CHUNK_W      = 32
+  private[graft] val CHUNK_STRIDE = 24
+
+  /** Sliding-window document chunking (`q_chunk_overlap`): cut every
+    * document into CHUNK_W-token windows advancing by CHUNK_STRIDE
+    * tokens (8-token overlap) — the RAG/pretraining chunker that keeps
+    * context across cut points (the HF `return_overflowing_tokens`
+    * recipe). Emits the APPLIED chunk table: one row per chunk with its
+    * token offsets and an md5 of the chunk text, so the content of
+    * every chunk — not just counts — is oracle-verified.
+    *
+    * Scale shape: scan → explode → project, ZERO shuffles (the explain
+    * has no Exchange) — chunking is embarrassingly parallel and the
+    * fan-out is ~n_tokens/stride per doc. The chunk count is closed
+    * form (1 + ceil(max(n-W,0)/stride), integer arithmetic both
+    * engines), so no per-doc loop exists anywhere.
+    */
+  def qChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val (w, st) = (CHUNK_W, CHUNK_STRIDE)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        (lit(1) + expr(s"(greatest(size(toks) - $w, 0) + $st - 1) div $st"))
+          .cast("int").as("nc"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_id"), col("toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * st).as("tok_start"),
+        expr(s"slice(toks, chunk_id * $st + 1, $w)").as("sl"))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+        size(col("sl")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("sl"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val oracleChunkOverlap: String = {
+    val (w, st) = (CHUNK_W, CHUNK_STRIDE)
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    1 + (greatest(len(string_split(text, ' ')) - $w, 0) + $st - 1) // $st AS nc
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_id, toks
+       |  FROM t)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(chunk_id * $st AS INT) AS tok_start,
+       |  CAST(len(list_slice(toks, chunk_id * $st + 1, chunk_id * $st + $w)) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(list_slice(toks, chunk_id * $st + 1, chunk_id * $st + $w), ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
 }

@@ -1144,6 +1144,71 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** k-th-neighbor rank and report size for `q_knn_outlier`. */
+  private[graft] val OUT_K   = 3
+  private val OUT_TOP = 10
+
+  /** Embedding-space outlier gauge (`q_knn_outlier`): per vector, the
+    * cosine to its OUT_K-th nearest neighbor inside its trained IVF
+    * cell; the OUT_TOP most isolated vectors (lowest k-NN cosine) are
+    * the report — the classic k-NN-distance outlier detector
+    * (Ramaswamy et al.), the curation gauge that surfaces mislabeled /
+    * corrupted / off-distribution embeddings before they poison
+    * contrastive training or ANN recall.
+    *
+    * Scale shape: the quadratic neighbor scan is confined within IVF
+    * cells by an equality join (SemDeDup's shape — O(Σ cell²), never
+    * O(n²)); the k-th neighbor is picked by sorting each anchor's
+    * BOUNDED (≤cell-size) collected neighbor list, a hash-agg, not a
+    * window over the pair stream. Cosines are rounded 9dp before the
+    * sort (ties → nb_id) so cross-engine drift can't reorder the list;
+    * the final report is TakeOrdered(OUT_TOP). Anchors in cells with
+    * ≤ OUT_K members have no k-th neighbor and drop out (both engines).
+    */
+  def qKnnOutlier(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = trainedCentroids(s, e).cache()
+    val assigned = assignCells(s, e, cent)
+    val kth = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        struct((-round(cosine(s, "a.emb", "b.emb"), 9)).as("nc"),
+          col("b.vec_id").as("nb_id")).as("sc"))
+      .groupBy("vec_id")
+      .agg(first("cell").as("cell"),
+        array_sort(collect_list("sc")).as("nbs"))
+      .filter(size(col("nbs")) >= OUT_K) // k-th exists; element_at in range
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        round(-element_at(col("nbs"), OUT_K).getField("nc"), 6).as("knn_cos"))
+    kth.orderBy(col("knn_cos").asc, col("vec_id")).limit(OUT_TOP)
+  }
+
+  val oracleKnnOutlier: String =
+    s"""WITH $kmeansCtes,
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id, a.cell,
+       |    -round(${cosSql("a.emb", "b.emb")}, 9) AS nc,
+       |    b.vec_id AS nb_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |kth AS (
+       |  SELECT vec_id, any_value(cell) AS cell,
+       |    list_sort(list({'nc': nc, 'nb_id': nb_id}))[$OUT_K] AS kv,
+       |    count(*) AS n_nb
+       |  FROM pairs GROUP BY vec_id)
+       |SELECT vec_id, CAST(cell AS INT) AS cell,
+       |  round(-(kv.nc), 6) AS knn_cos
+       |FROM kth WHERE n_nb >= $OUT_K
+       |ORDER BY knn_cos, vec_id LIMIT $OUT_TOP""".stripMargin
+
   /** Calibration bin width over the probe margin axis. */
   private val CAL_BIN = "0.5" // literal text shared with the oracle
 

@@ -202,7 +202,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_calibration broadcasts the 1-row trained-weight frame;
         // q_mmr_rerank and q_rrf_fusion broadcast the 1-row query
         // vector (q_knn_brute's shape) and 1-row BM25 corpus stats
-        "q_calibration", "q_mmr_rerank", "q_rrf_fusion")
+        "q_calibration", "q_mmr_rerank", "q_rrf_fusion",
+        // q_knn_outlier broadcasts the IVF_K-row trained centroids;
+        // q_group_kfold crossJoins the 1-row revenue-total frame
+        "q_knn_outlier", "q_group_kfold")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -174,7 +174,10 @@ object SparkEntry {
     "q_chunk_overlap"     -> Pipeline.qChunkOverlap _,
     "q_attribution"       -> EventOps.qAttribution _,
     "q_group_kfold"       -> MlPrep.qGroupKfold _,
-    "q_knn_outlier"       -> Similarity.qKnnOutlier _
+    "q_knn_outlier"       -> Similarity.qKnnOutlier _,
+    "q_erasure_audit"     -> Privacy.qErasureAudit _,
+    "q_link_predict"      -> Graph.qLinkPredict _,
+    "q_entity_resolution" -> Dedup.qEntityResolution _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -428,6 +431,9 @@ object SparkEntry {
     "q_chunk_overlap"     -> Pipeline.oracleChunkOverlap,
     "q_attribution"       -> EventOps.oracleAttribution,
     "q_group_kfold"       -> MlPrep.oracleGroupKfold,
-    "q_knn_outlier"       -> Similarity.oracleKnnOutlier
+    "q_knn_outlier"       -> Similarity.oracleKnnOutlier,
+    "q_erasure_audit"     -> Privacy.oracleErasureAudit,
+    "q_link_predict"      -> Graph.oracleLinkPredict,
+    "q_entity_resolution" -> Dedup.oracleEntityResolution
   )
 }

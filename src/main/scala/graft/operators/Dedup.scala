@@ -1163,4 +1163,72 @@ object Dedup {
        |  GROUP BY doc_id)
        |SELECT doc_id, n_kept, n_dropped, ${h60Sql("clean")} AS clean_fp
        |FROM recon ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- entity resolution
+
+  /** Every ER_MODth customer re-enters the registry with a typo'd name. */
+  private[graft] val ER_MOD = 20
+  /** Planted duplicates get keys offset by this. */
+  private[graft] val ER_OFF = 1000000L
+  /** Accept a candidate pair at edit distance ≤ this. */
+  private[graft] val ER_MAXDIST = 2
+
+  /** Structured record linkage (`q_entity_resolution`): find the "same
+    * real-world entity, different row" pairs in a customer registry —
+    * the blocking + pairwise-similarity + verdict pipeline of classical
+    * entity resolution (Fellegi–Sunter shape), distinct from the
+    * document dedup family: keys are dirty STRUCTURED fields, not text
+    * bodies. The registry has no natural duplicates, so a DETERMINISTIC
+    * dirty re-entry is planted (every ER_MODth customer returns with
+    * one name character overwritten and a shifted key — the SemDeDup
+    * fixture pattern); the query reports every blocked pair at
+    * Levenshtein ≤ ER_MAXDIST with its distance and whether it is a
+    * planted truth pair, so precision is visible in the output (serial
+    * numbers one digit apart are genuine lev-1 false candidates —
+    * reported, not hidden).
+    *
+    * Scale shape: the O(n²) all-pairs comparison is confined to BLOCKS
+    * — equality on (nation, name-suffix) — exactly like the LSH-band
+    * confinement in the text family: the quadratic term is per-block,
+    * and the blocking key is chosen so the planted corruption cannot
+    * escape it (the typo position never overlaps the suffix).
+    * Levenshtein runs only on candidate pairs inside a block, never on
+    * the cross product.
+    */
+  def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        col("c_nationkey").as("nat"))
+    val dirty = base.filter(col("k") % ER_MOD === 0)
+      .select((col("k") + ER_OFF).as("k"),
+        concat(substring(col("nm"), 1, 9), lit("X"), substring(col("nm"), 11, 100)).as("nm"),
+        col("nat"))
+    val reg = base.unionByName(dirty)
+      .withColumn("blk", concat_ws("|", col("nat"), substring(col("nm"), -4, 4)))
+    reg.as("a").join(reg.as("b"),
+        col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+        col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        levenshtein(col("a.nm"), col("b.nm")).as("lev"))
+      .filter(col("lev") <= ER_MAXDIST)
+      .withColumn("planted", (col("key_b") - col("key_a")) === ER_OFF)
+      .orderBy("key_a", "key_b")
+  }
+
+  val oracleEntityResolution: String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat FROM customer),
+       |dirty AS (
+       |  SELECT k + $ER_OFF AS k,
+       |    substr(nm, 1, 9) || 'X' || substr(nm, 11, 100) AS nm, nat
+       |  FROM base WHERE k % $ER_MOD = 0),
+       |reg AS (
+       |  SELECT *, CAST(nat AS VARCHAR) || '|' || substr(nm, length(nm) - 3, 4) AS blk
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM dirty))
+       |SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,
+       |  CAST(levenshtein(a.nm, b.nm) AS INT) AS lev,
+       |  b.k - a.k = $ER_OFF AS planted
+       |FROM reg a JOIN reg b ON a.blk = b.blk AND a.k < b.k
+       |WHERE levenshtein(a.nm, b.nm) <= $ER_MAXDIST
+       |ORDER BY key_a, key_b""".stripMargin
 }

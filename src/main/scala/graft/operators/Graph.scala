@@ -467,4 +467,91 @@ object Graph {
        |SELECT hop, n_cust, n_supp, n_cust + n_supp AS n_total
        |FROM (SELECT * FROM reached UNION ALL SELECT * FROM unreached)
        |ORDER BY hop""".stripMargin
+
+  /** Report size for `q_link_predict`. */
+  private val LP_TOP = 10
+
+  /** Link prediction (`q_link_predict`): score every NON-edge of the
+    * thresholded nation trade graph (the `q_graph_triangles` edge set)
+    * by the three classical neighborhood indices — common-neighbor
+    * count, Jaccard overlap, and Adamic–Adar (Σ 1/ln deg(z), which
+    * up-weights rare shared neighbors) — and report the LP_TOP likeliest
+    * missing links. This is the "which relationships should exist but
+    * don't" readout of recommender bootstrapping and graph cleaning.
+    *
+    * Scale shape: candidate pairs are generated THROUGH common
+    * neighbors (und⨝und on the shared vertex — never nodes², and
+    * pairs with no common neighbor never exist anywhere); existing
+    * edges leave via one anti-join. Each Adamic–Adar term 1/ln(deg) is
+    * rounded to 9dp and summed as DECIMAL(18,9) — exact,
+    * order-independent (the attribution pin) — so the one libm `ln`
+    * call per distinct degree is the only cross-engine surface, and a
+    * 1-ulp ln drift cannot reach the 9th decimal of the reciprocal.
+    * Jaccard is one division: cn / (deg(a)+deg(b)−cn), exact ints.
+    */
+  def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val meanW = pairs.agg(avg("w").as("mean_w"))
+    val edges = pairs.crossJoin(broadcast(meanW))
+      .filter(col("w") >= col("mean_w"))
+      .select("a", "b")
+      .localCheckpoint() // bounded (≤|nations|² rows); reused 4×
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    // candidate pair (x, y) for every shared neighbor z; x < y
+    val common = und.as("l").join(und.as("r"),
+        col("l.v") === col("r.v") && col("l.u") < col("r.u"))
+      .select(col("l.u").as("x"), col("r.u").as("y"), col("l.v").as("z"))
+      .join(edges, col("x") === col("a") && col("y") === col("b"), "left_anti")
+    val scored = common
+      .join(deg.select(col("u").as("z"), col("d").as("dz")), "z")
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log(col("dz")), 9).cast("decimal(18,9)"))
+          .cast("double").as("aa_raw"))
+    scored
+      .join(deg.select(col("u").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("u").as("y"), col("d").as("dy")), "y")
+      .select(col("x"), col("y"), col("cn"),
+        round(col("cn") / (col("dx") + col("dy") - col("cn")), 6).as("jaccard"),
+        round(col("aa_raw"), 6).as("adamic_adar"))
+      .orderBy(desc("adamic_adar"), col("x"), col("y"))
+      .limit(LP_TOP)
+  }
+
+  val oracleLinkPredict: String =
+    s"""WITH pairs AS (
+       |  SELECT least(c_nationkey, s_nationkey) AS a,
+       |    greatest(c_nationkey, s_nationkey) AS b, count(*) AS w
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT a, b FROM pairs WHERE w >= (SELECT avg(w) FROM pairs)),
+       |und AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+       |deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+       |common AS (
+       |  SELECT l.u AS x, r.u AS y, l.v AS z
+       |  FROM und l JOIN und r ON l.v = r.v AND l.u < r.u
+       |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = l.u AND e.b = r.u)),
+       |scored AS (
+       |  SELECT x, y, count(*) AS cn,
+       |    CAST(sum(CAST(round(1.0::DOUBLE / ln(dz.d), 9) AS DECIMAL(18,9))) AS DOUBLE) AS aa_raw
+       |  FROM common JOIN deg dz ON common.z = dz.u
+       |  GROUP BY x, y)
+       |SELECT x, y, cn,
+       |  round(CAST(cn AS DOUBLE) / (dx.d + dy.d - cn), 6) AS jaccard,
+       |  round(aa_raw, 6) AS adamic_adar
+       |FROM scored JOIN deg dx ON scored.x = dx.u JOIN deg dy ON scored.y = dy.u
+       |ORDER BY adamic_adar DESC, x, y LIMIT $LP_TOP""".stripMargin
 }

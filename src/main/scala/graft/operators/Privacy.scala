@@ -188,4 +188,72 @@ object Privacy {
        |  ${HashFns.h60Sql("clean")} AS clean_fp
        |FROM scrubbed ORDER BY doc_id""".stripMargin
   }
+
+  /** Every ERASE_MODth customer files an erasure request. */
+  private[graft] val ERASE_MOD = 50
+
+  /** Right-to-be-forgotten cascade audit (`q_erasure_audit`): given a
+    * deletion list (every ERASE_MODth customer — the deterministic
+    * stand-in for a GDPR/CCPA request batch), walk the foreign-key
+    * graph customer → orders → lineitem and report, per table, how
+    * many rows the erasure removes and — the audit's point — that the
+    * SURVIVING rows are referentially closed (zero orders pointing at
+    * an erased customer, zero lineitems pointing at an erased order).
+    * This is the compliance readout a warehouse produces before and
+    * after running the actual deletes.
+    *
+    * Scale shape: each cascade level is ONE left-semi join on the
+    * parent's erased keys (orders keys ≪ orders rows; never a
+    * broadcast assumption — at 100 TB the request batch can be
+    * millions of keys, and semi joins shuffle-partition on the FK
+    * exactly like the production delete would); residual checks are
+    * the same joins negated (anti), so the whole audit is two passes
+    * over each fact table with map-side-combined counts.
+    */
+  def qErasureAudit(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"))
+    val delC = cust.filter(col("c_custkey") % ERASE_MOD === 0)
+    val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val delO = orders.join(delC, col("o_custkey") === col("c_custkey"), "left_semi")
+    val line = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val delL = line.join(delO.select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // survivors' referential residuals: must be zero if the cascade is complete
+    val survO = orders.join(delC, col("o_custkey") === col("c_custkey"), "left_anti")
+    val residO = survO.join(delC, col("o_custkey") === col("c_custkey"), "left_semi")
+    val residL = line.join(delO.select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .join(delO.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+    def tbl(name: String, total: DataFrame, erased: DataFrame, resid: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total")).crossJoin(
+        erased.agg(count(lit(1)).as("n_erased"))).crossJoin(
+        resid.agg(count(lit(1)).as("n_residual")))
+        .select(lit(name).as("tbl"), col("n_total"), col("n_erased"),
+          round(col("n_erased") / col("n_total"), 6).as("erased_frac"),
+          col("n_residual"))
+    tbl("customer", cust, delC, delC.limit(0))
+      .unionByName(tbl("orders", orders, delO, residO))
+      .unionByName(tbl("lineitem", line, delL, residL))
+      .orderBy("tbl")
+  }
+
+  val oracleErasureAudit: String =
+    s"""WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % $ERASE_MOD = 0),
+       |delo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+       |dell AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+       |rows_ AS (
+       |  SELECT 'customer' AS tbl, (SELECT count(*) FROM customer) AS n_total,
+       |    (SELECT count(*) FROM delc) AS n_erased, 0 AS n_residual
+       |  UNION ALL
+       |  SELECT 'orders', (SELECT count(*) FROM orders), (SELECT count(*) FROM delo),
+       |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)
+       |       AND o_custkey IN (SELECT c_custkey FROM delc))
+       |  UNION ALL
+       |  SELECT 'lineitem', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM dell),
+       |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)
+       |       AND l_orderkey IN (SELECT o_orderkey FROM delo)))
+       |SELECT tbl, n_total, n_erased,
+       |  round(CAST(n_erased AS DOUBLE) / n_total, 6) AS erased_frac,
+       |  CAST(n_residual AS BIGINT) AS n_residual
+       |FROM rows_ ORDER BY tbl""".stripMargin
 }

@@ -205,7 +205,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_calibration", "q_mmr_rerank", "q_rrf_fusion",
         // q_knn_outlier broadcasts the IVF_K-row trained centroids;
         // q_group_kfold crossJoins the 1-row revenue-total frame
-        "q_knn_outlier", "q_group_kfold")
+        "q_knn_outlier", "q_group_kfold",
+        // q_erasure_audit crossJoins three 1-row count frames;
+        // q_link_predict broadcasts the 1-row mean-weight frame
+        // (q_graph_triangles' shape)
+        "q_erasure_audit", "q_link_predict")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -177,7 +177,8 @@ object SparkEntry {
     "q_knn_outlier"       -> Similarity.qKnnOutlier _,
     "q_erasure_audit"     -> Privacy.qErasureAudit _,
     "q_link_predict"      -> Graph.qLinkPredict _,
-    "q_entity_resolution" -> Dedup.qEntityResolution _
+    "q_entity_resolution" -> Dedup.qEntityResolution _,
+    "q_dp_release"        -> Privacy.qDpRelease _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -434,6 +435,7 @@ object SparkEntry {
     "q_knn_outlier"       -> Similarity.oracleKnnOutlier,
     "q_erasure_audit"     -> Privacy.oracleErasureAudit,
     "q_link_predict"      -> Graph.oracleLinkPredict,
-    "q_entity_resolution" -> Dedup.oracleEntityResolution
+    "q_entity_resolution" -> Dedup.oracleEntityResolution,
+    "q_dp_release"        -> Privacy.oracleDpRelease
   )
 }

@@ -1205,12 +1205,16 @@ object Dedup {
         col("nat"))
     val reg = base.unionByName(dirty)
       .withColumn("blk", concat_ws("|", col("nat"), substring(col("nm"), -4, 4)))
+    // banded edit distance: the threshold arg caps the DP band at
+    // O(maxdist·len) per pair and early-exits hopeless rows (-1) —
+    // at registry scale this is the difference between a full DP
+    // matrix per candidate and a 2-wide diagonal strip
     reg.as("a").join(reg.as("b"),
         col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
       .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
         col("a.nm").as("name_a"), col("b.nm").as("name_b"),
-        levenshtein(col("a.nm"), col("b.nm")).as("lev"))
-      .filter(col("lev") <= ER_MAXDIST)
+        levenshtein(col("a.nm"), col("b.nm"), ER_MAXDIST).as("lev"))
+      .filter(col("lev") >= 0 && col("lev") <= ER_MAXDIST)
       .withColumn("planted", (col("key_b") - col("key_a")) === ER_OFF)
       .orderBy("key_a", "key_b")
   }

@@ -237,6 +237,65 @@ object Privacy {
       .orderBy("tbl")
   }
 
+  /** Per-release ε for the two DP-released statistics. */
+  private val DP_EPS1 = "0.5" // literal text shared with the oracle
+  private val DP_EPS2 = "0.5"
+
+  /** Differentially-private release (`q_dp_release`): per-nation and
+    * per-segment customer counts published with Laplace(1/ε) noise —
+    * sensitivity 1 (one customer moves one count by one) — plus the
+    * composed privacy budget (sequential composition: ε_total = Σ ε_i),
+    * the accounting line a privacy office actually signs off on. Noise
+    * is drawn by inverse-CDF from a DETERMINISTIC hash-uniform
+    * u ∈ (−0.5, 0.5): noise = −(1/ε)·sign(u)·ln(1−2|u|) — a real
+    * Laplace sample, exactly reproducible in both engines (the
+    * fixture pattern: auditability here beats unpredictability; swap
+    * the hash for a CSPRNG seed in production and NOTHING else
+    * changes). The single libm `ln` is rounded to 6dp before release.
+    *
+    * Scale shape: two map-side-combinable aggregates onto frames
+    * bounded by the QI domains (|nations| + |segments| rows), noise a
+    * pure projection on those bounded frames, one union. The fact
+    * table is scanned twice and never shuffled unaggregated.
+    */
+  def qDpRelease(s: SparkSession, dir: String): DataFrame = {
+    def laplace(key: Column, eps: String): Column = {
+      val u = (HashFns.h60(key) % 1999999L + 1L).cast("double") / 2000000.0 - 0.5
+      round((lit(-1.0) / expr(eps)) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u)), 6)
+    }
+    def release(stat: String, keyCol: Column, eps: String): DataFrame =
+      Tables.customer(s, dir)
+        .groupBy(keyCol.as("qi_key"))
+        .agg(count(lit(1)).as("n_true"))
+        .select(lit(stat).as("stat"), col("qi_key"),
+          col("n_true"),
+          laplace(concat(lit(s"$stat:"), col("qi_key")), eps).as("noise"),
+          round(col("n_true") + laplace(concat(lit(s"$stat:"), col("qi_key")), eps), 6)
+            .as("n_released"),
+          expr(eps).as("eps"))
+    release("cnt_by_nation", col("c_nationkey").cast("string"), DP_EPS1)
+      .unionByName(release("cnt_by_segment", col("c_mktsegment"), DP_EPS2))
+      .orderBy("stat", "qi_key")
+  }
+
+  val oracleDpRelease: String = {
+    def lap(keyExpr: String, eps: String): String = {
+      val u = s"((${HashFns.h60Sql(keyExpr)} % 1999999 + 1)::DOUBLE / 2000000.0 - 0.5)"
+      s"round((-1.0::DOUBLE / $eps) * sign($u) * ln(1.0 - 2.0 * abs($u)), 6)"
+    }
+    def rel(stat: String, key: String, eps: String): String = {
+      val n = lap(s"'$stat:' || qi_key", eps)
+      s"""SELECT '$stat' AS stat, qi_key, n_true, $n AS noise,
+         |  round(n_true + $n, 6) AS n_released, $eps::DOUBLE AS eps
+         |FROM (SELECT $key AS qi_key, count(*) AS n_true FROM customer GROUP BY 1)""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${rel("cnt_by_nation", "CAST(c_nationkey AS VARCHAR)", DP_EPS1)}
+       |UNION ALL
+       |${rel("cnt_by_segment", "c_mktsegment", DP_EPS2)})
+       |ORDER BY stat, qi_key""".stripMargin
+  }
+
   val oracleErasureAudit: String =
     s"""WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % $ERASE_MOD = 0),
        |delo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM delc)),

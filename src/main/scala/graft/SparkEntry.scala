@@ -178,7 +178,8 @@ object SparkEntry {
     "q_erasure_audit"     -> Privacy.qErasureAudit _,
     "q_link_predict"      -> Graph.qLinkPredict _,
     "q_entity_resolution" -> Dedup.qEntityResolution _,
-    "q_dp_release"        -> Privacy.qDpRelease _
+    "q_dp_release"        -> Privacy.qDpRelease _,
+    "q_label_noise"       -> Similarity.qLabelNoise _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -436,6 +437,7 @@ object SparkEntry {
     "q_erasure_audit"     -> Privacy.oracleErasureAudit,
     "q_link_predict"      -> Graph.oracleLinkPredict,
     "q_entity_resolution" -> Dedup.oracleEntityResolution,
-    "q_dp_release"        -> Privacy.oracleDpRelease
+    "q_dp_release"        -> Privacy.oracleDpRelease,
+    "q_label_noise"       -> Similarity.oracleLabelNoise
   )
 }

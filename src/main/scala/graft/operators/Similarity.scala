@@ -1019,7 +1019,7 @@ object Similarity {
     val steps = (1 to PROBE_ITERS).map(i =>
       stepCte(if (i == 1) "w0i" else s"wi${i - 1}", s"wi$i")).mkString(",\n")
     s"""e AS (
-       |  SELECT label, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+       |  SELECT vec_id, label, CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
        |         list_prepend(1.0, list_transform(embedding, v -> v::DOUBLE)) AS x
        |  FROM embeddings),
        |w0i AS (SELECT list_transform(generate_series(1, ${1 + DIM}), i -> 0.0) AS w),
@@ -1208,6 +1208,47 @@ object Similarity {
        |  round(-(kv.nc), 6) AS knn_cos
        |FROM kth WHERE n_nb >= $OUT_K
        |ORDER BY knn_cos, vec_id LIMIT $OUT_TOP""".stripMargin
+
+  /** Report size for `q_label_noise`. */
+  private val LN_TOP = 10
+
+  /** Label-noise detection (`q_label_noise`): the vectors whose TRAINED
+    * probe margin most confidently contradicts their label — the
+    * confident-learning heuristic (Northcutt et al.: examples a model
+    * is sure are mislabeled usually are) a curation stack runs to
+    * quarantine annotation errors before training. Suspicion =
+    * |margin| among sign-disagreeing rows; top LN_TOP reported with
+    * label, target, and margin so the quarantine is reviewable.
+    *
+    * Scale shape: the trained 1-row weight frame broadcasts onto ONE
+    * corpus scan (margin is a pure projection), the disagreement
+    * filter prunes scan-side, and the report is
+    * TakeOrderedAndProject — no shuffle of the corpus at any size.
+    * Margins are 6dp-rounded (the probe pin) so the disagreement set
+    * and its ranking are engine-identical.
+    */
+  def qLabelNoise(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        when(col("label") < 5, 1.0).otherwise(0.0).as("y"), probeX.as("x"))
+      .crossJoin(broadcast(probeWeights(s, dir)))
+      .select(col("vec_id"), col("label"), col("y"),
+        round(dot(col("x"), col("w")), 6).as("margin"))
+      .filter((col("margin") > 0.0) =!= (col("y") === 1.0))
+      .select(col("vec_id"), col("label"), col("y"), col("margin"),
+        abs(col("margin")).as("suspicion"))
+      .orderBy(desc("suspicion"), col("vec_id"))
+      .limit(LN_TOP)
+
+  val oracleLabelNoise: String =
+    s"""WITH $probeTrainSql,
+       |scored AS (
+       |  SELECT vec_id, label, y, round($probeDotXW, 6) AS margin
+       |  FROM e, wi$PROBE_ITERS)
+       |SELECT vec_id, label, y, margin, abs(margin) AS suspicion
+       |FROM scored
+       |WHERE (margin > 0.0) <> (y = 1.0)
+       |ORDER BY suspicion DESC, vec_id LIMIT $LN_TOP""".stripMargin
 
   /** Calibration bin width over the probe margin axis. */
   private val CAL_BIN = "0.5" // literal text shared with the oracle

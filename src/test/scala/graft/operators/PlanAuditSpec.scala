@@ -209,7 +209,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_erasure_audit crossJoins three 1-row count frames;
         // q_link_predict broadcasts the 1-row mean-weight frame
         // (q_graph_triangles' shape)
-        "q_erasure_audit", "q_link_predict")
+        "q_erasure_audit", "q_link_predict",
+        // q_label_noise broadcasts the 1-row trained-weight frame
+        "q_label_noise")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -125,4 +125,31 @@ class RetrievalSpec extends AnyFunSpec with SparkTestBase {
       }
     }
   }
+
+  describe("q_label_noise") {
+
+    it("reports only sign-disagreements, ranked by |margin|, consistent with the probe") {
+      val rows = Similarity.qLabelNoise(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      assert(rows.nonEmpty && rows.length <= 10)
+      rows.foreach { case (_, label, y, margin, susp) =>
+        assert((label < 5) == (y == 1.0))
+        assert((margin > 0.0) != (y == 1.0), "every reported row disagrees with its label")
+        assert(math.abs(susp - math.abs(margin)) < 1e-12)
+      }
+      val susps = rows.map(_._5)
+      assert(susps.zip(susps.tail).forall { case (a, b) => a >= b }, "descending suspicion")
+      // replay the margins from the trained weights collected once
+      val w = Similarity.probeWeights(spark, sfDir).collect()(0).getSeq[Double](0).toArray
+      val feats = graft.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      rows.foreach { case (id, _, _, margin, _) =>
+        val x = 1.0 +: feats(id)
+        val m = BigDecimal(x.zip(w).map { case (a, b) => a * b }.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(m - margin) < 2e-6, s"margin of vec $id")
+      }
+    }
+  }
 }

@@ -976,25 +976,93 @@ object Relational {
   // -------------------------------------------------------- order cadence
 
   /** Per-customer order cadence (`q_order_gaps`): lag window for the gap
-    * between consecutive orders, then a spend quartile via ntile. The lag
-    * window partitions by customer (bounded groups — no skew hazard); the
-    * ntile window runs over the ALREADY-AGGREGATED |customers|-row frame
-    * only, never the raw orders. Single-order customers keep null gaps
-    * (avg/max ignore nulls in both engines).
+    * between consecutive orders, then a spend quartile with EXACT
+    * `ntile(4)` semantics — but computed via [[ntileExact]], never an
+    * unpartitioned window: the per-customer frame grows with the data
+    * (billions of rows at 100×) and a global `ntile` would drag all of
+    * it into ONE task for a single sort. Instead the three tile
+    * boundary rows are extracted by the same bucketed two-phase rank
+    * machinery as [[percentilesTwoPhase]] and broadcast back; each row
+    * derives its tile by comparing its (total_spend, o_custkey)
+    * composite key against the three boundary keys. The lag window
+    * partitions by customer (bounded groups — no skew hazard).
+    * Single-order customers keep null gaps (avg/max ignore nulls in
+    * both engines).
     */
   def qOrderGaps(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     val gaps = Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
         datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)).as("gap_days"))
-    gaps.groupBy("o_custkey")
+    val perCust = gaps.groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"),
         round(avg("gap_days"), 4).as("avg_gap_days"),
         max("gap_days").as("max_gap_days"),
         round(sum("o_totalprice"), 2).as("total_spend"))
-      .withColumn("spend_quartile",
-        ntile(4).over(Window.orderBy(col("total_spend"), col("o_custkey"))))
+    ntileExact(perCust, "total_spend", "o_custkey", 4, "spend_quartile")
       .orderBy("o_custkey")
+  }
+
+  /** Exact `ntile(n)` over `ORDER BY (v, k)` without a global sort.
+    *
+    * ntile's spec: with N rows, the first N mod n tiles hold
+    * ceil(N/n) rows and the rest floor(N/n) — so tile t ends at global
+    * rank r_t = t·floor(N/n) + min(t, N mod n). Those n−1 boundary
+    * ranks are located with the [[percentilesTwoPhase]] bucket trick
+    * (monotone value buckets → per-bucket counts → cumulative starts →
+    * rank only inside the ≤n−1 bracketing buckets, a window over ~N/B
+    * rows), the boundary (v, k) composite keys collapse to ONE row,
+    * broadcast, and every row's tile is 1 + #(boundaries strictly
+    * below its own (v, k)). Requires k to make (v, k) unique — which
+    * ntile's deterministic ordering needs anyway. No task ever holds
+    * more than ~N/B rows, vs. ALL N for the naive window.
+    */
+  private[graft] def ntileExact(
+      src: DataFrame, v: String, k: String, n: Int, outCol: String,
+      buckets: Int = PCT_BUCKETS): DataFrame = {
+    val stats = src.agg(min(v).as("v_min"), max(v).as("v_max"),
+      count(lit(1)).as("nn"))
+    val span = col("v_max") - col("v_min")
+    val bucketed = src.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(span === 0d, lit(0)).otherwise(
+          least(floor((col(v) - col("v_min")) / span * buckets),
+            lit(buckets - 1))).cast("int"))
+    // per-bucket histogram + cumulative starts (window over <=B rows)
+    val hist = bucketed.groupBy(col("bucket"), col("nn"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("cnt").over(cumW), lit(0L)))
+    // boundary rank of tile t: t*floor(N/n) + min(t, N mod n)
+    def rank(t: Int): Column =
+      lit(t) * floor(col("nn") / n) + least(lit(t), col("nn") % n)
+    val ts = 1 until n
+    val isCandidate = ts.map { t =>
+      col("cum_before") < rank(t) && rank(t) <= col("cum_before") + col("cnt")
+    }.reduce(_ || _)
+    val cands = cum.filter(isCandidate)
+      .select(col("bucket"), col("cum_before"))
+    // rank candidate-bucket rows locally, offset to the global rank
+    val inB = Window.partitionBy("bucket").orderBy(v, k)
+    val ranked = bucketed.join(broadcast(cands), Seq("bucket"))
+      .withColumn("rn", col("cum_before") + row_number().over(inB))
+      .filter(ts.map(t => col("rn") === rank(t)).reduce(_ || _))
+    // collapse the n-1 boundary (v, k) keys to one broadcastable row
+    val boundAggs = ts.flatMap { t =>
+      Seq(max(when(col("rn") === rank(t), col(v))).as(s"bv$t"),
+        max(when(col("rn") === rank(t), col(k))).as(s"bk$t"))
+    }
+    val bounds = ranked.agg(boundAggs.head, boundAggs.tail: _*)
+    // tile = 1 + #(boundary keys strictly below this row's (v, k))
+    val tile = ts.map { t =>
+      when(col(v) > col(s"bv$t") ||
+        (col(v) === col(s"bv$t") && col(k) > col(s"bk$t")), 1).otherwise(0)
+    }.reduce(_ + _) + lit(1)
+    src.crossJoin(broadcast(bounds))
+      .withColumn(outCol, tile.cast("int"))
+      .drop(ts.flatMap(t => Seq(s"bv$t", s"bk$t")): _*)
   }
 
   val oracleOrderGaps: String =

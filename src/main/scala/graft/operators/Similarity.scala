@@ -1158,11 +1158,13 @@ object Similarity {
     *
     * Scale shape: the quadratic neighbor scan is confined within IVF
     * cells by an equality join (SemDeDup's shape — O(Σ cell²), never
-    * O(n²)); the k-th neighbor is picked by sorting each anchor's
-    * BOUNDED (≤cell-size) collected neighbor list, a hash-agg, not a
-    * window over the pair stream. Cosines are rounded 9dp before the
-    * sort (ties → nb_id) so cross-engine drift can't reorder the list;
-    * the final report is TakeOrdered(OUT_TOP). Anchors in cells with
+    * O(n²)); the k-th neighbor comes from the typed
+    * [[graft.functions.MinKPairAggregator]] — O(OUT_K) sorted-merge
+    * state per anchor, map-side combinable — NOT from collecting the
+    * cell-sized neighbor list (a √n-element array per row at the
+    * IVF_K≈√n dial). Cosines are rounded 9dp before aggregation (ties
+    * → nb_id) so cross-engine drift can't reorder the heads; the
+    * final report is TakeOrdered(OUT_TOP). Anchors in cells with
     * ≤ OUT_K members have no k-th neighbor and drop out (both engines).
     */
   def qKnnOutlier(s: SparkSession, dir: String): DataFrame = {
@@ -1170,18 +1172,19 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cent = trainedCentroids(s, e).cache()
     val assigned = assignCells(s, e, cent)
+    val minK = udaf(new graft.functions.MinKPairAggregator(OUT_K))
     val kth = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
-        struct((-round(cosine(s, "a.emb", "b.emb"), 9)).as("nc"),
-          col("b.vec_id").as("nb_id")).as("sc"))
+        (-round(cosine(s, "a.emb", "b.emb"), 9)).as("nc"),
+        col("b.vec_id").as("nb_id"))
       .groupBy("vec_id")
       .agg(first("cell").as("cell"),
-        array_sort(collect_list("sc")).as("nbs"))
-      .filter(size(col("nbs")) >= OUT_K) // k-th exists; element_at in range
+        minK(col("nc"), col("nb_id")).as("nbs"))
+      .filter(size(col("nbs.ds")) >= OUT_K) // k-th exists; element_at in range
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
-        round(-element_at(col("nbs"), OUT_K).getField("nc"), 6).as("knn_cos"))
+        round(-element_at(col("nbs.ds"), OUT_K), 6).as("knn_cos"))
     kth.orderBy(col("knn_cos").asc, col("vec_id")).limit(OUT_TOP)
   }
 

@@ -30,6 +30,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // nanosAsLong is a no-op on TIMESTAMP(MICROS) data but kept so a
+      // regenerated TIMESTAMP(NANOS) events file still reads (the vectorized
+      // reader hard-rejects NANOS without it); EventOps.events branches on
+      // the loaded dtype either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")

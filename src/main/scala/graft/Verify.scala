@@ -12,7 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); read as long, truncate in-plan
+      // nanosAsLong is a no-op on TIMESTAMP(MICROS) data but kept so a
+      // regenerated TIMESTAMP(NANOS) events file still reads (the vectorized
+      // reader hard-rejects NANOS without it); EventOps.events branches on
+      // the loaded dtype either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()

@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Time-series / event-stream operators over the `events` table.
   *
-  * The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects; we read it as raw nanos (legacy long) and truncate to
-  * microseconds — the exact same truncation the DuckDB oracle applies via
-  * `make_timestamp(epoch_ns(ts)//1000)`, so both engines see identical
-  * instants.
+  * The events parquet has shipped `ts` in two physical shapes across data
+  * generations: TIMESTAMP(NANOS) (read as a raw nanos LONG under the
+  * legacy flag) and plain TIMESTAMP(MICROS). [[events]] normalizes both to
+  * a microsecond TIMESTAMP, matching the DuckDB oracle's
+  * `make_timestamp(epoch_ns(ts)//1000)` (identity on micros), so both
+  * engines see identical instants regardless of the file's physical type.
   *
   * Scale notes: every operator here shuffles at most once, on `user_id`
   * (sessionize, as-of) or on the coarse window key (window agg). The as-of
@@ -21,14 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** events with `ts` as a proper microsecond timestamp.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the session
-    * (set once at session build — Verify/Bench/test base all do), NOT
-    * mutated here: operators must not side-effect session config.
+  /** events with `ts` as a proper microsecond timestamp, whatever the
+    * file's physical type: a nanos LONG (legacy TIMESTAMP(NANOS) data read
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`) is truncated to
+    * micros; TIMESTAMP / TIMESTAMP_NTZ is cast directly (identity
+    * wall-clock under the UTC session). Config is never mutated here:
+    * operators must not side-effect session state.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(s, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Tumbling 1-hour window aggregation — batch/stream parity: this IS
     * [[graft.streaming.StreamOps.windowCounts]] applied to the static

@@ -16,6 +16,10 @@ object Probe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // nanosAsLong is a no-op on TIMESTAMP(MICROS) data but kept so a
+      // regenerated TIMESTAMP(NANOS) events file still reads (the vectorized
+      // reader hard-rejects NANOS without it); EventOps.events branches on
+      // the loaded dtype either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -13,7 +13,8 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
-    // events.parquet stores TIMESTAMP(NANOS); see EventOps.events
+    // nanosAsLong: no-op on TIMESTAMP(MICROS) data, kept so a regenerated
+    // TIMESTAMP(NANOS) events file still reads; see EventOps.events
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .getOrCreate()

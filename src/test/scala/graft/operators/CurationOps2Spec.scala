@@ -65,8 +65,11 @@ class CurationOps2Spec extends AnyFunSpec with SparkTestBase {
   describe("q_attribution") {
 
     it("matches a driver-side journey replay under both credit models") {
-      val evs = Tables.events(spark, sfDir)
-        .select("user_id", "event_id", "ts", "event_type").collect()
+      // read ordering key through the normalized loader (physical ts type
+      // has shifted across data generations: nanos LONG vs TIMESTAMP)
+      val evs = EventOps.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       val touchesBySeg = evs.groupBy(_._1).values.flatMap { userEvs =>
         val ordered = userEvs.sortBy(e => (e._3, e._2))

@@ -30,9 +30,14 @@ class MinKPairAggregator(k: Int)
   override def zero: MinKPairBuf =
     MinKPairBuf(Array.emptyDoubleArray, Array.emptyLongArray)
 
-  // (d1,i1) < (d2,i2) lexicographically
-  private def lt(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
-    d1 < d2 || (d1 == d2 && i1 < i2)
+  // (d1,i1) < (d2,i2) lexicographically, under double's TOTAL order
+  // (java.lang.Double.compare: NaN greatest, matching array_sort's
+  // NaN-last) — naive `<` treats every NaN comparison as false and a
+  // NaN already in the buffer would break the sorted invariant.
+  private def lt(d1: Double, i1: Long, d2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(d1, d2)
+    c < 0 || (c == 0 && i1 < i2)
+  }
 
   override def reduce(b: MinKPairBuf, x: (Double, Long)): MinKPairBuf = {
     val (d, id) = x

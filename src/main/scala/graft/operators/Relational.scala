@@ -1016,53 +1016,76 @@ object Relational {
     * below its own (v, k)). Requires k to make (v, k) unique — which
     * ntile's deterministic ordering needs anyway. No task ever holds
     * more than ~N/B rows, vs. ALL N for the naive window.
+    *
+    * `src` is localCheckpoint'ed (the caller's frame is an aggregate —
+    * |keys| rows, not |fact| rows): the machinery references it four
+    * times (stats, histogram, boundary rank, final assignment) and
+    * without truncation the whole upstream pipeline would replay 4×.
+    *
+    * Contract: n ≥ 2; `v` non-null (caller's responsibility — a null v
+    * would bucket to null and rank differently than SQL ntile's
+    * NULLS FIRST ordering);
+    * internal columns are `__ntx_`-prefixed so caller schemas can't
+    * collide. All-equal `v` (span 0) degrades to ranking inside the
+    * single occupied bucket — correct, but the one-task sort returns;
+    * acceptable because a constant metric is a degenerate input, not a
+    * scale path.
     */
   private[graft] def ntileExact(
       src: DataFrame, v: String, k: String, n: Int, outCol: String,
       buckets: Int = PCT_BUCKETS): DataFrame = {
-    val stats = src.agg(min(v).as("v_min"), max(v).as("v_max"),
-      count(lit(1)).as("nn"))
-    val span = col("v_max") - col("v_min")
-    val bucketed = src.crossJoin(broadcast(stats))
-      .withColumn("bucket",
+    require(n >= 2, s"ntileExact needs n >= 2 (got $n); n=1 is the identity")
+    require(!src.columns.exists(_.startsWith("__ntx_")),
+      "src must not contain reserved __ntx_ columns")
+    // one materialization of the caller's (usually aggregated) frame;
+    // every reference below reads the checkpointed partitions, so the
+    // upstream fact scan runs exactly once.
+    val snap = src.localCheckpoint(true)
+    val stats = snap.agg(min(v).as("__ntx_vmin"), max(v).as("__ntx_vmax"),
+      count(lit(1)).as("__ntx_nn"))
+    val span = col("__ntx_vmax") - col("__ntx_vmin")
+    val bucketed = snap.crossJoin(broadcast(stats))
+      .withColumn("__ntx_bucket",
         when(span === 0d, lit(0)).otherwise(
-          least(floor((col(v) - col("v_min")) / span * buckets),
+          least(floor((col(v) - col("__ntx_vmin")) / span * buckets),
             lit(buckets - 1))).cast("int"))
     // per-bucket histogram + cumulative starts (window over <=B rows)
-    val hist = bucketed.groupBy(col("bucket"), col("nn"))
-      .agg(count(lit(1)).as("cnt"))
-    val cumW = Window.orderBy("bucket")
+    val hist = bucketed.groupBy(col("__ntx_bucket"), col("__ntx_nn"))
+      .agg(count(lit(1)).as("__ntx_cnt"))
+    val cumW = Window.orderBy("__ntx_bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.withColumn("cum_before",
-      coalesce(sum("cnt").over(cumW), lit(0L)))
+    val cum = hist.withColumn("__ntx_cum_before",
+      coalesce(sum("__ntx_cnt").over(cumW), lit(0L)))
     // boundary rank of tile t: t*floor(N/n) + min(t, N mod n)
     def rank(t: Int): Column =
-      lit(t) * floor(col("nn") / n) + least(lit(t), col("nn") % n)
+      lit(t) * floor(col("__ntx_nn") / n) + least(lit(t), col("__ntx_nn") % n)
     val ts = 1 until n
     val isCandidate = ts.map { t =>
-      col("cum_before") < rank(t) && rank(t) <= col("cum_before") + col("cnt")
+      col("__ntx_cum_before") < rank(t) &&
+        rank(t) <= col("__ntx_cum_before") + col("__ntx_cnt")
     }.reduce(_ || _)
     val cands = cum.filter(isCandidate)
-      .select(col("bucket"), col("cum_before"))
+      .select(col("__ntx_bucket"), col("__ntx_cum_before"))
     // rank candidate-bucket rows locally, offset to the global rank
-    val inB = Window.partitionBy("bucket").orderBy(v, k)
-    val ranked = bucketed.join(broadcast(cands), Seq("bucket"))
-      .withColumn("rn", col("cum_before") + row_number().over(inB))
-      .filter(ts.map(t => col("rn") === rank(t)).reduce(_ || _))
+    val inB = Window.partitionBy("__ntx_bucket").orderBy(v, k)
+    val ranked = bucketed.join(broadcast(cands), Seq("__ntx_bucket"))
+      .withColumn("__ntx_rn", col("__ntx_cum_before") + row_number().over(inB))
+      .filter(ts.map(t => col("__ntx_rn") === rank(t)).reduce(_ || _))
     // collapse the n-1 boundary (v, k) keys to one broadcastable row
     val boundAggs = ts.flatMap { t =>
-      Seq(max(when(col("rn") === rank(t), col(v))).as(s"bv$t"),
-        max(when(col("rn") === rank(t), col(k))).as(s"bk$t"))
+      Seq(max(when(col("__ntx_rn") === rank(t), col(v))).as(s"__ntx_bv$t"),
+        max(when(col("__ntx_rn") === rank(t), col(k))).as(s"__ntx_bk$t"))
     }
     val bounds = ranked.agg(boundAggs.head, boundAggs.tail: _*)
     // tile = 1 + #(boundary keys strictly below this row's (v, k))
     val tile = ts.map { t =>
-      when(col(v) > col(s"bv$t") ||
-        (col(v) === col(s"bv$t") && col(k) > col(s"bk$t")), 1).otherwise(0)
+      when(col(v) > col(s"__ntx_bv$t") ||
+        (col(v) === col(s"__ntx_bv$t") && col(k) > col(s"__ntx_bk$t")), 1)
+        .otherwise(0)
     }.reduce(_ + _) + lit(1)
-    src.crossJoin(broadcast(bounds))
+    snap.crossJoin(broadcast(bounds))
       .withColumn(outCol, tile.cast("int"))
-      .drop(ts.flatMap(t => Seq(s"bv$t", s"bk$t")): _*)
+      .drop(ts.flatMap(t => Seq(s"__ntx_bv$t", s"__ntx_bk$t")): _*)
   }
 
   val oracleOrderGaps: String =

@@ -1054,14 +1054,41 @@ object Similarity {
       .crossJoin(broadcast(probeWeights(s, dir)))
       .select(col("y"), round(dot(col("x"), col("w")), 6).as("sc")))
 
-  /** Tie-aware rank AUC over any (y ∈ {0,1}, sc) frame. */
-  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+  /** Tie-aware rank AUC over any (y ∈ {0,1}, sc) frame.
+    *
+    * The below-count is a bucketed two-phase cumulative sum (the
+    * [[graft.operators.Relational.ntileExact]] machinery): distinct
+    * margins bucket by value range, per-bucket totals cumulate over the
+    * ≤`buckets`-row frame (the only unpartitioned window — bounded by
+    * the constant, not the data), and each margin adds its
+    * within-bucket prefix under a bucket-PARTITIONED window. No task
+    * ever sorts the whole distinct-margin frame, which at 6dp rounding
+    * can reach ~10⁷ rows — the r8-flagged single-task sort is gone.
+    * The distinct-margin frame is localCheckpoint'ed: it is referenced
+    * three times (range stats, bucket totals, final ranks) and its
+    * upstream is typically an expensive trained-probe pipeline.
+    */
+  private[graft] def aucOf(scored: DataFrame, buckets: Int = 256): DataFrame = {
     val perScore = scored.groupBy("sc")
       .agg(count(lit(1)).as("cnt"), sum("y").cast("long").as("pos"))
-    val below = Window.orderBy("sc")
+      .localCheckpoint(true)
+    val stats = perScore.agg(min("sc").as("__auc_min"), max("sc").as("__auc_max"))
+    val span = col("__auc_max") - col("__auc_min")
+    val bucketed = perScore.crossJoin(broadcast(stats))
+      .withColumn("__auc_b",
+        when(span === 0d, lit(0)).otherwise(
+          least(floor((col("sc") - col("__auc_min")) / span * buckets),
+            lit(buckets - 1))).cast("int"))
+    val bucketCum = bucketed.groupBy("__auc_b").agg(sum("cnt").as("__auc_bcnt"))
+      .withColumn("__auc_bcum",
+        coalesce(sum("__auc_bcnt").over(Window.orderBy("__auc_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__auc_b", "__auc_bcum")
+    val inB = Window.partitionBy("__auc_b").orderBy("sc")
       .rowsBetween(Window.unboundedPreceding, -1)
-    perScore
-      .withColumn("cumbelow", coalesce(sum("cnt").over(below), lit(0L)))
+    bucketed.join(broadcast(bucketCum), Seq("__auc_b"))
+      .withColumn("cumbelow",
+        col("__auc_bcum") + coalesce(sum("cnt").over(inB), lit(0L)))
       .agg(sum("pos").as("np"), sum("cnt").as("nall"),
         sum(col("pos") * (col("cumbelow") + (col("cnt") + 1) / lit(2.0))).as("rplus"))
       .select(col("np").as("n_pos"), (col("nall") - col("np")).as("n_neg"),

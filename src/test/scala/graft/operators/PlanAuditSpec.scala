@@ -211,7 +211,12 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // (q_graph_triangles' shape)
         "q_erasure_audit", "q_link_predict",
         // q_label_noise broadcasts the 1-row trained-weight frame
-        "q_label_noise")
+        "q_label_noise",
+        // q_order_gaps (ntileExact): two 1-row frames crossJoin onto the
+        // checkpointed per-customer snapshot — range stats (referenced by
+        // both the histogram and boundary-rank branches) and the collapsed
+        // boundary-keys row
+        "q_order_gaps")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
@@ -221,6 +226,65 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
               s"$name plans a nested-loop join")
         }
       }
+    }
+
+    it("no query plans an unpartitioned window over a data-proportional frame") {
+      // A window with an empty partition spec drags its WHOLE input into
+      // one task for the sort — the single-task killer at 100 TB. It is
+      // only acceptable over frames bounded BY CONSTRUCTION (a constant
+      // bucket count, a GROUP BY over an enum-sized key), never over
+      // anything that grows with the data. The whitelist below names the
+      // queries whose plans carry such a bounded global window and what
+      // bounds each one; everything else must plan ZERO of them.
+      val skip = Set("q_lineage_selfcheck", "q_source_csv", "q_source_json",
+        "q_source_orc")
+      val boundedGlobalWindow: Map[String, String] = Map(
+        "q_auc_probe" -> ("aucOf's bucket-cumulative window: <=256 rows by " +
+          "the constant bucket count, whatever the corpus size"),
+        "q_order_gaps" -> ("ntileExact's bucket-cumulative window: " +
+          "<=PCT_BUCKETS rows by construction"),
+        "q_autocorr" -> ("lag/mean over the per-DAY aggregate — " +
+          "calendar-span-bounded, not row-bounded"),
+        "q_benford" -> "total over the 9-row leading-digit frame",
+        "q_corpus_mixture" -> "total over the (lang x source) enum frame",
+        "q_cramers_v" -> ("contingency-cell frame: |returnflag| x " +
+          "|linestatus| rows"),
+        "q_gini_binned" -> "cumulative shares over the constant bucket frame",
+        "q_histogram" -> "cumulative counts over the constant bucket frame",
+        "q_kcore" -> ("lag over the per-peel-round census — rounds <= max " +
+          "core number, not data size"),
+        "q_ks_test" -> "two CDFs over the constant bucket frame",
+        "q_mutual_info" -> "total over the contingency-cell frame",
+        "q_rrf_fusion" -> ("row_number AFTER .limit(RRF_N): both ranked " +
+          "frames are <=RRF_N rows"),
+        "q_sample_balanced" -> "min over the per-CLASS count frame")
+      val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
+          val plan = fn(spark, sfDir).queryExecution.sparkPlan
+          val globals = plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }
+          if (globals.isEmpty) Nil
+          else Seq(s"$name: ${globals.size} unpartitioned window(s) — " +
+            globals.map(_.windowExpression.map(_.sql).mkString(", ")).mkString(" | "))
+        case _ => Nil
+      }
+      assert(violations.isEmpty, violations.mkString("\n"))
+    }
+
+    it("q_order_gaps derives quartiles without replaying the fact pipeline") {
+      // ntileExact localCheckpoints the per-customer aggregate before its
+      // 4-way fan-out (stats / histogram / boundary rank / assignment):
+      // the orders scan + lag window + groupBy run ONCE, eagerly, and the
+      // final plan reads only the checkpointed |customers|-row RDD — zero
+      // file scans means zero fact replays.
+      val plan = Relational.qOrderGaps(spark, sfDir).queryExecution.sparkPlan
+      val fileScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(fileScans.isEmpty,
+        s"fact pipeline replayed: ${fileScans.size} file scans in the final plan")
     }
   }
 }

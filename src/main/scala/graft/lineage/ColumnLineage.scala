@@ -13,9 +13,70 @@ object ColumnLineage {
   def forPlan(plan: LogicalPlan): Seq[ColumnMapping] = {
     val body = PlanExtractor.queryBody(plan)
     body.output.map { attr =>
-      ColumnMapping(attr.name, resolve(attr, body).toSeq.sorted)
+      ColumnMapping(attr.name, resolve(attr, body).toSeq.sorted,
+        derivation(attr, body))
     }
   }
+
+  /** The derivation expression (Catalyst SQL) that COMPUTES `attr`, or
+    * None when the column is an identity read of a source column.
+    * Rename chains (Alias over a bare attribute, `withColumnRenamed`)
+    * are transparent: the walk continues below them, so `sum(x) AS a`
+    * later renamed to `b` still reports `sum(x)`. Only the OUTERMOST
+    * non-trivial expression is reported — it names the columns of the
+    * plan level it was written at, which is what a catalog consumer
+    * reads alongside the resolved source set.
+    */
+  def derivation(attr: Attribute, plan: LogicalPlan): Option[String] = plan match {
+    case leaf if leaf.children.isEmpty => None
+
+    case p: Project => derivationNamed(attr, p.projectList, p.child)
+
+    case a: Aggregate => derivationNamed(attr, a.aggregateExpressions, a.child)
+
+    case w: Window =>
+      w.windowExpressions.find(_.toAttribute.exprId == attr.exprId) match {
+        case Some(ne) => derivationOf(ne, w.child)
+        case None     => derivation(attr, w.child)
+      }
+
+    case g: Generate =>
+      if (g.generatorOutput.exists(_.exprId == attr.exprId))
+        Some(g.generator.sql)
+      else derivation(attr, g.child)
+
+    case u: Union =>
+      // per-branch derivations may differ; report the first branch's
+      // (the UNION's output naming follows it) when any branch computes
+      val idx = u.output.indexWhere(_.exprId == attr.exprId)
+      if (idx >= 0) u.children.view.flatMap(c => derivation(c.output(idx), c)).headOption
+      else None
+
+    case other =>
+      val owning = other.children.filter(_.outputSet.contains(attr))
+      val targets = if (owning.nonEmpty) owning else other.children
+      targets.view.flatMap(c => derivation(attr, c)).headOption
+  }
+
+  private def derivationNamed(
+      attr: Attribute,
+      exprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[String] =
+    exprs.find(_.toAttribute.exprId == attr.exprId) match {
+      case Some(ne) => derivationOf(ne, child)
+      case None     => derivation(attr, child)
+    }
+
+  private def derivationOf(ne: NamedExpression, child: LogicalPlan): Option[String] =
+    ne match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        a.child match {
+          case ar: Attribute => derivation(ar, child) // pure rename: descend
+          case computed      => Some(computed.sql)
+        }
+      case ar: Attribute => derivation(ar, child)
+      case otherNe       => Some(otherNe.sql)
+    }
 
   /** Source columns (as "source.column") feeding `attr` within `plan`. */
   def resolve(attr: Attribute, plan: LogicalPlan): Set[String] = plan match {

@@ -21,7 +21,11 @@ final case class OutputEntity(
 
 final case class ColumnMapping(
     output: String,
-    sources: Seq[String] // "table_or_path.column"
+    sources: Seq[String], // "table_or_path.column"
+    // derivation expression (Catalyst SQL) when the column is COMPUTED;
+    // None for identity reads and pure renames — rename chains resolve
+    // through to the underlying derivation or source column
+    expression: Option[String] = None
 )
 
 final case class LineageRecord(
@@ -68,7 +72,7 @@ final case class LineageRecord(
     val out = output.map(o =>
       s"""{"kind":${q(o.kind)},"name":${q(o.name)},"format":${opt(o.format)},"mode":${opt(o.mode)}}""").getOrElse("null")
     val colLin = arr(columnLineage.map(m =>
-      s"""{"output":${q(m.output)},"sources":${arr(m.sources.map(q))}}"""))
+      s"""{"output":${q(m.output)},"sources":${arr(m.sources.map(q))},"expression":${opt(m.expression)}}"""))
     // fixed-key objects (not name-keyed pairs) so consumers read a
     // stable typed schema like every other record field
     val obs = arr(observed.map { case (k, v) =>

@@ -91,7 +91,14 @@ object OpenLineage {
               val (ds, field) =
                 if (cut < 0) (src, src) else (src.substring(0, cut), src.substring(cut + 1))
               obj(Seq("namespace" -> q("graft"), "name" -> q(ds), "field" -> q(field)))
-            })))
+            })) ++ (m.expression match {
+              // spec's per-field transformation slots: IDENTITY for plain
+              // reads/renames, the Catalyst SQL derivation otherwise
+              case Some(e) => Seq(
+                "transformationType" -> q("EXPRESSION"),
+                "transformationDescription" -> q(e))
+              case None => Seq("transformationType" -> q("IDENTITY"))
+            }))
           }))))
       val stats = Seq(
         r.rowsWritten.map(n => "rowCount" -> n.toString),

@@ -95,6 +95,43 @@ class ColumnLineageSpec extends AnyFunSpec with SparkTestBase {
       assert(lin("m1").map(_.split('.').last) == Set("l_extendedprice"))
     }
 
+    it("carries the derivation expression through a rename+derivation chain") {
+      // derived -> renamed -> renamed again: the expression must survive
+      // the renames (reported from where it was WRITTEN), identity
+      // reads/renames must report none
+      val df = li
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+        .withColumnRenamed("net", "net2")
+        .select(col("l_orderkey").as("okey"), col("net2").as("net_final"))
+      val byOut = ColumnLineage.forPlan(df.queryExecution.analyzed)
+        .map(m => m.output -> m).toMap
+      val netExpr = byOut("net_final").expression
+      assert(netExpr.isDefined, "derivation lost through the rename chain")
+      assert(netExpr.get.contains("l_extendedprice") &&
+        netExpr.get.contains("l_discount"), s"got $netExpr")
+      assert(byOut("okey").expression.isEmpty,
+        s"pure rename must be identity: ${byOut("okey").expression}")
+      // an aggregate's expression names the aggregate function
+      val agg = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+        .withColumnRenamed("q", "total_qty")
+      val aggBy = ColumnLineage.forPlan(agg.queryExecution.analyzed)
+        .map(m => m.output -> m).toMap
+      assert(aggBy("total_qty").expression.exists(_.toLowerCase.contains("sum")),
+        s"got ${aggBy("total_qty").expression}")
+      assert(aggBy("l_returnflag").expression.isEmpty)
+      // and the OpenLineage facet renders both transformation slots
+      val rec = LineageRecord("app", "an", "u", "save", "success", None, 1L, 2L,
+        Seq(InputEntity("path", "in", Some("parquet"), Seq("l_extendedprice"))),
+        Some(OutputEntity("path", "out", Some("parquet"), Some("overwrite"))),
+        agg.columns.toSeq, ColumnLineage.forPlan(agg.queryExecution.analyzed),
+        "fp", Some(1L))
+      val json = OpenLineage.toRunEvent(rec)
+      assert(json.contains("\"transformationType\":\"EXPRESSION\""), json)
+      assert(json.contains("\"transformationType\":\"IDENTITY\""), json)
+      assert(json.contains("transformationDescription"), json)
+    }
+
     it("flows through the custom TopKPerKey logical node (pass-through outputs)") {
       // the custom whole-operator node preserves child output attributes,
       // so lineage must resolve THROUGH it like any pass-through node —

@@ -28,10 +28,15 @@ object LineageCatalog {
       StructField("kind", StringType), StructField("name", StringType),
       StructField("format", StringType),
       StructField("columnsRead", ArrayType(StringType)),
-      StructField("bytesRead", LongType), StructField("rowsRead", LongType))))),
+      StructField("bytesRead", LongType), StructField("rowsRead", LongType),
+      StructField("partitionFilters", ArrayType(StringType)),
+      StructField("partitionsRead", LongType))))),
     StructField("output", StructType(Seq(
       StructField("kind", StringType), StructField("name", StringType),
-      StructField("format", StringType), StructField("mode", StringType)))),
+      StructField("format", StringType), StructField("mode", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("staticPartitions", ArrayType(StringType)),
+      StructField("partitionsWritten", LongType)))),
     StructField("outputColumns", ArrayType(StringType)),
     StructField("columnLineage", ArrayType(StructType(Seq(
       StructField("output", StringType),
@@ -71,10 +76,15 @@ object LineageCatalog {
       kind = i.getAs[String]("kind"), name = i.getAs[String]("name"),
       format = optStr(i, "format"),
       columnsRead = seqOf[String](i, "columnsRead"),
-      bytesRead = optLong(i, "bytesRead"), rowsRead = optLong(i, "rowsRead"))),
+      bytesRead = optLong(i, "bytesRead"), rowsRead = optLong(i, "rowsRead"),
+      partitionFilters = seqOf[String](i, "partitionFilters"),
+      partitionsRead = optLong(i, "partitionsRead"))),
     output = Option(r.getAs[Row]("output")).map(o => OutputEntity(
       kind = o.getAs[String]("kind"), name = o.getAs[String]("name"),
-      format = optStr(o, "format"), mode = optStr(o, "mode"))),
+      format = optStr(o, "format"), mode = optStr(o, "mode"),
+      partitionColumns = seqOf[String](o, "partitionColumns"),
+      staticPartitions = seqOf[String](o, "staticPartitions"),
+      partitionsWritten = optLong(o, "partitionsWritten"))),
     outputColumns = seqOf[String](r, "outputColumns"),
     columnLineage = seqOf[Row](r, "columnLineage").map(m => ColumnMapping(
       output = m.getAs[String]("output"),

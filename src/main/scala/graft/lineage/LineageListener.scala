@@ -65,27 +65,49 @@ final class LineageListener(private[lineage] val sinks: Seq[LineageSink]) extend
       }
       if (vals.nonEmpty) Some(vals.sum) else None
     }
-    // Per-entity attribution: each file scan's (filesSize, numOutputRows)
-    // keyed by the same name PlanExtractor derives from the logical
-    // relation — table identifier when cataloged, root path(s) otherwise.
-    // Two scans of one entity (self-join) sum.
-    val scanStats: Map[String, (Long, Long)] = planNodes
+    // Per-entity attribution: each file scan's (filesSize, numOutputRows,
+    // partition filters, partitions read) keyed by the same name
+    // PlanExtractor derives from the logical relation — table identifier
+    // when cataloged, root path(s) otherwise. Two scans of one entity
+    // (self-join) sum counts and union filters. Partition evidence comes
+    // from the PHYSICAL scan: pruning predicates live in
+    // FileSourceScanExec.partitionFilters and the post-pruning partition
+    // count in its driver-side numPartitions metric (present only on
+    // Hive-partitioned layouts).
+    case class ScanStat(bytes: Long, rows: Long,
+        partFilters: Seq[String], parts: Option[Long])
+    val scanStats: Map[String, ScanStat] = planNodes
       .collect {
         case f: FileSourceScanExec =>
           val name = f.tableIdentifier.map(_.unquotedString)
             .getOrElse(f.relation.location.rootPaths.map(_.toString).mkString(","))
-          val bytes = f.metrics.get("filesSize").map(_.value).getOrElse(0L)
-          val rows = f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
-          (name, bytes, rows)
+          val filters = try f.partitionFilters.map(_.sql)
+            catch { case _: Throwable => Seq.empty[String] }
+          name -> ScanStat(
+            f.metrics.get("filesSize").map(_.value).getOrElse(0L),
+            f.metrics.get("numOutputRows").map(_.value).getOrElse(0L),
+            filters,
+            f.metrics.get("numPartitions").map(_.value))
       }
       .groupBy(_._1)
-      .map { case (n, xs) => n -> (xs.map(_._2).sum, xs.map(_._3).sum) }
+      .map { case (n, xs) =>
+        val ss = xs.map(_._2)
+        n -> ScanStat(ss.map(_.bytes).sum, ss.map(_.rows).sum,
+          ss.flatMap(_.partFilters).distinct,
+          if (ss.exists(_.parts.isDefined)) Some(ss.flatMap(_.parts).sum) else None)
+      }
     val inputs = PlanExtractor.inputs(analyzed).map { in =>
       scanStats.get(in.name) match {
-        case Some((b, r)) => in.copy(bytesRead = Some(b), rowsRead = Some(r))
-        case None         => in
+        case Some(st) => in.copy(bytesRead = Some(st.bytes), rowsRead = Some(st.rows),
+          partitionFilters = st.partFilters, partitionsRead = st.parts)
+        case None => in
       }
     }
+    // dynamic-partition writes report how many partition dirs the commit
+    // touched (the write stats tracker's numParts metric)
+    val partsWritten = try {
+      qe.executedPlan.metrics.get("numParts").map(_.value).filter(_ > 0)
+    } catch { case _: Throwable => None }
     Some(LineageRecord(
       appId = spark.sparkContext.applicationId,
       appName = spark.sparkContext.appName,
@@ -96,7 +118,8 @@ final class LineageListener(private[lineage] val sinks: Seq[LineageSink]) extend
       durationNs = durationNs,
       timestampMs = System.currentTimeMillis(),
       inputs = inputs,
-      output = PlanExtractor.output(analyzed),
+      output = PlanExtractor.output(analyzed)
+        .map(o => if (partsWritten.isDefined) o.copy(partitionsWritten = partsWritten) else o),
       outputColumns = body.output.map(_.name),
       columnLineage = ColumnLineage.forPlan(analyzed),
       schemaFingerprint = MetadataExtractor.schemaFingerprint(body.schema),

@@ -9,14 +9,24 @@ final case class InputEntity(
     format: Option[String],  // parquet/csv/... when known
     columnsRead: Seq[String],// pruned column set actually referenced
     bytesRead: Option[Long] = None, // this entity's scan filesSize (post-pruning)
-    rowsRead: Option[Long] = None   // rows its scan produced (post-pushdown)
+    rowsRead: Option[Long] = None,  // rows its scan produced (post-pushdown)
+    // Hive-partition pruning evidence: the partition predicates the scan
+    // applied, and how many partitions it actually read after pruning
+    partitionFilters: Seq[String] = Nil,
+    partitionsRead: Option[Long] = None
 )
 
 final case class OutputEntity(
     kind: String,           // "path" | "table" | "v2"
     name: String,
     format: Option[String],
-    mode: Option[String]    // append/overwrite/... when known
+    mode: Option[String],   // append/overwrite/... when known
+    // Hive-partitioned write evidence: layout columns, any static
+    // partition pins ("col=val"), and how many partition directories the
+    // committed write actually touched
+    partitionColumns: Seq[String] = Nil,
+    staticPartitions: Seq[String] = Nil,
+    partitionsWritten: Option[Long] = None
 )
 
 final case class ColumnMapping(
@@ -68,9 +78,12 @@ final case class LineageRecord(
     def num(o: Option[Long]): String = o.map(_.toString).getOrElse("null")
     val ins = arr(inputs.map(i =>
       s"""{"kind":${q(i.kind)},"name":${q(i.name)},"format":${opt(i.format)},"columnsRead":${arr(i.columnsRead.map(q))},""" +
-        s""""bytesRead":${num(i.bytesRead)},"rowsRead":${num(i.rowsRead)}}"""))
+        s""""bytesRead":${num(i.bytesRead)},"rowsRead":${num(i.rowsRead)},""" +
+        s""""partitionFilters":${arr(i.partitionFilters.map(q))},"partitionsRead":${num(i.partitionsRead)}}"""))
     val out = output.map(o =>
-      s"""{"kind":${q(o.kind)},"name":${q(o.name)},"format":${opt(o.format)},"mode":${opt(o.mode)}}""").getOrElse("null")
+      s"""{"kind":${q(o.kind)},"name":${q(o.name)},"format":${opt(o.format)},"mode":${opt(o.mode)},""" +
+        s""""partitionColumns":${arr(o.partitionColumns.map(q))},"staticPartitions":${arr(o.staticPartitions.map(q))},""" +
+        s""""partitionsWritten":${num(o.partitionsWritten)}}""").getOrElse("null")
     val colLin = arr(columnLineage.map(m =>
       s"""{"output":${q(m.output)},"sources":${arr(m.sources.map(q))},"expression":${opt(m.expression)}}"""))
     // fixed-key objects (not name-keyed pairs) so consumers read a

@@ -72,7 +72,10 @@ object PlanExtractor {
       Some(OutputEntity(
         if (c.catalogTable.isDefined) "table" else "path",
         c.catalogTable.map(_.identifier.unquotedString).getOrElse(c.outputPath.toString),
-        Some(c.fileFormat.toString.toLowerCase), Some(c.mode.toString.toLowerCase)))
+        Some(c.fileFormat.toString.toLowerCase), Some(c.mode.toString.toLowerCase),
+        partitionColumns = c.partitionColumns.map(_.name),
+        staticPartitions = c.staticPartitions.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }))
     case c: CreateDataSourceTableAsSelectCommand =>
       Some(OutputEntity("table", c.table.identifier.unquotedString,
         c.table.provider, Some(c.mode.toString.toLowerCase)))

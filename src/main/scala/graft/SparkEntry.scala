@@ -170,6 +170,9 @@ object SparkEntry {
     "q_sample_fixed"      -> Pipeline.qSampleFixed _,
     "q_corpus_drift"      -> Pipeline.qCorpusDrift _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
+    "q_sample_temperature" -> Pipeline.qSampleTemperature _,
+    "q_curriculum"        -> Pipeline.qCurriculum _,
+    "q_ngram_novelty"     -> TextAnalysis.qNgramNovelty _,
     "q_pack_sequences"    -> Pipeline.qPackSequences _,
     "q_chunk_overlap"     -> Pipeline.qChunkOverlap _,
     "q_attribution"       -> EventOps.qAttribution _,
@@ -429,6 +432,9 @@ object SparkEntry {
     "q_sample_fixed"      -> Pipeline.oracleSampleFixed,
     "q_corpus_drift"      -> Pipeline.oracleCorpusDrift,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
+    "q_sample_temperature" -> Pipeline.oracleSampleTemperature,
+    "q_curriculum"        -> Pipeline.oracleCurriculum,
+    "q_ngram_novelty"     -> TextAnalysis.oracleNgramNovelty,
     "q_pack_sequences"    -> Pipeline.oraclePackSequences,
     "q_chunk_overlap"     -> Pipeline.oracleChunkOverlap,
     "q_attribution"       -> EventOps.oracleAttribution,

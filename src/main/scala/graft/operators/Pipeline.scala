@@ -35,6 +35,12 @@ object Pipeline {
       lit(0.2) * least(nWords / 100.0, lit(1.0)), 6)
   }
 
+  /** DuckDB transliteration of [[qualityScore]] (same 6dp round). */
+  private[graft] val qualityScoreSql: String =
+    """round(0.5 * (len(list_filter(string_split(text, ' '), w -> w IN ('the','a','or','and','of')))::DOUBLE / len(string_split(text, ' ')))
+      |        + 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text))
+      |        + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0), 6)""".stripMargin
+
   /** Deterministic 80/10/10 split assignment on the doc-id hash —
     * shared with the streaming curation path. */
   private[graft] def splitCol: org.apache.spark.sql.Column = {
@@ -207,6 +213,90 @@ object Pipeline {
       |SELECT source, lang, docs, words,
       |  round(words::DOUBLE / (SELECT sum(words) FROM cells), 6) AS word_share
       |FROM cells ORDER BY source, lang""".stripMargin
+
+  /** Temperature-scaled mixture plan (`q_sample_temperature`) — the
+    * standard multilingual/multi-source re-balancing rule (mT5-style):
+    * sample source i with probability ∝ c_i^(1/τ) instead of its raw
+    * token share, boosting low-resource sources. τ = 2, i.e. exponent
+    * 0.5 — deliberately, because sqrt is IEEE-correctly-rounded and
+    * therefore ENGINE-IDENTICAL, where a libm pow(c, 0.3) need not be
+    * (the repo's no-libm-on-compared-values rule). Emits per source:
+    * raw token share, temperature share, and the upsampling factor a
+    * sampler must apply (temp share / raw share).
+    *
+    * Scale shape: ONE map-side-combinable fact aggregate to the
+    * |sources|-row frame; both normalizing totals are windows over that
+    * already-aggregated enum-sized frame. Nothing else touches the
+    * corpus.
+    */
+  def qSampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("nw").as("tokens"))
+      .withColumn("tot", sum("tokens").over(w))
+      .withColumn("stot", sum(sqrt(col("tokens"))).over(w))
+      .select(col("source"), col("docs"), col("tokens"),
+        round(col("tokens") / col("tot"), 6).as("raw_share"),
+        round(sqrt(col("tokens")) / col("stot"), 6).as("temp_share"),
+        round((sqrt(col("tokens")) / col("stot")) / (col("tokens") / col("tot")), 6)
+          .as("upsample"))
+      .orderBy("source")
+  }
+
+  val oracleSampleTemperature: String =
+    """WITH cells AS (
+      |  SELECT source, count(*) AS docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT sum(tokens) AS tot, sum(sqrt(tokens)) AS stot FROM cells)
+      |SELECT source, docs, tokens,
+      |  round(tokens / tot, 6) AS raw_share,
+      |  round(sqrt(tokens) / stot, 6) AS temp_share,
+      |  round((sqrt(tokens) / stot) / (tokens / tot), 6) AS upsample
+      |FROM cells, t ORDER BY source""".stripMargin
+
+  /** Curriculum staging (`q_curriculum`) — order the corpus into K
+    * difficulty stages (here K=10 deciles of per-doc token count, the
+    * classic length-curriculum) and report each stage's census: doc
+    * count, token range, mean quality. The plan a curriculum loader
+    * consumes to schedule epochs easy→hard.
+    *
+    * Scale shape: the decile assignment is [[graft.operators.Relational
+    * .ntileExact]] — the bucketed two-phase rank, NO global sort — over
+    * the (token_count, doc_id) composite, exercised here at corpus
+    * scale as a second call site (q_order_gaps' machinery). One
+    * aggregate to the 10-row stage frame follows.
+    */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("tok"),
+        qualityScore.as("quality"))
+    Relational.ntileExact(scored, "tok", "doc_id", 10, "stage")
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min("tok").cast("long").as("min_tok"),
+        max("tok").cast("long").as("max_tok"),
+        round(avg("quality"), 6).as("avg_quality"))
+      .orderBy("stage")
+  }
+
+  val oracleCurriculum: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS tok,
+       |    $qualityScoreSql AS quality
+       |  FROM documents),
+       |staged AS (
+       |  SELECT tok, quality,
+       |    CAST(ntile(10) OVER (ORDER BY tok, doc_id) AS INT) AS stage
+       |  FROM scored)
+       |SELECT stage, count(*) AS n_docs,
+       |  CAST(min(tok) AS BIGINT) AS min_tok,
+       |  CAST(max(tok) AS BIGINT) AS max_tok,
+       |  round(avg(quality), 6) AS avg_quality
+       |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
 
   /** Distribution-drift monitor (`q_corpus_drift`) — the check a corpus
     * pipeline runs when a new source lands: per-source word-count

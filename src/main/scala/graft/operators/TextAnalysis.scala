@@ -174,6 +174,66 @@ object TextAnalysis {
       |SELECT bigram, count(*) AS n FROM b GROUP BY 1
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** N-gram novelty vs a reference corpus (`q_ngram_novelty`): what
+    * fraction of each source's distinct-per-doc word trigrams does the
+    * reference slice (source `src0`) NOT already contain — the
+    * freshness gauge a pipeline runs before paying to ingest a new
+    * source (near-zero novelty ⇒ the source is re-crawl/mirror
+    * material), the set-containment cousin of the dedup family's
+    * pairwise measures.
+    *
+    * Scale shape: trigrams travel as h60 HASHES, never strings, so the
+    * vocabulary join shuffles 8-byte keys (at 100 TB the reference
+    * vocabulary is a distinct hash-agg that AQE broadcasts when small
+    * and hash-joins when not — an equality join either way, never
+    * pairwise). Per-source novelty is a ratio of EXACT integer sums
+    * (one division at the end), so no float-accumulation-order hazard
+    * exists between engines.
+    */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val NOVELTY_REF = "src0"
+    def grams(dfCol: Column): Column = {
+      val w = split(dfCol, " ")
+      array_distinct(when(size(w) >= 3,
+        transform(sequence(lit(0), size(w) - 3),
+          i => graft.functions.HashFns.h60(concat_ws(" ",
+            element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
+        .otherwise(array().cast("array<long>")))
+    }
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(grams(col("text"))).as("g"))
+    val refVocab = docs.filter(col("source") === NOVELTY_REF)
+      .select("g").distinct()
+    docs.filter(col("source") =!= NOVELTY_REF)
+      .join(refVocab.withColumn("seen", lit(1)), Seq("g"), "left")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("total_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("unseen_grams"))
+      .select(col("source"), col("n_docs"), col("total_grams"), col("unseen_grams"),
+        round(col("unseen_grams") / col("total_grams"), 6).as("novelty"))
+      .orderBy("source")
+  }
+
+  val oracleNgramNovelty: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |t AS (
+       |  SELECT doc_id, source, unnest(list_distinct(
+       |    CASE WHEN len(ws) >= 3
+       |      THEN list_transform(generate_series(1, len(ws) - 2),
+       |        i -> ${graft.functions.HashFns.h60Sql("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")})
+       |      ELSE [] END)) AS g
+       |  FROM w),
+       |ref AS (SELECT DISTINCT g FROM t WHERE source = 'src0')
+       |SELECT t.source, count(DISTINCT t.doc_id) AS n_docs,
+       |  count(*) AS total_grams,
+       |  CAST(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unseen_grams,
+       |  round(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
+       |FROM t LEFT JOIN ref ON t.g = ref.g
+       |WHERE t.source <> 'src0'
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   // ----------------------------------------------------------- bpe apply
   /** Fixed BPE-style merge table — stands for the trained tokenizer
     * vocabulary (training happens ONCE on a sample; the 100 TB job is

@@ -212,11 +212,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_erasure_audit", "q_link_predict",
         // q_label_noise broadcasts the 1-row trained-weight frame
         "q_label_noise",
-        // q_order_gaps (ntileExact): two 1-row frames crossJoin onto the
-        // checkpointed per-customer snapshot — range stats (referenced by
-        // both the histogram and boundary-rank branches) and the collapsed
-        // boundary-keys row
-        "q_order_gaps")
+        // q_order_gaps / q_curriculum (ntileExact): two 1-row frames
+        // crossJoin onto the checkpointed source snapshot — range stats
+        // (referenced by both the histogram and boundary-rank branches)
+        // and the collapsed boundary-keys row
+        "q_order_gaps", "q_curriculum")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
@@ -257,7 +257,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_mutual_info" -> "total over the contingency-cell frame",
         "q_rrf_fusion" -> ("row_number AFTER .limit(RRF_N): both ranked " +
           "frames are <=RRF_N rows"),
-        "q_sample_balanced" -> "min over the per-CLASS count frame")
+        "q_sample_balanced" -> "min over the per-CLASS count frame",
+        "q_sample_temperature" -> "share totals over the per-SOURCE frame",
+        "q_curriculum" -> ("ntileExact's bucket-cumulative window: " +
+          "<=PCT_BUCKETS rows by construction"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_split_leakage"       -> Dedup.qSplitLeakage _,
     "q_segment_dedup"       -> Dedup.qSegmentDedup _,
     "q_dedup_by_source"     -> Dedup.qDedupBySource _,
+    "q_dedup_soft"          -> Dedup.qDedupSoft _,
     "q_dedup_editdist"      -> Dedup.qDedupEditdist _,
     "q_text_containment"    -> Dedup.qTextContainment _,
     // §2.4 similarity
@@ -363,6 +364,7 @@ object SparkEntry {
     "q_split_leakage"       -> Dedup.oracleSplitLeakage,
     "q_segment_dedup"       -> Dedup.oracleSegmentDedup,
     "q_dedup_by_source"     -> Dedup.oracleDedupBySource,
+    "q_dedup_soft"          -> Dedup.oracleDedupSoft,
     "q_dedup_editdist"      -> Dedup.oracleDedupEditdist,
     "q_text_containment"    -> Dedup.oracleTextContainment,
 

@@ -1014,6 +1014,47 @@ object Dedup {
        |FROM v JOIN documents d USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Soft dedup (`q_dedup_soft`): instead of DROPPING duplicates, weight
+    * every document 1/N where N is its dedup-group size (exact copies
+    * plus near-dup cluster members, i.e. docs sharing a verdict keeper)
+    * — each duplicated text contributes ONE document's worth of
+    * training mass however many times it recurs. Reports per source the
+    * effective corpus size under the weighting and the shrink ratio;
+    * the de-duplication-by-reweighting alternative a loss-weighting
+    * trainer consumes.
+    *
+    * Scale shape: two equality joins and hash-aggs over what the
+    * verdict already computes — group sizes are a map-side-combinable
+    * count on the keeper key. The weight sum is pinned EXACTLY: 1/N is
+    * 9dp-rounded, cast to DECIMAL(18,9), summed in exact decimal (any
+    * order), and converted to double once — the q_attribution
+    * float-sum-order discipline.
+    */
+  def qDedupSoft(s: SparkSession, dir: String): DataFrame = {
+    val verdict = qDedupVerdict(s, dir).select(col("doc_id"), col("keeper"))
+    val groups = verdict.groupBy("keeper").agg(count(lit(1)).as("grp"))
+    val wsum = sum(round(lit(1.0) / col("grp"), 9).cast("decimal(18,9)"))
+      .cast("double")
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(verdict, "doc_id")
+      .join(groups, "keeper")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(wsum, 6).as("eff_docs"))
+      .withColumn("eff_ratio", round(col("eff_docs") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  /** `def` for the same declaration-order reason as
+    * [[oracleDedupBySource]]. */
+  def oracleDedupSoft: String =
+    s"""WITH v AS ($oracleDedupVerdict),
+       |g AS (SELECT keeper, count(*) AS grp FROM v GROUP BY keeper)
+       |SELECT d.source, count(*) AS n_docs,
+       | round(CAST(sum(CAST(round(1.0 / grp, 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS eff_docs,
+       | round(round(CAST(sum(CAST(round(1.0 / grp, 9) AS DECIMAL(18,9))) AS DOUBLE), 6) / count(*), 6) AS eff_ratio
+       |FROM v JOIN g USING (keeper) JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // --------------------------------------------------- segment-level dedup
 
   /** Passage segment width (words). Non-overlapping 8-word windows: long

@@ -182,26 +182,38 @@ object TextAnalysis {
     * material), the set-containment cousin of the dedup family's
     * pairwise measures.
     *
-    * Scale shape: trigrams travel as h60 HASHES, never strings, so the
-    * vocabulary join shuffles 8-byte keys (at 100 TB the reference
+    * Scale shape: trigrams travel as h60 HASHES across the join, so the
+    * vocabulary check shuffles 8-byte keys (at 100 TB the reference
     * vocabulary is a distinct hash-agg that AQE broadcasts when small
     * and hash-joins when not — an equality join either way, never
-    * pairwise). Per-source novelty is a ratio of EXACT integer sums
-    * (one division at the end), so no float-accumulation-order hazard
-    * exists between engines.
+    * pairwise). The hash itself runs as a CODEGEN projection on the
+    * exploded gram column, NOT inside the trigram lambda — HOF lambdas
+    * evaluate interpreted per element (the segmentTable lesson, 6×
+    * there; ~4× measured here), while post-explode the same arithmetic
+    * whole-stage-compiles. Per-source novelty is a ratio of EXACT
+    * integer sums (one division at the end), so no
+    * float-accumulation-order hazard exists between engines.
     */
   def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
     val NOVELTY_REF = "src0"
-    def grams(dfCol: Column): Column = {
-      val w = split(dfCol, " ")
-      array_distinct(when(size(w) >= 3,
-        transform(sequence(lit(0), size(w) - 3),
-          i => graft.functions.HashFns.h60(concat_ws(" ",
-            element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
-        .otherwise(array().cast("array<long>")))
-    }
+    // `w` MUST be a materialized attribute, never an inline split: HOF
+    // lambdas evaluate interpreted with NO common-subexpression
+    // elimination, so an inlined split(text) re-splits the document per
+    // element_at reference (O(len²) per doc — measured 4–11 s at sf0.1
+    // for this corpus vs ~1 s attribute-form; the
+    // HashFns.shinglesFromWords rationale). The hash then runs as a
+    // codegen projection on the exploded gram column.
+    val w = col("w")
+    val garr = array_distinct(when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ",
+          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>")))
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), explode(grams(col("text"))).as("g"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(garr).as("gram"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashFns.h60(col("gram")).as("g"))
     val refVocab = docs.filter(col("source") === NOVELTY_REF)
       .select("g").distinct()
     docs.filter(col("source") =!= NOVELTY_REF)

@@ -276,6 +276,22 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       assert(violations.isEmpty, violations.mkString("\n"))
     }
 
+    it("q_ngram_novelty keeps the split materialized and the hash out of the lambda") {
+      // the r9 perf lesson: an inline split(text) inside the trigram HOF
+      // lambda re-splits the document per element_at reference
+      // (interpreted lambdas get no CSE) and the inferred Generate
+      // filter inlines the whole expression again — O(len²)/doc, a 4-10×
+      // slowdown. Pin the fixed shape: split(text) appears ONCE per
+      // branch (the words projection), and md5 hashing runs post-explode
+      // (never inside a lambdafunction).
+      val plan = TextAnalysis.qNgramNovelty(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      val splits = "split\\(text".r.findAllIn(plan).size
+      assert(splits <= 2, s"split(text) inlined $splits times (2 branches expected):\n$plan")
+      assert(!plan.matches("(?s).*lambdafunction\\([^)]*md5.*"),
+        "hash must run post-explode, not inside the interpreted lambda")
+    }
+
     it("q_order_gaps derives quartiles without replaying the fact pipeline") {
       // ntileExact localCheckpoints the per-customer aggregate before its
       // 4-way fan-out (stats / histogram / boundary rank / assignment):

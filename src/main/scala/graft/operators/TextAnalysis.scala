@@ -194,6 +194,34 @@ object TextAnalysis {
     * integer sums (one division at the end), so no
     * float-accumulation-order hazard exists between engines.
     */
+  /** Distinct word trigrams of a MATERIALIZED words-array attribute
+    * (callers must pass an attribute, never an inline split — see the
+    * CSE note on [[qNgramNovelty]]). Shared with the streaming novelty
+    * scorer. */
+  private[graft] def trigramArray(w: Column): Column =
+    array_distinct(when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ",
+          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>")))
+
+  /** Train the reference-vocabulary bloom — the persisted ARTIFACT form
+    * of [[qNgramNovelty]]'s reference side (distinct trigram h60s folded
+    * into one bloom filter, ~9.6 bits/key at 1% fp), for scoring streams
+    * or later batches without re-reading the reference corpus. False
+    * negatives are impossible, so a 0-novelty verdict is exact; fp only
+    * UNDER-reports novelty by ~1%. */
+  def trainNoveltyBloom(s: SparkSession, refDocs: DataFrame): Array[Byte] = {
+    graft.functions.BloomFns.register(s)
+    refDocs
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(trigramArray(col("w"))).as("gram"))
+      .select(graft.functions.HashFns.h60(col("gram")).as("g")).distinct()
+      .createOrReplaceTempView("graft_novelty_ref_g")
+    s.sql("SELECT graft_bloom_agg(g) FROM graft_novelty_ref_g")
+      .head().getAs[Array[Byte]](0)
+  }
+
   def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
     val NOVELTY_REF = "src0"
     // `w` MUST be a materialized attribute, never an inline split: HOF
@@ -203,15 +231,9 @@ object TextAnalysis {
     // for this corpus vs ~1 s attribute-form; the
     // HashFns.shinglesFromWords rationale). The hash then runs as a
     // codegen projection on the exploded gram column.
-    val w = col("w")
-    val garr = array_distinct(when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ",
-          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-      .otherwise(array().cast("array<string>")))
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("source"), explode(garr).as("gram"))
+      .select(col("doc_id"), col("source"), explode(trigramArray(col("w"))).as("gram"))
       .select(col("doc_id"), col("source"),
         graft.functions.HashFns.h60(col("gram")).as("g"))
     val refVocab = docs.filter(col("source") === NOVELTY_REF)

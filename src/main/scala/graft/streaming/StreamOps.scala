@@ -116,6 +116,33 @@ object StreamOps {
         graft.operators.Pipeline.splitCol.as("split"))
   }
 
+  /** Streaming n-gram novelty — the incremental twin of
+    * `TextAnalysis.qNgramNovelty`: each arriving document's distinct
+    * trigram h60s are probed against the TRAINED reference-vocabulary
+    * bloom (`TextAnalysis.trainNoveltyBloom`, the nightly artifact),
+    * injected as a byte literal so the whole scorer is ONE STATELESS
+    * projection — no state store, no shuffle, identical on batch and
+    * stream (the parity spec runs both). Bloom fp (~1%) only
+    * UNDER-reports novelty; a 0-novelty verdict (pure re-crawl) is
+    * exact because false negatives are impossible. The caller's session
+    * must have `BloomFns.register`ed (trainNoveltyBloom does).
+    */
+  def noveltyScore(docs: DataFrame, refBloom: Array[Byte]): DataFrame = {
+    import graft.operators.TextAnalysis
+    val hashes = transform(TextAnalysis.trigramArray(col("__nv_w")),
+      g => graft.functions.HashFns.h60(g))
+    docs
+      .withColumn("__nv_w", split(col("text"), " "))
+      .withColumn("__nv_h", hashes)
+      .filter(size(col("__nv_h")) > 0)
+      .select(col("doc_id"),
+        size(col("__nv_h")).cast("long").as("total_grams"),
+        size(filter(col("__nv_h"), h =>
+          !call_function("graft_bloom_contains", lit(refBloom), h)))
+          .cast("long").as("unseen_grams"))
+      .withColumn("novelty", round(col("unseen_grams") / col("total_grams"), 6))
+  }
+
   /** One doc in one LSH band bucket (streaming near-dup input row). */
   case class BandDoc(band: Int, h1: Long, h2: Long, doc_id: Long,
       sig: Seq[Long], ts: java.sql.Timestamp)

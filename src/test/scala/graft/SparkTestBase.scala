@@ -30,8 +30,11 @@ trait SparkTestBase { self: Suite =>
   /** Smallest driver-generated dataset — correctness, not throughput. */
   val sfDir = "/root/testdata/sf0.001"
 
-  /** Poll until `cond` holds (the execution-listener bus is async). */
-  def eventually(timeoutMs: Long = 10000, intervalMs: Long = 20)(cond: => Boolean): Boolean = {
+  /** Poll until `cond` holds (the execution-listener bus is async).
+    * 30 s default: late in the full suite the shared session's listener
+    * bus can lag well past 10 s under co-tenant load — a one-flake-per-
+    * hundred-runs class observed on the listener specs. */
+  def eventually(timeoutMs: Long = 30000, intervalMs: Long = 20)(cond: => Boolean): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
     var ok = cond
     while (!ok && System.currentTimeMillis() < deadline) {

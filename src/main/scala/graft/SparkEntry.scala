@@ -100,6 +100,7 @@ object SparkEntry {
     "q_segment_dedup"       -> Dedup.qSegmentDedup _,
     "q_dedup_by_source"     -> Dedup.qDedupBySource _,
     "q_dedup_soft"          -> Dedup.qDedupSoft _,
+    "q_dedup_substring"     -> Dedup.qDedupSubstring _,
     "q_dedup_editdist"      -> Dedup.qDedupEditdist _,
     "q_text_containment"    -> Dedup.qTextContainment _,
     // §2.4 similarity
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_sample_importance" -> Pipeline.qSampleImportance _,
     "q_sample_fixed"      -> Pipeline.qSampleFixed _,
     "q_corpus_drift"      -> Pipeline.qCorpusDrift _,
+    "q_js_divergence"     -> Pipeline.qJsDivergence _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
     "q_sample_temperature" -> Pipeline.qSampleTemperature _,
     "q_curriculum"        -> Pipeline.qCurriculum _,
@@ -365,6 +367,7 @@ object SparkEntry {
     "q_segment_dedup"       -> Dedup.oracleSegmentDedup,
     "q_dedup_by_source"     -> Dedup.oracleDedupBySource,
     "q_dedup_soft"          -> Dedup.oracleDedupSoft,
+    "q_dedup_substring"     -> Dedup.oracleDedupSubstring,
     "q_dedup_editdist"      -> Dedup.oracleDedupEditdist,
     "q_text_containment"    -> Dedup.oracleTextContainment,
 
@@ -433,6 +436,7 @@ object SparkEntry {
     "q_sample_importance" -> Pipeline.oracleSampleImportance,
     "q_sample_fixed"      -> Pipeline.oracleSampleFixed,
     "q_corpus_drift"      -> Pipeline.oracleCorpusDrift,
+    "q_js_divergence"     -> Pipeline.oracleJsDivergence,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
     "q_sample_temperature" -> Pipeline.oracleSampleTemperature,
     "q_curriculum"        -> Pipeline.oracleCurriculum,

@@ -1205,6 +1205,90 @@ object Dedup {
        |SELECT doc_id, n_kept, n_dropped, ${h60Sql("clean")} AS clean_fp
        |FROM recon ORDER BY doc_id""".stripMargin
 
+  // ------------------------------- exact-substring dedup (unaligned spans)
+
+  /** Window width (words) for the overlapping exact-substring census.
+    * Same span length as [[SEG_N]] so the two gauges are comparable;
+    * the difference is the STRIDE (1 here vs SEG_N there). */
+  private[graft] val SUB_N = 8
+
+  /** (doc_id, sh) table of hashed OVERLAPPING stride-1 [[SUB_N]]-word
+    * windows — the full window set, one row per position, NOT
+    * deduplicated per doc (positional multiplicity is the quantity the
+    * census reports). Built with the slice+concat_ws lambda (one slice
+    * per eval) for the same interpreted-HOF reason as [[segmentTable]].
+    */
+  private[graft] def windowTable(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    words
+      .select(col("doc_id"),
+        when(size(col("w")) >= SUB_N,
+          transform(sequence(lit(1), size(col("w")) - (SUB_N - 1)),
+            i => concat_ws(" ", slice(col("w"), i, lit(SUB_N)))))
+          .otherwise(array().cast("array<string>")).as("wins"))
+      .select(col("doc_id"), explode(col("wins")).as("win"))
+      .select(col("doc_id"), h60(col("win")).as("sh"))
+  }
+
+  /** UNALIGNED exact-substring duplication census (`q_dedup_substring`):
+    * for every document, how many of its overlapping stride-1
+    * [[SUB_N]]-word windows occur verbatim in at least one OTHER
+    * document. This closes the blind spot [[qSegmentDedup]] has by
+    * construction: a copied passage shifted by even one word shares ZERO
+    * aligned segments with its source but every interior overlapping
+    * window — stride-1 windows are the exact-substring criterion of
+    * Lee et al. 2021 (any >= SUB_N-word substring duplicated elsewhere
+    * ⟺ >= 1 shared window), not its aligned approximation.
+    *
+    * Scale shape: windows leave the scan projection as 8-byte h60 keys
+    * (strings never shuffle); the first shuffle is the map-side-
+    * combinable (doc_id, sh) multiplicity count — a window repeated
+    * inside one doc collapses in the combiner. Window sharedness is
+    * decided on that already-reduced frame: because it is unique on
+    * (doc_id, sh), a plain `count >= 2` per sh IS the distinct-doc
+    * test (no countDistinct expand). The shared-hash frame joins back
+    * against the reduced per-doc frame — never the corpus — and the
+    * frame is cached across its two consumers (the segmentTable
+    * discipline). W rows per W-word doc vs segment's W/8 is the price
+    * of unaligned sensitivity; all of it is 12-byte rows.
+    */
+  def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringCensus(Tables.documents(s, dir))
+
+  private[graft] def substringCensus(docs: DataFrame): DataFrame = {
+    val perDoc = windowTable(docs)
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("m")).cache()
+    val shared = perDoc.groupBy("sh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("sh"), lit(1L).as("is_shared"))
+    perDoc.join(shared, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_windows"),
+        coalesce(sum(when(col("is_shared") === 1L, col("m"))), lit(0L))
+          .as("n_dup_windows"))
+      .withColumn("dup_frac", round(col("n_dup_windows") / col("n_windows"), 6))
+      .orderBy("doc_id")
+  }
+
+  val oracleDedupSubstring: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |win AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $SUB_N
+       |    THEN list_transform(generate_series(1, len(ws) - ${SUB_N - 1}),
+       |      i -> array_to_string(ws[i : i + ${SUB_N - 1}], ' '))
+       |    ELSE [] END) AS win
+       |  FROM w),
+       |pm AS (SELECT doc_id, ${h60Sql("win")} AS sh, count(*) AS m
+       |       FROM win GROUP BY 1, 2),
+       |sd AS (SELECT sh FROM pm GROUP BY sh HAVING count(*) >= 2)
+       |SELECT pm.doc_id,
+       |  CAST(sum(pm.m) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN sd.sh IS NOT NULL THEN pm.m ELSE 0 END) AS BIGINT)
+       |    AS n_dup_windows,
+       |  round(sum(CASE WHEN sd.sh IS NOT NULL THEN pm.m ELSE 0 END) * 1.0
+       |    / sum(pm.m), 6) AS dup_frac
+       |FROM pm LEFT JOIN sd ON pm.sh = sd.sh
+       |GROUP BY pm.doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- entity resolution
 
   /** Every ER_MODth customer re-enters the registry with a typo'd name. */

@@ -356,6 +356,92 @@ object Pipeline {
        |    abs(q.p75 - g.g75) / g.g75, abs(q.p90 - g.g90) / g.g90), 6) > $DRIFT_T AS drifted
        |FROM q, g ORDER BY q.source""".stripMargin
 
+  // -------------------------------------------- distributional divergence
+
+  /** Vocabulary size for the JS-divergence gauge: the global top-V terms
+    * carry the comparison, everything else folds into one OOV bucket so
+    * both distributions stay complete (mass sums to 1) and the per-source
+    * frame stays ENUM-SIZED regardless of corpus vocabulary. */
+  private[graft] val JS_V = 32
+
+  /** Jensen–Shannon divergence of each source's unigram distribution vs
+    * the whole corpus (`q_js_divergence`) — the standard symmetric,
+    * bounded (≤ ln 2) corpus-comparison readout; where `q_corpus_drift`
+    * compares LENGTH quantiles, this compares CONTENT. Distributions are
+    * restricted to the global top-[[JS_V]] terms (tie-broken by term) plus
+    * an out-of-vocabulary bucket, so both sides are complete probability
+    * vectors and a term present globally but absent in a source (p=0)
+    * contributes only through the q-side (0·ln 0 := 0). Natural log, the
+    * cross-engine `q_text_entropy` precedent.
+    *
+    * Scale shape: ONE shuffle touches corpus-scale data — the map-side-
+    * combinable (source, word) count, the same shape as vocabulary
+    * counting. The top-V selection, OOV fold, totals, and the JS sum all
+    * run on already-aggregated frames (per-source vocabulary at worst,
+    * |sources|×(V+1) at the end); the V-term list is broadcast.
+    */
+  def qJsDivergence(s: SparkSession, dir: String): DataFrame =
+    jsDivergence(Tables.documents(s, dir))
+
+  private[graft] def jsDivergence(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val sw = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .cache()
+    val topv = sw.groupBy("word").agg(sum("c").as("gc"))
+      .orderBy(col("gc").desc, col("word")).limit(JS_V)
+      .select(col("word"), lit(1).as("inv"))
+    val bySrc = sw.join(broadcast(topv), Seq("word"), "left")
+      .select(col("source"),
+        when(col("inv") === 1, col("word")).otherwise(lit("<OOV>")).as("term"),
+        col("c"))
+      .groupBy("source", "term").agg(sum("c").as("c"))
+    val glob = bySrc.groupBy("term").agg(sum("c").as("gc"))
+      .withColumn("gtot", sum("gc").over(w))
+    val srcTot = bySrc.groupBy("source").agg(sum("c").as("stot"))
+    val full = srcTot.crossJoin(broadcast(glob))
+      .join(bySrc, Seq("source", "term"), "left")
+      .withColumn("p", coalesce(col("c"), lit(0L)).cast("double") / col("stot"))
+      .withColumn("q", col("gc").cast("double") / col("gtot"))
+      .withColumn("mm", (col("p") + col("q")) / 2)
+    full.groupBy("source")
+      .agg(max("stot").as("n_tokens"),
+        round(sum(
+          when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / col("mm")))
+            .otherwise(lit(0d)) +
+          lit(0.5) * col("q") * log(col("q") / col("mm"))), 6).as("js"))
+      .orderBy("source")
+  }
+
+  val oracleJsDivergence: String =
+    s"""WITH sw AS (
+       |  SELECT source, word, count(*) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |topv AS (
+       |  SELECT word FROM (SELECT word, sum(c) AS gc FROM sw GROUP BY 1)
+       |  ORDER BY gc DESC, word LIMIT $JS_V),
+       |bysrc AS (
+       |  SELECT source,
+       |    CASE WHEN word IN (SELECT word FROM topv) THEN word ELSE '<OOV>' END AS term,
+       |    CAST(sum(c) AS BIGINT) AS c
+       |  FROM sw GROUP BY 1, 2),
+       |gv AS (SELECT term, CAST(sum(c) AS BIGINT) AS gc FROM bysrc GROUP BY 1),
+       |gt AS (SELECT CAST(sum(gc) AS BIGINT) AS gtot FROM gv),
+       |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS stot FROM bysrc GROUP BY 1),
+       |f AS (
+       |  SELECT st.source, st.stot,
+       |    coalesce(b.c, 0)::DOUBLE / st.stot AS p,
+       |    g.gc::DOUBLE / gt.gtot AS q,
+       |    (coalesce(b.c, 0)::DOUBLE / st.stot + g.gc::DOUBLE / gt.gtot) / 2 AS mm
+       |  FROM st CROSS JOIN gv g CROSS JOIN gt
+       |  LEFT JOIN bysrc b ON b.source = st.source AND b.term = g.term)
+       |SELECT source, max(stot) AS n_tokens,
+       |  round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / mm) ELSE 0 END
+       |            + 0.5 * q * ln(q / mm)), 6) AS js
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** Sequence packing — concatenate-and-chunk assignment of documents to
     * fixed token-budget training contexts: lay the corpus out as one
     * deterministic token stream per (source, shard) and cut every

@@ -134,6 +134,7 @@ object SparkEntry {
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     "q_k_anonymity"       -> Privacy.qKAnonymity _,
+    "q_t_closeness"       -> Privacy.qTCloseness _,
     // §2.6 multimodal + §2.1 metadata/lineage
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
     "q_media_header"       -> Multimodal.qMediaHeader _,
@@ -401,6 +402,7 @@ object SparkEntry {
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
     "q_k_anonymity"       -> Privacy.oracleKAnonymity,
+    "q_t_closeness"       -> Privacy.oracleTCloseness,
 
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
     "q_media_header"      -> Multimodal.oracleMediaHeader,

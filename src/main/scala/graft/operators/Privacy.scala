@@ -158,6 +158,122 @@ object Privacy {
     perLevel.mkString("", "\nUNION ALL\n", "\nORDER BY gen_level")
   }
 
+  // ------------------------------------------------------ t-closeness audit
+
+  /** t-closeness violation threshold: a QI group whose sensitive-value
+    * distribution sits further than T (in ordered-EMD) from the global
+    * distribution leaks attribute INFORMATION even when it is
+    * k-anonymous and l-diverse (skewness attack — "this group is
+    * almost all URGENT" re-identifies intent without re-identifying
+    * rows). 0.2 flags the skewed tail on the driver data. */
+  private[graft] val T_CLOSE = 0.2
+
+  /** t-closeness audit (`q_t_closeness`) — the third rung of the
+    * release ladder after [[qKAnonymity]]'s k and l rungs: for every
+    * QI group (level-1 generalization: nation × segment × 2000-wide
+    * balance band), the Earth Mover's Distance between the group's
+    * o_orderpriority distribution and the global one. Priorities are
+    * ordered categories with unit spacing, so EMD has the closed form
+    * (1/(k−1)) Σᵢ |cumP(i) − cumQ(i)| over the k ordered categories.
+    * Output is the release gate's summary: group count, max/mean EMD,
+    * and how many groups exceed [[T_CLOSE]].
+    *
+    * Scale shape: the fact table shuffles ONCE (orders ⨝ customer on
+    * custkey — broadcast dim at this SF, FK-partitioned beyond), then
+    * one map-side-combinable count to the (QI × k) frame. Everything
+    * after — the k-row grid completion per group, cumulative shares,
+    * the EMD fold — runs on windows over ≤k-row partitions of an
+    * already-aggregated frame, and the global distribution is a
+    * broadcast k-row frame. Nothing downstream grows with the fact.
+    */
+  def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val width = ANON_BANDS.last._2
+    val cust = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / width).cast("long").as("bal_band"))
+    val pop = Tables.orders(s, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("o_orderpriority").as("pri"))
+    tClosenessOf(pop)
+  }
+
+  /** [[qTCloseness]] over a prepared population frame with columns
+    * (c_nationkey, c_mktsegment, bal_band, pri). */
+  private[graft] def tClosenessOf(pop: DataFrame): DataFrame = {
+    val cnt = pop.groupBy("c_nationkey", "c_mktsegment", "bal_band", "pri")
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    // global ordered distribution (k rows, broadcast)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val priOrd = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy("pri").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val global = cnt.groupBy("pri").agg(sum("c").as("gc"))
+      .withColumn("gtot", sum("gc").over(all))
+      .withColumn("gcum", sum("gc").over(priOrd) / col("gtot"))
+      .select(col("pri"), col("gcum"))
+    val kCats = global.count()
+    // complete each group's k-row grid (absent priorities = 0)
+    val groups = cnt.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(sum("c").as("tot"))
+    val grid = groups.crossJoin(broadcast(global))
+      .join(cnt, Seq("c_nationkey", "c_mktsegment", "bal_band", "pri"), "left")
+      .withColumn("p", coalesce(col("c"), lit(0L)).cast("double") / col("tot"))
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+      .orderBy("pri").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val emd = grid
+      .withColumn("pcum", sum("p").over(byGrp))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg((sum(abs(col("pcum") - col("gcum"))) / (kCats - 1)).as("emd"))
+    emd.agg(
+      count(lit(1)).as("n_groups"),
+      lit(kCats).as("k_cats"),
+      round(max("emd"), 6).as("max_emd"),
+      round(avg("emd"), 6).as("avg_emd"),
+      sum((col("emd") > T_CLOSE).cast("long")).as("n_violating"))
+  }
+
+  val oracleTCloseness: String = {
+    val width = ANON_BANDS.last._2
+    s"""WITH pop AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / $width) AS BIGINT) AS bal_band,
+       |    o_orderpriority AS pri
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |cnt AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band, pri, count(*) AS c
+       |  FROM pop GROUP BY 1, 2, 3, 4),
+       |gl AS (
+       |  SELECT pri,
+       |    sum(gc) OVER (ORDER BY pri) / (sum(gc) OVER ()) AS gcum
+       |  FROM (SELECT pri, sum(c) AS gc FROM cnt GROUP BY 1)),
+       |kc AS (SELECT count(*) AS k FROM gl),
+       |grp AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band, CAST(sum(c) AS BIGINT) AS tot
+       |  FROM cnt GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT g.c_nationkey, g.c_mktsegment, g.bal_band, gl.pri, gl.gcum,
+       |    coalesce(cnt.c, 0)::DOUBLE / g.tot AS p
+       |  FROM grp g CROSS JOIN gl
+       |  LEFT JOIN cnt ON cnt.c_nationkey = g.c_nationkey
+       |    AND cnt.c_mktsegment = g.c_mktsegment
+       |    AND cnt.bal_band = g.bal_band AND cnt.pri = gl.pri),
+       |emd AS (
+       |  SELECT c_nationkey, c_mktsegment, bal_band,
+       |    sum(abs(pcum - gcum)) / (SELECT k - 1 FROM kc) AS emd
+       |  FROM (SELECT *, sum(p) OVER (
+       |          PARTITION BY c_nationkey, c_mktsegment, bal_band
+       |          ORDER BY pri) AS pcum
+       |        FROM grid)
+       |  GROUP BY 1, 2, 3)
+       |SELECT count(*) AS n_groups, (SELECT k FROM kc) AS k_cats,
+       |  round(max(emd), 6) AS max_emd, round(avg(emd), 6) AS avg_emd,
+       |  CAST(sum(CASE WHEN emd > $T_CLOSE THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violating
+       |FROM emd""".stripMargin
+  }
+
   val oraclePiiRedact: String = {
     // DuckDB single-quoted strings keep backslashes literal, so the
     // runtime pattern values interpolate into RE2 unchanged

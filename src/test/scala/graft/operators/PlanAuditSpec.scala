@@ -260,7 +260,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_sample_balanced" -> "min over the per-CLASS count frame",
         "q_sample_temperature" -> "share totals over the per-SOURCE frame",
         "q_curriculum" -> ("ntileExact's bucket-cumulative window: " +
-          "<=PCT_BUCKETS rows by construction"))
+          "<=PCT_BUCKETS rows by construction"),
+        "q_js_divergence" -> ("global-total window over the aggregated " +
+          "(top-V + OOV) term frame: <=JS_V+1 rows by construction"),
+        "q_t_closeness" -> ("global distribution cum/total windows over " +
+          "the k-category priority frame (k=|orderpriority| enum)"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

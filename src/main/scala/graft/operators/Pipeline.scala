@@ -364,6 +364,36 @@ object Pipeline {
     * frame stays ENUM-SIZED regardless of corpus vocabulary. */
   private[graft] val JS_V = 32
 
+  /** The out-of-vocabulary bucket's term name. (A corpus token literally
+    * spelled "<OOV>" would fold into the bucket; the synthetic corpus
+    * has none, and at worst the fold only coarsens the comparison.) */
+  private[graft] val JS_OOV = "<OOV>"
+
+  /** Trained term-distribution artifact: the corpus's global top-[[JS_V]]
+    * term shares plus the [[JS_OOV]] remainder (always present, possibly
+    * 0), summing to 1. This is the nightly reference a streaming drift
+    * monitor scores against (`StreamOps.driftScore`) — the
+    * `trainNoveltyBloom` pattern: train on the batch corpus, broadcast
+    * as a literal, score streams statelessly. The collect is of an
+    * enum-sized (V+1-row) frame; the corpus-scale work is the same ONE
+    * map-side-combinable word count [[jsDivergence]] runs.
+    */
+  def trainTermDistribution(docs: DataFrame): Map[String, Double] = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val sw = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val topv = sw.orderBy(col("c").desc, col("word")).limit(JS_V)
+      .select(col("word"), lit(1).as("inv"))
+    val terms = sw.join(broadcast(topv), Seq("word"), "left")
+      .select(when(col("inv") === 1, col("word")).otherwise(lit(JS_OOV)).as("term"),
+        col("c"))
+      .groupBy("term").agg(sum("c").as("c"))
+      .withColumn("q", col("c").cast("double") / sum("c").over(w))
+    val m = terms.select("term", "q").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    if (m.contains(JS_OOV)) m else m + (JS_OOV -> 0.0)
+  }
+
   /** Jensen–Shannon divergence of each source's unigram distribution vs
     * the whole corpus (`q_js_divergence`) — the standard symmetric,
     * bounded (≤ ln 2) corpus-comparison readout; where `q_corpus_drift`

@@ -143,6 +143,65 @@ object StreamOps {
       .withColumn("novelty", round(col("unseen_grams") / col("total_grams"), 6))
   }
 
+  /** Streaming content-drift scoring — the incremental twin of
+    * `Pipeline.qJsDivergence`: each arriving document's unigram
+    * distribution (over the TRAINED reference vocabulary
+    * `Pipeline.trainTermDistribution` — top-V terms + OOV bucket,
+    * injected as a literal map) is compared to the reference by
+    * Jensen–Shannon divergence, entirely as ONE STATELESS projection —
+    * no state store, no shuffle, identical on batch and stream. Both
+    * sides are complete distributions (every doc token folds into a
+    * reference term or OOV), so js ∈ [0, ln 2] with js = ln 2 exactly
+    * for fully-disjoint content and 0 for a doc mirroring the
+    * reference. Zero-side terms contribute only through the other side
+    * (0·ln 0 := 0 on both p and q).
+    *
+    * Cost per doc is O(V · |words|) interpreted-lambda work on the
+    * already-materialized words attribute — V is a constant (33), so
+    * the scorer scales exactly like any per-row projection.
+    */
+  def driftScore(docs: DataFrame, ref: Map[String, Double]): DataFrame = {
+    import graft.operators.Pipeline.JS_OOV
+    val refMap = typedLit(ref)
+    docs
+      .withColumn("__dr_w", split(col("text"), " "))
+      .filter(size(col("__dr_w")) > 0)
+      .withColumn("__dr_n", size(col("__dr_w")).cast("double"))
+      .withColumn("js", round(aggregate(map_entries(refMap), lit(0.0), (acc, e) => {
+        val t = e.getField("key")
+        val q = e.getField("value")
+        val c = when(t === lit(JS_OOV),
+            size(filter(col("__dr_w"), x => isnull(element_at(refMap, x)))))
+          .otherwise(size(filter(col("__dr_w"), x => x === t)))
+        val p = c.cast("double") / col("__dr_n")
+        val m = (p + q) / lit(2.0)
+        acc +
+          when(p > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+          when(q > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+      }), 6))
+      .withColumn("n_tokens", col("__dr_n").cast("long"))
+      .drop("__dr_w", "__dr_n")
+  }
+
+  /** Windowed drift monitor over [[driftScore]]: per tumbling hour, the
+    * doc count and mean/max per-doc JS vs the trained reference — the
+    * alerting readout a corpus-ingest pipeline watches (a re-crawl of
+    * known content trends to 0, a topic shift or junk flood pushes the
+    * window mean up). One stateful op (the windowed agg, append mode,
+    * state bounded by open windows); the scorer itself is stateless.
+    * Works identically on a static frame (watermark no-op).
+    */
+  def driftMonitor(docs: DataFrame, ref: Map[String, Double],
+      delay: String = "1 hour"): DataFrame =
+    driftScore(docs, ref)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("js"), 6).as("avg_js"),
+        round(max("js"), 6).as("max_js"))
+      .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
+        col("n_docs"), col("avg_js"), col("max_js"))
+
   /** One doc in one LSH band bucket (streaming near-dup input row). */
   case class BandDoc(band: Int, h1: Long, h2: Long, doc_id: Long,
       sig: Seq[Long], ts: java.sql.Timestamp)

@@ -68,6 +68,7 @@ object SparkEntry {
     "q_cdc_apply"       -> Warehouse.qCdcApply _,
     "q_merge_upsert"    -> Warehouse.qMergeUpsert _,
     "q_incremental_agg" -> Warehouse.qIncrementalAgg _,
+    "q_snapshot_diff"   -> Warehouse.qSnapshotDiff _,
     // §2.2 events
     "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
@@ -289,6 +290,7 @@ object SparkEntry {
     "q_cdc_apply"         -> Warehouse.oracleCdcApply,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,
     "q_incremental_agg"   -> Warehouse.oracleIncrementalAgg,
+    "q_snapshot_diff"     -> Warehouse.oracleSnapshotDiff,
 
     "q_conditional_pivot" ->
       """SELECT o_orderpriority,

@@ -251,4 +251,92 @@ object Warehouse {
       | true AS matches_full
       |FROM orders WHERE o_orderdate < TIMESTAMP '2001-07-01'
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------- snapshot diff
+
+  /** Snapshot diff (`q_snapshot_diff`) — the table-regression readout a
+    * warehouse runs between two snapshots of the same entity (yesterday's
+    * load vs today's): keyed full-outer join, rows classified
+    * added/removed/changed/unchanged, plus PER-COLUMN change counts (which
+    * columns actually moved — the first question when a diff is nonzero).
+    * The second snapshot is synthesized deterministically from the base
+    * (the [[qMergeUpsert]] discipline, one extra residue class so TWO
+    * columns change independently): keys ≡3 (mod 13) dropped, keys ≡0
+    * (mod 7) get +10.00 price, keys ≡7 (mod 19) get status 'X', keys ≡5
+    * (mod 11) insert under the disjoint +10M key range.
+    *
+    * Scale shape: ONE co-partitioned key-equality full-outer shuffle join
+    * between the snapshots (the exact plan a bucketed-by-key layout runs
+    * with zero exchange — see BucketedJoinSpec), followed by a
+    * map-side-combinable fold to a 1-row frame. Null-safe comparisons
+    * (`<=>`) make the classifier total; all outputs are exact counts —
+    * no float surface.
+    */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val t0 = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+    val t1 = t0.filter(col("k") % 13 =!= 3)
+      .select(col("k"),
+        when(col("k") % 7 === 0, col("price") + 10.0).otherwise(col("price")).as("price"),
+        when(col("k") % 19 === 7, lit("X")).otherwise(col("status")).as("status"))
+      .unionByName(
+        t0.filter(col("k") % 11 === 5)
+          .select((col("k") + 10000000L).as("k"), col("price"), col("status")))
+    snapshotDiff(t0, t1, Seq("price", "status"))
+  }
+
+  /** Generic two-snapshot diff over a shared key column `k` and the given
+    * compared columns (t1's columns arrive suffixed `_1` internally). */
+  private[graft] def snapshotDiff(t0: DataFrame, t1: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val r = t1.columns.foldLeft(t1)((d, c) =>
+      if (c == "k") d else d.withColumnRenamed(c, c + "_1"))
+      .withColumn("__in1", lit(1))
+    val j = t0.withColumn("__in0", lit(1)).join(r, Seq("k"), "full_outer")
+    val inT0 = col("__in0").isNotNull
+    val inT1 = col("__in1").isNotNull
+    val anyChange = cols.map(c => !(col(c) <=> col(c + "_1"))).reduce(_ || _)
+    val perCol = cols.map(c =>
+      sum((inT0 && inT1 && !(col(c) <=> col(c + "_1"))).cast("long"))
+        .as(s"n_${c}_changed"))
+    val aggs =
+      sum(inT0.cast("long")) :: sum(inT1.cast("long")) ::
+        sum((!inT0 && inT1).cast("long")) :: sum((inT0 && !inT1).cast("long")) ::
+        sum((inT0 && inT1 && anyChange).cast("long")) ::
+        sum((inT0 && inT1 && !anyChange).cast("long")) :: perCol.toList
+    j.agg(aggs.head, aggs.tail: _*)
+      .toDF(Seq("n_t0", "n_t1", "n_added", "n_removed", "n_changed",
+        "n_unchanged") ++ cols.map(c => s"n_${c}_changed"): _*)
+  }
+
+  val oracleSnapshotDiff: String =
+    """WITH t0 AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      |  FROM orders),
+      |t1 AS (
+      |  SELECT k,
+      |    CASE WHEN k % 7 = 0 THEN price + 10.0 ELSE price END AS price,
+      |    CASE WHEN k % 19 = 7 THEN 'X' ELSE status END AS status
+      |  FROM t0 WHERE k % 13 <> 3
+      |  UNION ALL
+      |  SELECT k + 10000000, price, status FROM t0 WHERE k % 11 = 5),
+      |j AS (
+      |  SELECT t0.k AS k0, t1.k AS k1,
+      |    t0.price AS p0, t1.price AS p1, t0.status AS s0, t1.status AS s1
+      |  FROM t0 FULL OUTER JOIN t1 ON t0.k = t1.k)
+      |SELECT
+      |  CAST(sum(CASE WHEN k0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+      |  CAST(sum(CASE WHEN k1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+      |  CAST(sum(CASE WHEN k0 IS NULL AND k1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN k0 IS NOT NULL AND k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL
+      |    AND (p0 IS DISTINCT FROM p1 OR s0 IS DISTINCT FROM s1) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL
+      |    AND p0 IS NOT DISTINCT FROM p1 AND s0 IS NOT DISTINCT FROM s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |  CAST(sum(CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL
+      |    AND p0 IS DISTINCT FROM p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed,
+      |  CAST(sum(CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL
+      |    AND s0 IS DISTINCT FROM s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_status_changed
+      |FROM j""".stripMargin
 }

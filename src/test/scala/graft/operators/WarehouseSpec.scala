@@ -133,4 +133,44 @@ class WarehouseSpec extends AnyFunSpec with SparkTestBase {
       assert(months.exists(_.startsWith("2001-06")), s"delta month missing: $months")
     }
   }
+
+  describe("q_snapshot_diff (keyed two-snapshot diff)") {
+
+    import spark.implicits._
+
+    def diffRow(t0: org.apache.spark.sql.DataFrame, t1: org.apache.spark.sql.DataFrame) = {
+      val r = Warehouse.snapshotDiff(t0, t1, Seq("price", "status")).collect().head
+      (0 to 7).map(r.getLong).toList // t0, t1, add, rem, chg, unchg, pchg, schg
+    }
+
+    it("an identical snapshot diffs to all-unchanged") {
+      val t = Seq((1L, 1.0, "A"), (2L, 2.0, "B")).toDF("k", "price", "status")
+      assert(diffRow(t, t) == List(2, 2, 0, 0, 0, 2, 0, 0))
+    }
+
+    it("classifies add/remove/change and counts per-column moves once each") {
+      val t0 = Seq((1L, 1.0, "A"), (2L, 2.0, "B"), (3L, 3.0, "C")).toDF("k", "price", "status")
+      // 1: both columns change (counted once in n_changed, once per column);
+      // 2: removed; 4: added
+      val t1 = Seq((1L, 9.0, "Z"), (3L, 3.0, "C"), (4L, 4.0, "D")).toDF("k", "price", "status")
+      assert(diffRow(t0, t1) == List(3, 3, 1, 1, 1, 1, 1, 1))
+    }
+
+    it("is null-safe: null→value and value→null transitions count as changes") {
+      val t0 = Seq((1L, Option(1.0), "A"), (2L, Option.empty[Double], "B"))
+        .toDF("k", "price", "status")
+      val t1 = Seq((1L, Option.empty[Double], "A"), (2L, Option(2.0), "B"))
+        .toDF("k", "price", "status")
+      assert(diffRow(t0, t1) == List(2, 2, 0, 0, 2, 0, 2, 0))
+    }
+
+    it("on the sf tables the diff algebra closes") {
+      val r = Warehouse.qSnapshotDiff(spark, sfDir).collect().head
+      val List(t0, t1, add, rem, chg, unchg, pchg, schg) = (0 to 7).map(r.getLong).toList
+      assert(t1 == t0 - rem + add)
+      assert(chg + unchg == t0 - rem)
+      assert(pchg <= chg && schg <= chg && chg <= pchg + schg)
+      assert(add > 0 && rem > 0 && chg > 0 && unchg > 0, "every class non-vacuous")
+    }
+  }
 }

@@ -185,6 +185,7 @@ object SparkEntry {
     "q_knn_outlier"       -> Similarity.qKnnOutlier _,
     "q_erasure_audit"     -> Privacy.qErasureAudit _,
     "q_link_predict"      -> Graph.qLinkPredict _,
+    "q_degree_dist"       -> Graph.qDegreeDist _,
     "q_entity_resolution" -> Dedup.qEntityResolution _,
     "q_dp_release"        -> Privacy.qDpRelease _,
     "q_label_noise"       -> Similarity.qLabelNoise _
@@ -452,6 +453,7 @@ object SparkEntry {
     "q_knn_outlier"       -> Similarity.oracleKnnOutlier,
     "q_erasure_audit"     -> Privacy.oracleErasureAudit,
     "q_link_predict"      -> Graph.oracleLinkPredict,
+    "q_degree_dist"       -> Graph.oracleDegreeDist,
     "q_entity_resolution" -> Dedup.oracleEntityResolution,
     "q_dp_release"        -> Privacy.oracleDpRelease,
     "q_label_noise"       -> Similarity.oracleLabelNoise

@@ -1218,17 +1218,26 @@ object Dedup {
     * census reports). Built with the slice+concat_ws lambda (one slice
     * per eval) for the same interpreted-HOF reason as [[segmentTable]].
     */
-  private[graft] def windowTable(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    words
+  /** (doc_id, sh) stream of hashed overlapping windows, built WITHOUT an
+    * interpreted lambda anywhere on the hot path: the generator explodes
+    * only the POSITION sequence (a cheap int array — so the inferred
+    * Generate filter re-evaluates integers, not string work), and the
+    * window string + h60 run as a post-explode codegen projection
+    * (`slice`+`concat_ws`+`md5` on the materialized words attribute).
+    * The naive alias-the-window-array shape lets the inferred filter be
+    * substituted through both projections down to the scan, where every
+    * slice reference re-splits the raw text per lambda eval — O(W²) per
+    * doc, measured 4.6 s vs 1.6 s at sf0.1 for this census (the
+    * q_ngram_novelty lesson, one step further: even the well-shaped
+    * lambda build pays 3 interpreted array builds per doc under the
+    * inferred filter; the position-explode shape pays none). */
+  private[graft] def windowTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SUB_N)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (SUB_N - 1))).as("i"))
       .select(col("doc_id"),
-        when(size(col("w")) >= SUB_N,
-          transform(sequence(lit(1), size(col("w")) - (SUB_N - 1)),
-            i => concat_ws(" ", slice(col("w"), i, lit(SUB_N)))))
-          .otherwise(array().cast("array<string>")).as("wins"))
-      .select(col("doc_id"), explode(col("wins")).as("win"))
-      .select(col("doc_id"), h60(col("win")).as("sh"))
-  }
+        h60(concat_ws(" ", slice(col("w"), col("i"), lit(SUB_N)))).as("sh"))
 
   /** UNALIGNED exact-substring duplication census (`q_dedup_substring`):
     * for every document, how many of its overlapping stride-1
@@ -1255,15 +1264,22 @@ object Dedup {
   def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
     substringCensus(Tables.documents(s, dir))
 
+  /** Sharedness is decided by `min(doc) ≠ max(doc)` per window hash — a
+    * 2-cell map-side-combinable aggregate (no countDistinct expand, no
+    * per-(doc, sh) pre-grouping: that extra shuffle reduced nothing on
+    * real corpora, where within-doc window repeats are rare, and the
+    * min≠max test is immune to them anyway). The window stream is
+    * cached across its two consumers (frequency agg + join back). */
   private[graft] def substringCensus(docs: DataFrame): DataFrame = {
-    val perDoc = windowTable(docs)
-      .groupBy("doc_id", "sh").agg(count(lit(1)).as("m")).cache()
-    val shared = perDoc.groupBy("sh").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("sh"), lit(1L).as("is_shared"))
-    perDoc.join(shared, Seq("sh"), "left")
+    val wins = windowTable(docs).cache()
+    val shared = wins.groupBy("sh")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select(col("sh"), lit(1L).as("is_shared"))
+    wins.join(shared, Seq("sh"), "left")
       .groupBy("doc_id")
-      .agg(sum("m").as("n_windows"),
-        coalesce(sum(when(col("is_shared") === 1L, col("m"))), lit(0L))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(when(col("is_shared") === 1L, 1L)), lit(0L))
           .as("n_dup_windows"))
       .withColumn("dup_frac", round(col("n_dup_windows") / col("n_windows"), 6))
       .orderBy("doc_id")

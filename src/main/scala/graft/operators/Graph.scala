@@ -554,4 +554,53 @@ object Graph {
        |  round(aa_raw, 6) AS adamic_adar
        |FROM scored JOIN deg dx ON scored.x = dx.u JOIN deg dy ON scored.y = dy.u
        |ORDER BY adamic_adar DESC, x, y LIMIT $LP_TOP""".stripMargin
+
+  // ----------------------------------------------------- degree distribution
+
+  /** Degree distribution (`q_degree_dist`) of the customer–supplier
+    * trading graph, log2-binned — the first structural readout of any
+    * large graph (power-law vs flat tells you whether hub-aware
+    * partitioning/salting is needed before running anything iterative
+    * on it). Bin = position of the degree's highest set bit, computed
+    * INTEGER-EXACTLY as `length(conv(deg, 10, 2)) - 1` (binary-string
+    * length), never `floor(log2(x))` — a 1-ulp libm log2 drift at an
+    * exact power of two would flip the bin cross-engine.
+    *
+    * Scale shape: the pair aggregate is map-side combinable off the
+    * fact join's one shuffle; degrees are a count over the distinct
+    * pair frame (already reduced); the bin histogram is an enum-sized
+    * fold. Per-side node labels (`c`/`s` prefixes) keep the bipartite
+    * sides distinguishable in one frame.
+    */
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .distinct()
+    val deg = pairs.select(col("cnode").as("node"))
+      .unionByName(pairs.select(col("snode").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .withColumn("side", substring(col("node"), 1, 1))
+    deg
+      .withColumn("bin", (length(conv(col("deg"), 10, 2)) - 1).cast("long"))
+      .groupBy("side", "bin")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("side", "bin")
+  }
+
+  val oracleDegreeDist: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cnode,
+      |         's' || CAST(l_suppkey AS VARCHAR) AS snode
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg AS (
+      |  SELECT node, count(*) AS deg, substr(node, 1, 1) AS side
+      |  FROM (SELECT cnode AS node FROM pairs
+      |        UNION ALL SELECT snode FROM pairs)
+      |  GROUP BY node)
+      |SELECT side, CAST(length(bin(deg)) - 1 AS BIGINT) AS bin,
+      |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+      |FROM deg GROUP BY 1, 2 ORDER BY side, bin""".stripMargin
 }

@@ -72,6 +72,7 @@ object SparkEntry {
     // §2.2 events
     "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
+    "q_session_paths"     -> EventOps.qSessionPaths _,
     "q_asof_join"         -> EventOps.qAsofJoin _,
     "q_events_funnel"     -> EventOps.qEventsFunnel _,
     "q_markov_transitions" -> EventOps.qMarkovTransitions _,
@@ -331,6 +332,8 @@ object SparkEntry {
         | round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec,
         | round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_session_paths" -> EventOps.oracleSessionPaths,
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),

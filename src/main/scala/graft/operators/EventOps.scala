@@ -595,4 +595,78 @@ object EventOps {
       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
       |  CAST(sum(CAST(round(1.0::DOUBLE / nseg, 9) AS DECIMAL(18,9))) AS DOUBLE) AS linear
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------- session paths
+
+  /** Events per session the path string keeps (the classic path-analysis
+    * truncation — long sessions share their prefix). */
+  private[graft] val PATH_CAP = 8
+  private[graft] val PATH_TOP = 15
+
+  /** Session path mining (`q_session_paths`): the top event-type
+    * SEQUENCES users actually walk ("view>view>purchase"), the product
+    * readout funnels approximate with fixed stages. Sessions are the
+    * same 30-minute-gap construction as [[qEventsSessionize]]; each
+    * session's first [[PATH_CAP]] event types (by event time) join into
+    * a path string, reported with session counts and mean session
+    * length, top [[PATH_TOP]] by frequency.
+    *
+    * Scale shape: ONE shuffle on user_id (the session window);
+    * the per-session fold reuses that partitioning (user_id clusters
+    * (user_id, sess_id) — no second exchange) and its collect_list is
+    * bounded by session length (the watermarked-stream twin bounds it
+    * by the horizon); the path frequency agg shuffles only the
+    * |distinct paths| frame, and top-K is TakeOrdered, never a global
+    * sort.
+    */
+  def qSessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPathsOf(events(s, dir))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PATH_TOP)
+
+  /** The full (path, n_sessions, avg_len) frame before the top-K cut,
+    * over any (user_id, event_id, ts, event_type) events frame. */
+  private[graft] def sessionPathsOf(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tsSec  = col("ts").cast("double")
+    val newSess = when(
+      lag(tsSec, 1).over(byUser).isNull ||
+        tsSec - lag(tsSec, 1).over(byUser) > 1800d, 1).otherwise(0)
+    val paths = ev
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        newSess.as("new_sess"))
+      .withColumn("sess_id",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        concat_ws(">", slice(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          1, PATH_CAP)).as("path"),
+        count(lit(1)).as("len"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"), round(avg("len"), 6).as("avg_len"))
+  }
+
+  val oracleSessionPaths: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |  make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+       |x AS (SELECT user_id, event_id, event_type, ts,
+       |  CASE WHEN lag(ts) OVER w IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+       |       THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (SELECT user_id, event_id, event_type, ts,
+       |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+       |  FROM x),
+       |p AS (
+       |  SELECT user_id, sess_id,
+       |    array_to_string(list_slice(list(event_type ORDER BY ts, event_id),
+       |      1, $PATH_CAP), '>') AS path,
+       |    count(*) AS len
+       |  FROM s GROUP BY user_id, sess_id)
+       |SELECT path, count(*) AS n_sessions, round(avg(len), 6) AS avg_len
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT $PATH_TOP""".stripMargin
 }

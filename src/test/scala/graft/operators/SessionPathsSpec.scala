@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** Session path mining (`q_session_paths`): gap-splitting, event-time
+  * ordering, path truncation, and census conservation against the
+  * sessionizer.
+  */
+class SessionPathsSpec extends AnyFunSpec with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  private def pathsOf(rows: Seq[(Long, Long, java.sql.Timestamp, String)]) =
+    EventOps.sessionPathsOf(rows.toDF("user_id", "event_id", "ts", "event_type"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  describe("sessionPathsOf") {
+
+    it("splits on the 30-minute gap and orders by event time within a session") {
+      val got = pathsOf(Seq(
+        (1L, 2L, ts(100), "B"), // out-of-order arrival: ts decides the path
+        (1L, 1L, ts(50), "A"),
+        (1L, 3L, ts(50 + 1801 + 100), "C"))) // past the gap -> new session
+      assert(got == Map("A>B" -> ((1L, 2.0)), "C" -> ((1L, 1.0))))
+    }
+
+    it("truncates the path at PATH_CAP but counts the full session length") {
+      val rows = (1 to 12).map(i => (1L, i.toLong, ts(i * 10L), s"e$i"))
+      val got = pathsOf(rows)
+      val (path, (n, len)) = got.head
+      assert(got.size == 1 && n == 1L && len == 12.0)
+      assert(path == (1 to EventOps.PATH_CAP).map(i => s"e$i").mkString(">"),
+        s"path must keep the first ${EventOps.PATH_CAP} events: $path")
+    }
+
+    it("ties (same ts) break by event_id, deterministically") {
+      val got = pathsOf(Seq(
+        (1L, 2L, ts(100), "B"), (1L, 1L, ts(100), "A")))
+      assert(got.keySet == Set("A>B"))
+    }
+
+    it("on the sf events: session census conserves against the sessionizer") {
+      val full = EventOps.sessionPathsOf(EventOps.events(spark, sfDir))
+      val nSessions = full.agg(sum("n_sessions")).head().getLong(0)
+      val direct = EventOps.qEventsSessionize(spark, sfDir).count()
+      assert(nSessions == direct,
+        s"paths cover $nSessions sessions, sessionizer has $direct")
+      // every reported path depth respects the cap
+      val maxDepth = full
+        .select(max(size(split(col("path"), ">")))).head().getInt(0)
+      assert(maxDepth <= EventOps.PATH_CAP)
+    }
+  }
+}

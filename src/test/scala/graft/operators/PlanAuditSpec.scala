@@ -216,7 +216,12 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // crossJoin onto the checkpointed source snapshot — range stats
         // (referenced by both the histogram and boundary-rank branches)
         // and the collapsed boundary-keys row
-        "q_order_gaps", "q_curriculum")
+        "q_order_gaps", "q_curriculum",
+        // q_js_divergence crossJoins the broadcast (top-V + OOV)-row
+        // term frame (<=33 rows by construction) onto the per-source
+        // totals; q_t_closeness crossJoins the broadcast k-row global
+        // priority distribution onto the QI-group frame
+        "q_js_divergence", "q_t_closeness")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -133,6 +133,7 @@ object SparkEntry {
     "q_text_lm_score"     -> TextAnalysis.qTextLmScore _,
     "q_bm25"              -> TextAnalysis.qBm25 _,
     "q_text_entropy"      -> TextAnalysis.qTextEntropy _,
+    "q_zipf_fit"          -> TextAnalysis.qZipfFit _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     "q_k_anonymity"       -> Privacy.qKAnonymity _,
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_multimodal_meta"    -> Multimodal.qMultimodalMeta _,
     "q_media_header"       -> Multimodal.qMediaHeader _,
     "q_media_frames"       -> Multimodal.qMediaFrames _,
+    "q_media_phash"        -> Multimodal.qMediaPhash _,
     "q_meta_profile"       -> ((s, d) => MetadataExtractor.qMetaProfile(s, d)),
     "q_lineage_selfcheck"  -> ((s, d) => graft.lineage.SelfCheck.qLineageSelfcheck(s, d)),
     // sources: non-parquet formats, value-fidelity round-trips
@@ -405,6 +407,7 @@ object SparkEntry {
     "q_text_lm_score"     -> TextAnalysis.oracleTextLmScore,
     "q_bm25"              -> TextAnalysis.oracleBm25,
     "q_text_entropy"      -> TextAnalysis.oracleTextEntropy,
+    "q_zipf_fit"          -> TextAnalysis.oracleZipfFit,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
     "q_k_anonymity"       -> Privacy.oracleKAnonymity,
@@ -413,6 +416,7 @@ object SparkEntry {
     "q_multimodal_meta"   -> Multimodal.oracleMultimodalMeta,
     "q_media_header"      -> Multimodal.oracleMediaHeader,
     "q_media_frames"      -> Multimodal.oracleMediaFrames,
+    "q_media_phash"       -> Multimodal.oracleMediaPhash,
     "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,
     "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck,
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,

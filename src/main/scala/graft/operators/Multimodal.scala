@@ -311,4 +311,100 @@ object Multimodal {
        |  CAST(('0x' || substr(frame_hex, 1, 2)) AS UBIGINT)::BIGINT AS first_byte
        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
   }
+
+  // ----------------------------------------------------- perceptual near-dup
+
+  /** dHash geometry: a 7×9 "pixel" grid sampled from the payload (the
+    * decode stub: pixel = byte value at a deterministic stride-7 offset;
+    * a real codec would downscale the decoded image to the same grid),
+    * 7×8 = 56 horizontal-gradient bits packed into one BIGINT. */
+  private[graft] val PH_ROWS = 7
+  private[graft] val PH_COLS = 9
+  /** LSH bands over the 56-bit hash (14 bits each): pairs within
+    * hamming ≤ bands−1 = 3 are GUARANTEED a shared band (pigeonhole);
+    * beyond that recall is the standard banded-LSH trade-off. */
+  private[graft] val PH_BANDS = 4
+  /** Pair-report hamming ceiling. */
+  private[graft] val PH_T = 8
+
+  /** The 56-bit dHash of a text payload as ONE fold — high-bit-first
+    * `acc·2 + bit`, so no variable shifts; every pixel read is plain
+    * substr/ascii arithmetic both engines share. */
+  private[graft] def dhash(text: Column): Column = {
+    val len = length(text)
+    def px(idx: Column) =
+      ascii(text.substr((lit(1) + (idx * 7) % (len - 1)).cast("int"), lit(1))).cast("long")
+    aggregate(
+      sequence(lit(PH_ROWS * 8 - 1), lit(0), lit(-1)),
+      lit(0L),
+      (acc, i) => {
+        val r = ((i - pmod(i, lit(8))) / lit(8)).cast("long")
+        val c = pmod(i, lit(8)).cast("long")
+        val a = px(r * PH_COLS + c)
+        val b = px(r * PH_COLS + c + 1)
+        acc * 2 + when(a > b, 1L).otherwise(0L)
+      })
+  }
+
+  /** Perceptual-hash near-dup pairs (`q_media_phash`) — the multimodal
+    * dedup rung: media near-dup detection runs on PERCEPTUAL hashes of
+    * decoded content (dHash: downscale → horizontal gradient bits),
+    * not on byte digests, so re-encodes and small edits still collide.
+    * The decode is the charter's deterministic stub (strided byte
+    * sampling stands in for downscaled pixels); everything around it —
+    * the gradient hash, 14-bit LSH banding, candidate equality join,
+    * exact hamming verify — is the real production shape.
+    *
+    * Scale shape: the hash is one bounded per-row fold (112 byte reads),
+    * candidates come ONLY from band-equality joins (4 rows per doc —
+    * never pairs²), the verify is one bit_count over the 8-byte hashes,
+    * and band-duplicate candidates collapse by the (a, b) key before
+    * scoring. Exact recall for hamming ≤ PH_BANDS−1, banded-LSH recall
+    * above (documented; the oracle implements the SAME banding).
+    */
+  def qMediaPhash(s: SparkSession, dir: String): DataFrame =
+    phashPairs(Tables.documents(s, dir))
+
+  private[graft] def phashPairs(docs: DataFrame): DataFrame = {
+    val h = docs
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), dhash(col("text")).as("dh"))
+    // band value = (dh >> 14·band) mod 2^14 — static shifts, exact ints
+    val banded = h.select(col("doc_id"), col("dh"),
+        posexplode(array((0 until PH_BANDS).map(b =>
+          pmod(shiftrightunsigned(col("dh"), b * 14), lit(16384L))): _*))
+          .as(Seq("band", "bval")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.dh").as("dha"), col("y.dh").as("dhb"))
+      .distinct()
+    cand
+      .withColumn("ham", bit_count(col("dha").bitwiseXOR(col("dhb"))).cast("long"))
+      .filter(col("ham") <= PH_T)
+      .select(col("doc_a"), col("doc_b"), col("ham"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val oracleMediaPhash: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(0::BIGINT, generate_series(${PH_ROWS * 8 - 1}, 0, -1)),
+       |    (acc, i) -> acc * 2 + CASE WHEN
+       |      ascii(substr(text, (1 + (((i // 8) * $PH_COLS + (i % 8)) * 7) % (length(text) - 1))::INT, 1)) >
+       |      ascii(substr(text, (1 + (((i // 8) * $PH_COLS + (i % 8) + 1) * 7) % (length(text) - 1))::INT, 1))
+       |      THEN 1 ELSE 0 END) AS dh
+       |  FROM documents WHERE length(text) >= 2),
+       |banded AS (
+       |  SELECT doc_id, dh, band, (dh >> (band * 14)) % 16384 AS bval
+       |  FROM h, unnest(generate_series(0, ${PH_BANDS - 1})) t(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.dh AS dha, y.dh AS dhb
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(dha, dhb)) AS BIGINT) AS ham
+       |FROM cand WHERE bit_count(xor(dha, dhb)) <= $PH_T
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -1003,4 +1003,74 @@ object TextAnalysis {
     s"""WITH $bm25SqlCtes
        |SELECT doc_id, score FROM bmscore
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------- zipf slope
+
+  /** Head size for the Zipf fit: the power-law regime lives in the head;
+    * the tail is plateaued hapax noise that would bias the slope. */
+  private[graft] val ZIPF_N = 100
+
+  /** Zipf rank–frequency fit (`q_zipf_fit`) — the corpus-health gauge:
+    * natural text follows freq ∝ rank^s with s ≈ −1; a much flatter
+    * slope says template/boilerplate flooding, a much steeper one says
+    * collapsed vocabulary (the generated-text smell). OLS of ln(freq)
+    * on ln(rank) over the top-[[ZIPF_N]] terms, with r² as the
+    * power-law goodness.
+    *
+    * Scale shape: ONE corpus-scale shuffle (the word count,
+    * map-side-combinable); the head is TakeOrdered([[ZIPF_N]]), the
+    * rank a row_number over that ≤[[ZIPF_N]]-row frame (bounded global
+    * window, whitelisted), and the fit one fold to a 1-row frame. The
+    * ln calls are the only libm surface; OLS sums amplify a 1-ulp
+    * drift nowhere near the 6th decimal at n=100.
+    */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfFitOf(Tables.documents(s, dir))
+
+  private[graft] def zipfFitOf(docs: DataFrame): DataFrame = {
+    val ranked = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w")).limit(ZIPF_N)
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("c"), col("w"))))
+    val sums = ranked
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sx2") - col("sx") * col("sx"))
+    sums.select(
+      col("n").cast("long").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+      round(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sx2") - col("sx") * col("sx")) *
+            (col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  val oracleZipfFit: String =
+    s"""WITH ranked AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+       |  FROM (SELECT w, count(*) AS c
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        GROUP BY w)
+       |  ORDER BY c DESC, w LIMIT $ZIPF_N),
+       |pts AS (SELECT ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM ranked),
+       |s AS (
+       |  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x*y) AS sxy, sum(x*x) AS sx2, sum(y*y) AS sy2
+       |  FROM pts)
+       |SELECT CAST(n AS BIGINT) AS n_terms,
+       |  round((n*sxy - sx*sy) / (n*sx2 - sx*sx), 6) AS slope,
+       |  round((sy - ((n*sxy - sx*sy) / (n*sx2 - sx*sx)) * sx) / n, 6) AS intercept,
+       |  round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+       |    / ((n*sx2 - sx*sx) * (n*sy2 - sy*sy)), 6) AS r2
+       |FROM s""".stripMargin
 }

@@ -268,6 +268,8 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
           "<=PCT_BUCKETS rows by construction"),
         "q_js_divergence" -> ("global-total window over the aggregated " +
           "(top-V + OOV) term frame: <=JS_V+1 rows by construction"),
+        "q_zipf_fit" -> ("rank row_number over the TakeOrdered head: " +
+          "<=ZIPF_N rows by construction"),
         "q_t_closeness" -> ("global distribution cum/total windows over " +
           "the k-category priority frame (k=|orderpriority| enum)"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -103,6 +103,7 @@ object SparkEntry {
     "q_dedup_by_source"     -> Dedup.qDedupBySource _,
     "q_dedup_soft"          -> Dedup.qDedupSoft _,
     "q_dedup_substring"     -> Dedup.qDedupSubstring _,
+    "q_dedup_incremental"   -> Dedup.qDedupIncremental _,
     "q_dedup_editdist"      -> Dedup.qDedupEditdist _,
     "q_text_containment"    -> Dedup.qTextContainment _,
     // §2.4 similarity
@@ -177,6 +178,7 @@ object SparkEntry {
     "q_sample_fixed"      -> Pipeline.qSampleFixed _,
     "q_corpus_drift"      -> Pipeline.qCorpusDrift _,
     "q_js_divergence"     -> Pipeline.qJsDivergence _,
+    "q_quality_sweep"     -> Pipeline.qQualitySweep _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
     "q_sample_temperature" -> Pipeline.qSampleTemperature _,
     "q_curriculum"        -> Pipeline.qCurriculum _,
@@ -377,6 +379,7 @@ object SparkEntry {
     "q_dedup_by_source"     -> Dedup.oracleDedupBySource,
     "q_dedup_soft"          -> Dedup.oracleDedupSoft,
     "q_dedup_substring"     -> Dedup.oracleDedupSubstring,
+    "q_dedup_incremental"   -> Dedup.oracleDedupIncremental,
     "q_dedup_editdist"      -> Dedup.oracleDedupEditdist,
     "q_text_containment"    -> Dedup.oracleTextContainment,
 
@@ -449,6 +452,7 @@ object SparkEntry {
     "q_sample_fixed"      -> Pipeline.oracleSampleFixed,
     "q_corpus_drift"      -> Pipeline.oracleCorpusDrift,
     "q_js_divergence"     -> Pipeline.oracleJsDivergence,
+    "q_quality_sweep"     -> Pipeline.oracleQualitySweep,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
     "q_sample_temperature" -> Pipeline.oracleSampleTemperature,
     "q_curriculum"        -> Pipeline.oracleCurriculum,

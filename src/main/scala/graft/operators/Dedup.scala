@@ -337,12 +337,19 @@ object Dedup {
     * blowup is structurally impossible here, which DedupScaleSpec proves
     * with an injected 1,000-copy cluster.
     */
-  private[graft] def minhashBandCandidates(sig: DataFrame): DataFrame = {
+  /** (doc_id, band, h1, h2) LSH band frame of a signature frame — the
+    * self-join side of [[minhashBandCandidates]] and the cross-side
+    * probe index of [[qDedupIncremental]]. */
+  private[graft] def bandFrame(sig: DataFrame): DataFrame = {
     val bandCols = (0 until BANDS).map { b =>
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.h1").as("h1"), col("b.h2").as("h2"))
+  }
+
+  private[graft] def minhashBandCandidates(sig: DataFrame): DataFrame = {
+    val bands = bandFrame(sig)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
           col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
@@ -387,6 +394,107 @@ object Dedup {
       .join(reps.select(col("doc_id").as("doc_b"), col("copies").as("copies_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("copies_a"), col("copies_b"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ----------------------------------------------- incremental dedup probe
+
+  /** Batch residue: every [[INC_MOD]]th doc plays the NEW-ARRIVALS batch
+    * against the rest-of-corpus index. */
+  private[graft] val INC_MOD = 5
+
+  /** Incremental (batch-vs-corpus) dedup probe (`q_dedup_incremental`) —
+    * the nightly-ingest shape the whole-corpus passes don't cover: a NEW
+    * batch must be checked against the EXISTING corpus without
+    * re-deduping the corpus against itself. Two probes, exact first:
+    * the batch's text digests against the corpus digest index, then the
+    * batch's LSH bands against the corpus BAND INDEX (both indexes are
+    * exactly what a production pipeline persists nightly — this query
+    * rebuilds them in-plan because the driver corpus is small). Each
+    * flagged batch doc reports its best corpus match
+    * (exact precedence; near = highest est_jaccard ≥ 0.5, ties to the
+    * lowest match id).
+    *
+    * Scale shape: candidates come ONLY from cross-side equality joins
+    * (digest, band) — batch×corpus pairs never materialize; within-batch
+    * and within-corpus pairs are excluded by the residue split at the
+    * band join, so the corpus is never re-deduped; the best-match
+    * window partitions by batch doc (bounded by its candidate count).
+    */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame =
+    incrementalProbe(Tables.documents(s, dir))
+
+  private[graft] def incrementalProbe(docs: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % INC_MOD === 0
+    val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val cIdx = h.filter(!isNew).groupBy("h").agg(min("doc_id").as("match_id"))
+    val exact = h.filter(isNew).join(cIdx, "h")
+      .select(col("doc_id"), col("match_id"),
+        lit("exact").as("verdict"), lit(1.0).as("est_jaccard"))
+    val sig = minhashSignatures(shingleTable(docs)).cache()
+    val bands = bandFrame(sig)
+    val cand = bands.filter(isNew).as("x")
+      .join(bands.filter(!isNew).as("y"),
+        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("match_id"))
+      .distinct()
+    val eq = (0 until MINHASH_K).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0)).reduce(_ + _)
+    val near = cand.as("c")
+      .join(sig.as("a"), col("c.doc_id") === col("a.doc_id"))
+      .join(sig.as("b"), col("c.match_id") === col("b.doc_id"))
+      .select(col("c.doc_id").as("doc_id"), col("c.match_id").as("match_id"),
+        round(eq.cast("double") / MINHASH_K, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+    val bestW = Window.partitionBy("doc_id")
+      .orderBy(desc("est_jaccard"), col("match_id"))
+    val nearBest = near.withColumn("rn", row_number().over(bestW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("match_id"),
+        lit("near").as("verdict"), col("est_jaccard"))
+    exact
+      .unionByName(nearBest.join(exact.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .orderBy("doc_id")
+  }
+
+  val oracleDedupIncremental: String = {
+    val bandsSql = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig")
+      .mkString("\nUNION ALL\n")
+    val eqSql = (0 until MINHASH_K).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${h60Sql("shingle")} AS sh
+       |  FROM (SELECT doc_id, unnest(${wordShinglesSql("text")}) AS shingle FROM documents)),
+       |$sigCte,
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS match_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+       |  WHERE x.doc_id % $INC_MOD = 0 AND y.doc_id % $INC_MOD <> 0),
+       |near AS (
+       |  SELECT c.doc_id, c.match_id,
+       |    round(($eqSql) / ${MINHASH_K}.0, 6) AS est_jaccard
+       |  FROM cand c JOIN sig a ON c.doc_id = a.doc_id
+       |              JOIN sig b ON c.match_id = b.doc_id),
+       |best AS (
+       |  SELECT doc_id, match_id, est_jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY est_jaccard DESC, match_id) AS rn
+       |  FROM near WHERE est_jaccard >= 0.5),
+       |cidx AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS match_id
+       |  FROM documents WHERE doc_id % $INC_MOD <> 0 GROUP BY 1),
+       |ex AS (
+       |  SELECT d.doc_id, c.match_id, 'exact' AS verdict, 1.0 AS est_jaccard
+       |  FROM documents d JOIN cidx c ON md5(d.text) = c.h
+       |  WHERE d.doc_id % $INC_MOD = 0)
+       |SELECT * FROM ex
+       |UNION ALL
+       |SELECT doc_id, match_id, 'near' AS verdict, est_jaccard
+       |FROM best WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM ex)
+       |ORDER BY doc_id""".stripMargin
   }
 
   private[graft] val EDIT_T = 0.8

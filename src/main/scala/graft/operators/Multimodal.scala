@@ -327,23 +327,25 @@ object Multimodal {
   /** Pair-report hamming ceiling. */
   private[graft] val PH_T = 8
 
-  /** The 56-bit dHash of a text payload as ONE fold — high-bit-first
-    * `acc·2 + bit`, so no variable shifts; every pixel read is plain
-    * substr/ascii arithmetic both engines share. */
+  /** The 56-bit dHash of a text payload as a STATIC codegen expression
+    * tree (a sum of 56 `when(px>px', 2^i)` terms over fixed offsets) —
+    * deliberately NOT a higher-order-function fold: HOF lambdas run
+    * interpreted, and an aliased dh gets inlined by CollapseProject into
+    * every band expression + the Generate's inferred filter, multiplying
+    * the interpreted fold up to 8× per doc (measured 6.8 s at sf0.1;
+    * the static tree with whole-stage codegen + subexpression
+    * elimination runs the 63 shared pixel reads once). The oracle's
+    * list_reduce computes the identical bit pattern. */
   private[graft] def dhash(text: Column): Column = {
     val len = length(text)
-    def px(idx: Column) =
-      ascii(text.substr((lit(1) + (idx * 7) % (len - 1)).cast("int"), lit(1))).cast("long")
-    aggregate(
-      sequence(lit(PH_ROWS * 8 - 1), lit(0), lit(-1)),
-      lit(0L),
-      (acc, i) => {
-        val r = ((i - pmod(i, lit(8))) / lit(8)).cast("long")
-        val c = pmod(i, lit(8)).cast("long")
-        val a = px(r * PH_COLS + c)
-        val b = px(r * PH_COLS + c + 1)
-        acc * 2 + when(a > b, 1L).otherwise(0L)
-      })
+    def px(flat: Int) =
+      ascii(text.substr((lit(1) + (lit(flat) * 7) % (len - 1)).cast("int"), lit(1)))
+        .cast("long")
+    (0 until PH_ROWS * 8).map { i =>
+      val (r, c) = (i / 8, i % 8)
+      when(px(r * PH_COLS + c) > px(r * PH_COLS + c + 1), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Perceptual-hash near-dup pairs (`q_media_phash`) — the multimodal
@@ -366,9 +368,13 @@ object Multimodal {
     phashPairs(Tables.documents(s, dir))
 
   private[graft] def phashPairs(docs: DataFrame): DataFrame = {
+    // cached: a hard barrier (the band explode's two self-join sides and
+    // the verify both read dh; without it CollapseProject re-inlines the
+    // hash into every consumer)
     val h = docs
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), dhash(col("text")).as("dh"))
+      .cache()
     // band value = (dh >> 14·band) mod 2^14 — static shifts, exact ints
     val banded = h.select(col("doc_id"), col("dh"),
         posexplode(array((0 until PH_BANDS).map(b =>

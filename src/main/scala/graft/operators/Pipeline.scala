@@ -356,6 +356,65 @@ object Pipeline {
        |    abs(q.p75 - g.g75) / g.g75, abs(q.p90 - g.g90) / g.g90), 6) > $DRIFT_T AS drifted
        |FROM q, g ORDER BY q.source""".stripMargin
 
+  /** Quality-threshold sensitivity sweep (`q_quality_sweep`) — what each
+    * candidate cutoff costs: for thresholds 0.0, 0.1, …, 0.9, the
+    * surviving doc/token counts and shares under `quality >= t`. The
+    * readout a curation pipeline consults BEFORE hard-coding a gate
+    * like [[QUALITY_T]] (the corpus's own threshold sits where the
+    * token_share knee is).
+    *
+    * Scale shape: ONE pass — per-doc quality/tokens fold into a ≤10-row
+    * decile-bucket aggregate (map-side combinable), and the
+    * survivors-at-threshold curve is a suffix cumsum window over that
+    * enum frame (bounded global window, whitelisted). Nothing downstream
+    * of the single scan grows with the corpus.
+    */
+  def qQualitySweep(s: SparkSession, dir: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val sfx = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val agg = Tables.documents(s, dir)
+      .select(least(floor(qualityScore * 10), lit(9)).cast("long").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("d"), sum("tok").as("t"))
+    // complete the 10-row threshold grid: an empty decile still yields a
+    // row (its survivors are the suffix sum of the buckets above it)
+    s.range(10).select(col("id").as("bucket"))
+      .join(agg, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("n_docs", sum("d").over(sfx))
+      .withColumn("n_tokens", sum("t").over(sfx))
+      .withColumn("doc_share", round(col("n_docs") / sum("d").over(all), 6))
+      .withColumn("token_share", round(col("n_tokens") / sum("t").over(all), 6))
+      .select(round(col("bucket") / 10.0, 1).as("threshold"),
+        col("n_docs"), col("n_tokens"), col("doc_share"), col("token_share"))
+      .orderBy("threshold")
+  }
+
+  val oracleQualitySweep: String =
+    s"""WITH b AS (
+       |  SELECT least(CAST(floor($qualityScoreSql * 10) AS BIGINT), 9) AS bucket,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |agg AS (SELECT bucket, count(*) AS d, sum(tok) AS t FROM b GROUP BY bucket),
+       |grid AS (
+       |  SELECT g.bucket, coalesce(agg.d, 0) AS d, coalesce(agg.t, 0) AS t
+       |  FROM (SELECT unnest(generate_series(0, 9)) AS bucket) g
+       |  LEFT JOIN agg ON g.bucket = agg.bucket),
+       |c AS (
+       |  SELECT bucket,
+       |    CAST(sum(d) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+       |    CAST(sum(t) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+       |    sum(d) OVER () AS td, sum(t) OVER () AS tt
+       |  FROM grid)
+       |SELECT round(bucket / 10.0, 1) AS threshold, n_docs, n_tokens,
+       |  round(n_docs::DOUBLE / td, 6) AS doc_share,
+       |  round(n_tokens::DOUBLE / tt, 6) AS token_share
+       |FROM c ORDER BY threshold""".stripMargin
+
   // -------------------------------------------- distributional divergence
 
   /** Vocabulary size for the JS-divergence gauge: the global top-V terms

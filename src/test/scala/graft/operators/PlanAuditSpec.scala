@@ -270,6 +270,8 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
           "(top-V + OOV) term frame: <=JS_V+1 rows by construction"),
         "q_zipf_fit" -> ("rank row_number over the TakeOrdered head: " +
           "<=ZIPF_N rows by construction"),
+        "q_quality_sweep" -> ("suffix cumsum + totals over the completed " +
+          "10-row threshold grid"),
         "q_t_closeness" -> ("global distribution cum/total windows over " +
           "the k-category priority frame (k=|orderpriority| enum)"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

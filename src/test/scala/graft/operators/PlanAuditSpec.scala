@@ -305,6 +305,47 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "hash must run post-explode, not inside the interpreted lambda")
     }
 
+    it("q_dedup_substring keeps the hot path lambda-free (position explode + codegen window build)") {
+      // the second-session lesson, one level past q_ngram_novelty's: an
+      // ALIASED window array let the inferred Generate filter be
+      // substituted through both projections to the scan, re-splitting
+      // text per slice reference — O(W²)/doc, 4.6 s vs 1.0 s at sf0.1.
+      // The fixed shape explodes only the position SEQUENCE (the
+      // inferred filter re-evaluates ints) and builds window+hash
+      // post-explode in codegen. Pin: no interpreted lambda anywhere in
+      // the plan, and no string work inside the Generate's filter.
+      val plan = Dedup.qDedupSubstring(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("lambdafunction"),
+        s"interpreted lambda re-entered the substring hot path:\n$plan")
+      assert(plan.contains("explode(sequence(1"),
+        s"the generator must explode the position sequence, not a window array:\n$plan")
+      // the pushed size-guards may re-split per doc (int-only, O(W)) but
+      // the WINDOW build (slice+concat) must appear exactly once per
+      // cached-branch printout — never inside a Filter
+      assert(!"Filter [^\\n]*concat_ws".r.findFirstIn(plan).isDefined,
+        s"window string build leaked into a filter:\n$plan")
+    }
+
+    it("q_media_phash computes the dHash once behind a barrier, never in a lambda") {
+      // the aliased dh was CollapseProject-inlined into all 4 band
+      // expressions + the Generate filter, multiplying the interpreted
+      // fold ~8×/doc (6.8 s → 1.1 s once static + cached). Pin: the
+      // static expression tree (zero lambdafunctions) and the cache
+      // barrier (InMemoryRelation) between the hash and its consumers.
+      val df = Multimodal.qMediaPhash(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("lambdafunction"),
+        s"the dHash must stay a static codegen tree:\n$plan")
+      assert(plan.contains("InMemoryRelation"),
+        "the hash frame's cache barrier is gone — dh will be re-inlined")
+      // the substr-heavy hash expression must appear only below the
+      // barrier, never in the band/verify consumers above it
+      val aboveBarrier = plan.split("InMemoryRelation").head
+      assert(!aboveBarrier.contains("ascii(substr"),
+        s"dHash re-inlined above the cache barrier:\n$aboveBarrier")
+    }
+
     it("q_order_gaps derives quartiles without replaying the fact pipeline") {
       // ntileExact localCheckpoints the per-customer aggregate before its
       // 4-way fan-out (stats / histogram / boundary rank / assignment):

@@ -144,6 +144,7 @@ object SparkEntry {
     "q_media_header"       -> Multimodal.qMediaHeader _,
     "q_media_frames"       -> Multimodal.qMediaFrames _,
     "q_media_phash"        -> Multimodal.qMediaPhash _,
+    "q_media_thumbnail"    -> Multimodal.qMediaThumbnail _,
     "q_meta_profile"       -> ((s, d) => MetadataExtractor.qMetaProfile(s, d)),
     "q_lineage_selfcheck"  -> ((s, d) => graft.lineage.SelfCheck.qLineageSelfcheck(s, d)),
     // sources: non-parquet formats, value-fidelity round-trips
@@ -420,6 +421,7 @@ object SparkEntry {
     "q_media_header"      -> Multimodal.oracleMediaHeader,
     "q_media_frames"      -> Multimodal.oracleMediaFrames,
     "q_media_phash"       -> Multimodal.oracleMediaPhash,
+    "q_media_thumbnail"   -> Multimodal.oracleMediaThumbnail,
     "q_meta_profile"      -> MetadataExtractor.oracleMetaProfile,
     "q_lineage_selfcheck" -> graft.lineage.SelfCheck.oracleLineageSelfcheck,
     "q_source_csv"        -> graft.sources.Sources.oracleSourceCsv,

@@ -413,4 +413,54 @@ object Multimodal {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(dha, dhb)) AS BIGINT) AS ham
        |FROM cand WHERE bit_count(xor(dha, dhb)) <= $PH_T
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------- resize stage
+
+  /** Thumbnail grid side (8×8 = 64 "pixels"). */
+  private[graft] val TH_N = 64
+  /** Sampling stride (coprime to typical payload lengths so the grid
+    * walks the whole payload instead of a prefix). */
+  private[graft] val TH_STRIDE = 11
+
+  /** Fixed-grid thumbnail (`q_media_thumbnail`) — the RESIZE stage of a
+    * media pipeline as deterministic plumbing: the payload byte stream
+    * downsampled onto an 8×8 grid by stride arithmetic (a real codec
+    * box-filters decoded pixels onto the same grid; the stub samples
+    * bytes), emitted as the grid's h60 fingerprint plus a mean/min/max
+    * "luma" summary — the shape a downstream near-dup or quality gate
+    * consumes. A pure per-row STATIC codegen projection (the dHash
+    * lesson: no HOF fold), no shuffle except the output sort.
+    */
+  def qMediaThumbnail(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text"))
+    def px(i: Int) =
+      ascii(col("text").substr((lit(1) + (lit(i) * TH_STRIDE) % (len - 1)).cast("int"), lit(1)))
+        .cast("long")
+    val pixels = (0 until TH_N).map(px)
+    val grid = concat_ws(",", pixels.map(_.cast("string")): _*)
+    Tables.documents(s, dir)
+      .filter(len >= 2)
+      .select(col("doc_id"),
+        graft.functions.HashFns.h60(grid).as("thumb_fp"),
+        round(pixels.reduce(_ + _).cast("double") / TH_N, 4).as("mean_luma"),
+        least(pixels: _*).as("min_luma"),
+        greatest(pixels: _*).as("max_luma"))
+      .orderBy("doc_id")
+  }
+
+  val oracleMediaThumbnail: String = {
+    val px = (0 until TH_N).map(i =>
+      s"ascii(substr(text, (1 + ($i * $TH_STRIDE) % (length(text) - 1))::INT, 1))")
+    // single-node forms (concat_ws / list_sum / least / greatest with 64
+    // args) — a 64-deep binary || or + chain trips DuckDB's binder
+    // recursion limit
+    val grid = s"concat_ws(',', ${px.mkString(", ")})"
+    s"""SELECT doc_id,
+       |  ${graft.functions.HashFns.h60Sql(grid)} AS thumb_fp,
+       |  round(list_sum([${px.mkString(", ")}]) / ${TH_N}.0, 4) AS mean_luma,
+       |  CAST(least(${px.mkString(", ")}) AS BIGINT) AS min_luma,
+       |  CAST(greatest(${px.mkString(", ")}) AS BIGINT) AS max_luma
+       |FROM documents WHERE length(text) >= 2
+       |ORDER BY doc_id""".stripMargin
+  }
 }

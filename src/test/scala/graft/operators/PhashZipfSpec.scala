@@ -52,6 +52,25 @@ class PhashZipfSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_media_thumbnail") {
+
+    it("is deterministic with sane luma bounds over the corpus") {
+      val a = Multimodal.qMediaThumbnail(spark, sfDir).collect()
+      val b = Multimodal.qMediaThumbnail(spark, sfDir).collect()
+      assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "thumbnail not deterministic")
+      assert(a.nonEmpty)
+      a.foreach { r =>
+        val (fp, mean, mn, mx) =
+          (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+        assert(mn <= mx && mean >= mn && mean <= mx, r.toString)
+        assert(mn >= 0 && mx <= 255, s"luma outside byte range: $r")
+        assert(fp > 0)
+      }
+      // the grid actually discriminates payloads: fingerprints are not all equal
+      assert(a.map(_.getLong(1)).distinct.length > 1)
+    }
+  }
+
   describe("q_zipf_fit (zipfFitOf)") {
 
     it("recovers slope ~ -1 with high r2 on a constructed Zipf corpus") {

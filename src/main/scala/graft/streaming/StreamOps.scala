@@ -202,6 +202,60 @@ object StreamOps {
       .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
         col("n_docs"), col("avg_js"), col("max_js"))
 
+  /** Streaming incremental near-dup probe — the streaming twin of
+    * `Dedup.qDedupIncremental`'s near channel: each arriving document's
+    * K-minhash signature (one stateless projection, bit-identical to
+    * the batch aggregate) explodes into its LSH bands and probes the
+    * STATIC corpus band index (the nightly artifact; re-readable or
+    * broadcast per micro-batch) through a stream-static equality join;
+    * the corpus signature rides the index row, so the exact
+    * est-jaccard verify is a projection. A pair agreeing on several
+    * bands is emitted EXACTLY ONCE without any state: both signatures
+    * are in hand, so only the LOWEST agreeing band's row survives
+    * (the nearDupStream trick, minus its state store). Fully
+    * stateless — no watermark required, identical on batch; the
+    * corpus is never probed against itself (it only ever sits on the
+    * static side).
+    */
+  def incrementalDedupStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.HashFns.{h60, shinglesFromWords}
+    val D = graft.operators.Dedup
+    val K = D.minhashK
+    val corpusSig = D.minhashSignatures(D.shingleTable(corpus))
+    val corpusIdx = D.bandFrame(corpusSig)
+      .join(corpusSig, "doc_id")
+      .select(col("band"), col("h1"), col("h2"), col("doc_id").as("match_id"),
+        array((0 until K).map(i => col(s"mh$i")): _*).as("msig"))
+    val sigd = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shinglesFromWords(col("w"), 3).as("sh_strs"))
+      .select(col("doc_id"), transform(col("sh_strs"), x => h60(x)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), D.minhashSigArray(col("shs")).as("sig"))
+    val bandStructs = (0 until D.minhashBands).map { b =>
+      struct(lit(b).as("band"),
+        element_at(col("sig"), 2 * b + 1).as("h1"),
+        element_at(col("sig"), 2 * b + 2).as("h2"))
+    }
+    val banded = sigd
+      .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+    val eq = (0 until K).map(i =>
+      when(element_at(col("sig"), i + 1) === element_at(col("msig"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val firstAgree = (0 until D.minhashBands).map { b =>
+      when(element_at(col("sig"), 2 * b + 1) === element_at(col("msig"), 2 * b + 1) &&
+        element_at(col("sig"), 2 * b + 2) === element_at(col("msig"), 2 * b + 2),
+        lit(b)).otherwise(lit(Int.MaxValue))
+    }.reduce(least(_, _))
+    banded.join(corpusIdx, Seq("band", "h1", "h2"))
+      .filter(col("band") === firstAgree) // one emission per (doc, match)
+      .withColumn("est_jaccard", round(eq.cast("double") / K, 6))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_id"), col("match_id"), col("est_jaccard"))
+  }
+
   /** One doc in one LSH band bucket (streaming near-dup input row). */
   case class BandDoc(band: Int, h1: Long, h2: Long, doc_id: Long,
       sig: Seq[Long], ts: java.sql.Timestamp)

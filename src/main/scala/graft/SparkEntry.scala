@@ -73,6 +73,7 @@ object SparkEntry {
     "q_events_window_agg" -> EventOps.qEventsWindowAgg _,
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
     "q_session_paths"     -> EventOps.qSessionPaths _,
+    "q_active_users"      -> EventOps.qActiveUsers _,
     "q_asof_join"         -> EventOps.qAsofJoin _,
     "q_events_funnel"     -> EventOps.qEventsFunnel _,
     "q_markov_transitions" -> EventOps.qMarkovTransitions _,
@@ -339,6 +340,7 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
 
     "q_session_paths" -> EventOps.oracleSessionPaths,
+    "q_active_users"  -> EventOps.oracleActiveUsers,
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),

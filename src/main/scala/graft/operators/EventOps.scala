@@ -596,6 +596,52 @@ object EventOps {
       |  CAST(sum(CAST(round(1.0::DOUBLE / nseg, 9) AS DECIMAL(18,9))) AS DOUBLE) AS linear
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------- active-user curve
+
+  /** DAU/WAU active-user curve (`q_active_users`) — the canonical product
+    * engagement readout: per observed day, distinct daily actives,
+    * distinct trailing-7-day actives, and stickiness = DAU/WAU. The
+    * trailing-window distinct is NOT a sliding window: each (user, day)
+    * activity fact fans out FORWARD to the ≤7 calendar days it keeps the
+    * user "weekly active" for (a 7× explode of the already-distinct
+    * user-day frame), and WAU is a plain distinct count per day — the
+    * shape that scales, because the user-day frame is ≤ |users|×|days|
+    * however large the raw event stream is, and the fan-out is a
+    * constant 7.
+    *
+    * Scale shape: one map-side-partial distinct to the user-day frame;
+    * DAU is a count over it (already unique); the 7-day fan-out and the
+    * WAU distinct run on that reduced frame, never the events fact.
+    */
+  def qActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .cache()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val cover = ud.select(col("user_id"),
+      explode(sequence(col("day"), col("day") + expr("interval 6 days"),
+        expr("interval 1 day"))).as("day"))
+    val wau = cover.groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day").cast("timestamp_ntz").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val oracleActiveUsers: String =
+    """WITH e AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id FROM events),
+      |ud AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM e),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |cover AS (
+      |  SELECT user_id, day + i * INTERVAL 1 DAY AS day
+      |  FROM ud, unnest(generate_series(0, 6)) t(i)),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM cover GROUP BY day)
+      |SELECT d.day, d.dau, w.wau,
+      |  round(d.dau::DOUBLE / w.wau, 6) AS stickiness
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY d.day""".stripMargin
+
   // ---------------------------------------------------------- session paths
 
   /** Events per session the path string keeps (the classic path-analysis

@@ -43,6 +43,24 @@ class SessionPathsSpec extends AnyFunSpec with SparkTestBase {
       assert(got.keySet == Set("A>B"))
     }
 
+    it("q_active_users: wau bounds dau, first day has no history, and a spot day recomputes") {
+      val rows = EventOps.qActiveUsers(spark, sfDir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"wau < dau: $r"))
+      val first = rows.minBy(_.getAs[java.time.LocalDateTime](0))
+      assert(first.getLong(1) == first.getLong(2), "day 1's trailing week IS day 1")
+      // spot-check one mid-series day against a direct trailing-window count
+      val mid = rows(rows.length / 2)
+      val d = mid.getAs[java.time.LocalDateTime](0)
+      val ev = EventOps.events(spark, sfDir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val direct = ev.filter(
+          col("day") <= lit(java.sql.Timestamp.valueOf(d)) &&
+          col("day") > lit(java.sql.Timestamp.valueOf(d.minusDays(7))))
+        .select("user_id").distinct().count()
+      assert(mid.getLong(2) == direct, s"wau(${d}) = ${mid.getLong(2)} vs direct $direct")
+    }
+
     it("on the sf events: session census conserves against the sessionizer") {
       val full = EventOps.sessionPathsOf(EventOps.events(spark, sfDir))
       val nSessions = full.agg(sum("n_sessions")).head().getLong(0)

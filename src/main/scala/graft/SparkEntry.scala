@@ -49,6 +49,8 @@ object SparkEntry {
     "q_promo_share"         -> Relational.qPromoShare _,
     "q_band_revenue"        -> Relational.qBandRevenue _,
     "q_order_gaps"          -> Relational.qOrderGaps _,
+    "q_cohort_ltv"          -> Relational.qCohortLtv _,
+    "q_rfm"                 -> Relational.qRfm _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     "q_profit_by_nation_year" -> Relational.qProfitByNationYear _,
     "q_big_orders"          -> Relational.qBigOrders _,
@@ -74,6 +76,8 @@ object SparkEntry {
     "q_events_sessionize" -> EventOps.qEventsSessionize _,
     "q_session_paths"     -> EventOps.qSessionPaths _,
     "q_active_users"      -> EventOps.qActiveUsers _,
+    "q_user_lifecycle"    -> EventOps.qUserLifecycle _,
+    "q_burstiness"        -> EventOps.qBurstiness _,
     "q_asof_join"         -> EventOps.qAsofJoin _,
     "q_events_funnel"     -> EventOps.qEventsFunnel _,
     "q_markov_transitions" -> EventOps.qMarkovTransitions _,
@@ -281,6 +285,8 @@ object SparkEntry {
     "q_promo_share"        -> Relational.oraclePromoShare,
     "q_band_revenue"       -> Relational.oracleBandRevenue,
     "q_order_gaps"         -> Relational.oracleOrderGaps,
+    "q_cohort_ltv"         -> Relational.oracleCohortLtv,
+    "q_rfm"                -> Relational.oracleRfm,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_profit_by_nation_year" -> Relational.oracleProfitByNationYear,
     "q_big_orders"         -> Relational.oracleBigOrders,
@@ -341,6 +347,8 @@ object SparkEntry {
 
     "q_session_paths" -> EventOps.oracleSessionPaths,
     "q_active_users"  -> EventOps.oracleActiveUsers,
+    "q_user_lifecycle" -> EventOps.oracleUserLifecycle,
+    "q_burstiness"     -> EventOps.oracleBurstiness,
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),

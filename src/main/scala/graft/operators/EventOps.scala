@@ -715,4 +715,140 @@ object EventOps {
        |SELECT path, count(*) AS n_sessions, round(avg(len), 6) AS avg_len
        |FROM p GROUP BY path
        |ORDER BY n_sessions DESC, path LIMIT $PATH_TOP""".stripMargin
+
+  // ---------------------------------------------------- growth accounting
+
+  /** Daily growth accounting (`q_user_lifecycle`) — the decomposition
+    * product teams read before any DAU number: each day's actives split
+    * into NEW (first day ever), RETAINED (also active yesterday) and
+    * RESURRECTED (active before, but not yesterday), plus CHURNED (active
+    * yesterday, silent today) and the quick ratio (new + resurrected) /
+    * churned. Complements [[qActiveUsers]] (level, not flow) and
+    * [[qRetentionCohorts]] (cohort decay, not day-over-day state).
+    *
+    * Churn is only accounted inside the observation window (a user whose
+    * last active day is the corpus's last day is not declared churned on
+    * the day after the data ends).
+    *
+    * Scale shape: the distinct (user, day) frame shuffles ONCE on
+    * user_id; both lag and lead ride the same window partitioning. The
+    * per-day flows are map-side-combinable aggregates to a |days|-row
+    * frame, and the churn cap is a 1-row broadcast. No global windows,
+    * nothing downstream of the user_id shuffle grows with the corpus.
+    */
+  def qUserLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    val w = ud
+      .withColumn("prev_day", lag(col("day"), 1).over(byUser))
+      .withColumn("next_day", lead(col("day"), 1).over(byUser))
+    val flows = w.groupBy("day").agg(
+      sum(when(col("prev_day").isNull, 1).otherwise(0)).as("n_new"),
+      sum(when(col("prev_day") === col("day") - expr("interval 1 day"), 1)
+        .otherwise(0)).as("n_retained"),
+      sum(when(col("prev_day").isNotNull &&
+        col("prev_day") < col("day") - expr("interval 1 day"), 1)
+        .otherwise(0)).as("n_resurrected"))
+    val lastDay = ud.agg(max("day").as("last_day"))
+    val churn = w
+      .filter(col("next_day").isNull ||
+        col("next_day") > col("day") + expr("interval 1 day"))
+      .select((col("day") + expr("interval 1 day")).as("day"))
+      .crossJoin(broadcast(lastDay))
+      .filter(col("day") <= col("last_day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    flows.join(churn, Seq("day"), "full_outer")
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio",
+        round((col("n_new") + col("n_resurrected")).cast("double") /
+          expr("nullif(n_churned, 0)"), 6))
+      .orderBy("day")
+  }
+
+  val oracleUserLifecycle: String =
+    """WITH e AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id FROM events),
+      |ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM e),
+      |w AS (SELECT user_id, day,
+      |        lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+      |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |      FROM ud),
+      |flows AS (SELECT day,
+      |    count(*) FILTER (WHERE prev_day IS NULL) AS n_new,
+      |    count(*) FILTER (WHERE prev_day = day - INTERVAL 1 DAY) AS n_retained,
+      |    count(*) FILTER (WHERE prev_day IS NOT NULL
+      |                       AND prev_day < day - INTERVAL 1 DAY) AS n_resurrected
+      |  FROM w GROUP BY day),
+      |churn AS (
+      |  SELECT day + INTERVAL 1 DAY AS day, count(*) AS n_churned
+      |  FROM w
+      |  WHERE (next_day IS NULL OR next_day > day + INTERVAL 1 DAY)
+      |    AND day + INTERVAL 1 DAY <= (SELECT max(day) FROM ud)
+      |  GROUP BY day + INTERVAL 1 DAY)
+      |SELECT coalesce(f.day, c.day) AS day,
+      |  coalesce(f.n_new, 0) AS n_new,
+      |  coalesce(f.n_retained, 0) AS n_retained,
+      |  coalesce(f.n_resurrected, 0) AS n_resurrected,
+      |  coalesce(c.n_churned, 0) AS n_churned,
+      |  round((coalesce(f.n_new, 0) + coalesce(f.n_resurrected, 0))::DOUBLE
+      |    / nullif(coalesce(c.n_churned, 0), 0), 6) AS quick_ratio
+      |FROM flows f FULL OUTER JOIN churn c ON f.day = c.day
+      |ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------- burstiness
+
+  /** Inter-arrival burstiness per event type (`q_burstiness`) — is a
+    * user's stream of each event type Poisson-like, periodic, or bursty?
+    * Gaps are measured WITHIN each (user, event_type) series (a global
+    * per-type gap series would just measure fleet arrival rate); the
+    * per-type readout aggregates every user's gaps: mean, sample SD,
+    * coefficient of variation, and the Goh–Barabási burstiness
+    * B = (σ − μ)/(σ + μ) (−1 periodic, 0 Poisson, → 1 bursty).
+    *
+    * Scale shape: one shuffle on (user_id, event_type) — high
+    * cardinality, no low-cardinality window partitions — then a
+    * map-side-combinable moment aggregate onto the |event types| frame.
+    */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(byKey))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        avg("gap_s").as("mu"),
+        stddev_samp(col("gap_s")).as("sd"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("mu"), 4).as("mean_gap_s"),
+        round(col("sd"), 4).as("sd_gap_s"),
+        round(col("sd") / col("mu"), 6).as("cv"),
+        round((col("sd") - col("mu")) / (col("sd") + col("mu")), 6)
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  val oracleBurstiness: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |  make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+      |g AS (SELECT event_type,
+      |    epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+      |                                    ORDER BY ts, event_id)) AS gap_s
+      |  FROM e),
+      |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  round(avg(gap_s), 4) AS mean_gap_s,
+      |  round(stddev_samp(gap_s), 4) AS sd_gap_s,
+      |  round(stddev_samp(gap_s) / avg(gap_s), 6) AS cv,
+      |  round((stddev_samp(gap_s) - avg(gap_s))
+      |      / (stddev_samp(gap_s) + avg(gap_s)), 6) AS burstiness
+      |FROM gg GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -1215,4 +1215,128 @@ object Relational {
        |FROM big JOIN orders ON l_orderkey = o_orderkey
        | JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ----------------------------------------------------------- cohort LTV
+
+  /** Cohort lifetime-value curve (`q_cohort_ltv`) — customers cohorted by
+    * FIRST order month; for each (cohort, months-since-first) cell the
+    * period revenue and the running cumulative revenue per cohort member
+    * (the LTV curve finance reads against acquisition cost). The
+    * revenue-flow sibling of [[graft.operators.EventOps.qRetentionCohorts]]
+    * (which counts activity, not value).
+    *
+    * Scale shape: one shuffle on o_custkey for the first-order aggregate;
+    * the fact re-joins on the same key (co-partitioned, AQE reuses the
+    * exchange). Everything downstream is a |cohorts × months| frame; the
+    * cumulative window partitions by cohort over ≤ #months rows —
+    * bounded by the calendar, not the data.
+    */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    // revenue folds as integer CENTS: a double cumulative sum accumulates
+    // in engine-dependent order, and even an exact-decimal quotient lands
+    // on .xxxx5 rounding ties the two engines break differently. Integer
+    // sums + floor division are bit-identical everywhere.
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        date_trunc("month", col("o_orderdate")).as("ord_m"))
+    val cohorts = orders.groupBy("o_custkey")
+      .agg(min("ord_m").as("cohort_m"))
+    val sizes = cohorts.groupBy("cohort_m")
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = orders.join(cohorts, Seq("o_custkey"))
+      .groupBy(col("cohort_m"),
+        months_between(col("ord_m"), col("cohort_m")).cast("long")
+          .as("month_offset"))
+      .agg(sum("cents").as("rev_cents"))
+    val cum = Window.partitionBy("cohort_m").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sizes, Seq("cohort_m"))
+      .select(col("cohort_m").cast("timestamp_ntz").as("cohort_month"),
+        col("month_offset"), col("n_customers"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        (expr("cast(sum(rev_cents) over (partition by cohort_m " +
+          "order by month_offset rows unbounded preceding) as bigint) " +
+          "div n_customers").cast("double") / 100.0).as("cum_ltv_per_cust"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  val oracleCohortLtv: String =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    date_trunc('month', o_orderdate) AS ord_m FROM orders),
+      |c AS (SELECT o_custkey, min(ord_m) AS cohort_m FROM o GROUP BY o_custkey),
+      |s AS (SELECT cohort_m, count(*) AS n_customers FROM c GROUP BY cohort_m),
+      |cell AS (
+      |  SELECT c.cohort_m, date_diff('month', c.cohort_m, o.ord_m) AS month_offset,
+      |    sum(o.cents) AS rev_cents
+      |  FROM o JOIN c USING (o_custkey)
+      |  GROUP BY c.cohort_m, date_diff('month', c.cohort_m, o.ord_m))
+      |SELECT cell.cohort_m AS cohort_month, cell.month_offset, s.n_customers,
+      |  cell.rev_cents::DOUBLE / 100.0 AS revenue,
+      |  ((CAST(sum(cell.rev_cents) OVER (PARTITION BY cell.cohort_m
+      |      ORDER BY cell.month_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    // s.n_customers)::DOUBLE / 100.0) AS cum_ltv_per_cust
+      |FROM cell JOIN s USING (cohort_m)
+      |ORDER BY cohort_month, month_offset""".stripMargin
+
+  // ------------------------------------------------------------------ RFM
+
+  /** RFM segmentation (`q_rfm`) — the classic marketing cut: per
+    * customer Recency (days since last order, measured from the
+    * corpus's last order date), Frequency (order count) and Monetary
+    * (total spend), each scored into quintiles, reported as the
+    * segment census with mean spend. Scores ascend with the metric
+    * (r_score 1 = most recent, f_score/m_score 5 = most
+    * frequent/valuable) and carry exact `ntile(5)` semantics with
+    * o_custkey as the deterministic tie-break.
+    *
+    * Scale shape: one shuffle on o_custkey to the per-customer frame;
+    * the three quintile assignments are [[ntileExact]] — the bucketed
+    * two-phase rank, NO global sort, ≤125-row output aggregate. The
+    * corpus-wide max date is a 1-row broadcast.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val maxd = orders.agg(max("o_orderdate").as("last_date"))
+    val perCust = orders.groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).cast("double").as("frequency"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("last_date"), col("last_order")).cast("double")
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+    val scored = ntileExact(
+      ntileExact(
+        ntileExact(perCust, "recency_days", "o_custkey", 5, "r_score"),
+        "frequency", "o_custkey", 5, "f_score"),
+      "monetary", "o_custkey", 5, "m_score")
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg("monetary"), 2).as("avg_monetary"),
+        round(avg("recency_days"), 2).as("avg_recency_days"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val oracleRfm: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', max(o_orderdate),
+      |      (SELECT max(o_orderdate) FROM orders))::DOUBLE AS recency_days,
+      |    count(*)::DOUBLE AS frequency,
+      |    round(sum(o_totalprice), 2) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |sc AS (
+      |  SELECT recency_days, monetary,
+      |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
+      |  FROM pc)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+      |  round(avg(monetary), 2) AS avg_monetary,
+      |  round(avg(recency_days), 2) AS avg_recency_days
+      |FROM sc GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
 }

@@ -217,6 +217,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // (referenced by both the histogram and boundary-rank branches)
         // and the collapsed boundary-keys row
         "q_order_gaps", "q_curriculum",
+        // q_rfm: three chained ntileExact calls (same two 1-row frames
+        // per call as q_order_gaps) plus the 1-row max-order-date frame;
+        // q_user_lifecycle crossJoins the 1-row last-active-day frame
+        "q_rfm", "q_user_lifecycle",
         // q_js_divergence crossJoins the broadcast (top-V + OOV)-row
         // term frame (<=33 rows by construction) onto the per-source
         // totals; q_t_closeness crossJoins the broadcast k-row global
@@ -266,6 +270,8 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_sample_temperature" -> "share totals over the per-SOURCE frame",
         "q_curriculum" -> ("ntileExact's bucket-cumulative window: " +
           "<=PCT_BUCKETS rows by construction"),
+        "q_rfm" -> ("ntileExact's bucket-cumulative windows (three chained " +
+          "calls): <=PCT_BUCKETS rows each by construction"),
         "q_js_divergence" -> ("global-total window over the aggregated " +
           "(top-V + OOV) term frame: <=JS_V+1 rows by construction"),
         "q_zipf_fit" -> ("rank row_number over the TakeOrdered head: " +

@@ -78,6 +78,7 @@ object SparkEntry {
     "q_active_users"      -> EventOps.qActiveUsers _,
     "q_user_lifecycle"    -> EventOps.qUserLifecycle _,
     "q_burstiness"        -> EventOps.qBurstiness _,
+    "q_dwell_time"        -> EventOps.qDwellTime _,
     "q_asof_join"         -> EventOps.qAsofJoin _,
     "q_events_funnel"     -> EventOps.qEventsFunnel _,
     "q_markov_transitions" -> EventOps.qMarkovTransitions _,
@@ -140,6 +141,7 @@ object SparkEntry {
     "q_bm25"              -> TextAnalysis.qBm25 _,
     "q_text_entropy"      -> TextAnalysis.qTextEntropy _,
     "q_zipf_fit"          -> TextAnalysis.qZipfFit _,
+    "q_chi2_terms"        -> TextAnalysis.qChi2Terms _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     "q_k_anonymity"       -> Privacy.qKAnonymity _,
@@ -184,6 +186,7 @@ object SparkEntry {
     "q_sample_fixed"      -> Pipeline.qSampleFixed _,
     "q_corpus_drift"      -> Pipeline.qCorpusDrift _,
     "q_js_divergence"     -> Pipeline.qJsDivergence _,
+    "q_psi"               -> Pipeline.qPsi _,
     "q_quality_sweep"     -> Pipeline.qQualitySweep _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
     "q_sample_temperature" -> Pipeline.qSampleTemperature _,
@@ -349,6 +352,7 @@ object SparkEntry {
     "q_active_users"  -> EventOps.oracleActiveUsers,
     "q_user_lifecycle" -> EventOps.oracleUserLifecycle,
     "q_burstiness"     -> EventOps.oracleBurstiness,
+    "q_dwell_time"     -> EventOps.oracleDwellTime,
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
@@ -422,6 +426,7 @@ object SparkEntry {
     "q_bm25"              -> TextAnalysis.oracleBm25,
     "q_text_entropy"      -> TextAnalysis.oracleTextEntropy,
     "q_zipf_fit"          -> TextAnalysis.oracleZipfFit,
+    "q_chi2_terms"        -> TextAnalysis.oracleChi2Terms,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
     "q_k_anonymity"       -> Privacy.oracleKAnonymity,
@@ -464,6 +469,7 @@ object SparkEntry {
     "q_sample_fixed"      -> Pipeline.oracleSampleFixed,
     "q_corpus_drift"      -> Pipeline.oracleCorpusDrift,
     "q_js_divergence"     -> Pipeline.oracleJsDivergence,
+    "q_psi"               -> Pipeline.oraclePsi,
     "q_quality_sweep"     -> Pipeline.oracleQualitySweep,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
     "q_sample_temperature" -> Pipeline.oracleSampleTemperature,

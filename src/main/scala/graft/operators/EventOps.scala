@@ -800,6 +800,53 @@ object EventOps {
       |FROM flows f FULL OUTER JOIN churn c ON f.day = c.day
       |ORDER BY day""".stripMargin
 
+  // -------------------------------------------------------------- dwell
+
+  /** Dwell-time per event type (`q_dwell_time`) — time-on-task: how long
+    * a user stays on each event before their NEXT action, and how often
+    * each type ENDS a session. Dwell = gap to the user's next event (any
+    * type) when within the 30-minute session gap; a gap beyond it (or no
+    * next event) marks the current event session-terminating — the
+    * per-type exit rate. Equivalent to sessionizing first and taking
+    * lead-within-session, without materializing sessions.
+    *
+    * Scale shape: ONE shuffle on user_id (the lead window — bounded
+    * per-user partitions), then a map-side-combinable aggregate onto the
+    * |event types| frame.
+    */
+  def qDwellTime(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tsSec = col("ts").cast("double")
+    val gap = lead(tsSec, 1).over(byUser) - tsSec
+    EventOps.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("dwell_s", when(gap <= 1800d, gap))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count("dwell_s").as("n_with_dwell"),
+        round(avg("dwell_s"), 4).as("mean_dwell_s"),
+        round(max("dwell_s"), 4).as("max_dwell_s"))
+      .withColumn("exit_rate",
+        round(lit(1d) - col("n_with_dwell").cast("double") / col("n_events"), 6))
+      .orderBy("event_type")
+  }
+
+  val oracleDwellTime: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |  make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+      |g AS (SELECT event_type,
+      |    epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch(ts) AS gap
+      |  FROM e),
+      |d AS (SELECT event_type,
+      |    CASE WHEN gap <= 1800 THEN gap ELSE NULL END AS dwell_s FROM g)
+      |SELECT event_type, count(*) AS n_events,
+      |  count(dwell_s) AS n_with_dwell,
+      |  round(avg(dwell_s), 4) AS mean_dwell_s,
+      |  round(max(dwell_s), 4) AS max_dwell_s,
+      |  round(1.0 - count(dwell_s)::DOUBLE / count(*), 6) AS exit_rate
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------- burstiness
 
   /** Inter-arrival burstiness per event type (`q_burstiness`) — is a

@@ -684,4 +684,83 @@ object Pipeline {
        |  md5(array_to_string(list_slice(toks, chunk_id * $st + 1, chunk_id * $st + $w), ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------- PSI
+
+  /** Zero-share clamp for PSI terms — the standard ε substitution that
+    * keeps ln(p/q) finite when a source has no docs in a bin. */
+  private[graft] val PSI_EPS = 1e-4
+  private[graft] val PSI_T   = 0.1
+
+  /** Population stability index per source (`q_psi`) — the third rung of
+    * the drift family: [[qCorpusDrift]] reads quantile GAPS,
+    * [[qJsDivergence]] the TERM distribution; PSI is the industry-standard
+    * binned score over a numeric feature (doc length in words): global
+    * deciles define 10 bins, and each source's bin shares p_i compare to
+    * the corpus's q_i via Σ (p_i − q_i)·ln(p_i/q_i), zero shares clamped
+    * at [[PSI_EPS]]. <0.1 stable, >0.25 action.
+    *
+    * Scale shape: decile boundaries come from
+    * [[graft.operators.Relational.percentilesTwoPhase]] (bucketed
+    * two-phase rank, no global sort) and broadcast as ONE row; binning is
+    * a scan-side projection; everything downstream is the |sources|×10
+    * grid built exactly like [[jsDivergence]]'s full frame (zero-doc bins
+    * are data, not dropped rows).
+    */
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val nw = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("nw"))
+    val cuts = (1 to 9).map(i => s"d$i" -> i / 10.0)
+    val bounds = Relational.percentilesTwoPhase(
+      nw.withColumn("g", lit("ALL")), "g", "nw", cuts).drop("g")
+    val binned = nw.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        cuts.map { case (n, _) => (col("nw") > col(n)).cast("int") }
+          .reduce(_ + _))
+      .select("source", "bin")
+    val srcBin = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val srcTot = srcBin.groupBy("source").agg(sum("c").as("stot"))
+    val globBin = srcBin.groupBy("bin").agg(sum("c").as("gc"))
+    val globTot = globBin.agg(sum("gc").as("gtot"))
+    val grid = srcTot
+      .crossJoin(broadcast(globBin.crossJoin(globTot)))
+      .join(srcBin, Seq("source", "bin"), "left")
+      .withColumn("p",
+        greatest(coalesce(col("c"), lit(0L)).cast("double") / col("stot"),
+          lit(PSI_EPS)))
+      .withColumn("q",
+        greatest(col("gc").cast("double") / col("gtot"), lit(PSI_EPS)))
+    grid.groupBy("source")
+      .agg(max("stot").as("n_docs"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6)
+          .as("psi"))
+      .withColumn("drifted", col("psi") > PSI_T)
+      .orderBy("source")
+  }
+
+  val oraclePsi: String = {
+    val qsSql = (1 to 9)
+      .map(i => s"round(quantile_cont(nw, 0.${i}), 4) AS d$i").mkString(", ")
+    val binSql = (1 to 9)
+      .map(i => s"CASE WHEN nw > b.d$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH nw AS (
+       |  SELECT source, len(string_split(text, ' '))::DOUBLE AS nw FROM documents),
+       |b AS (SELECT $qsSql FROM nw),
+       |binned AS (SELECT source, $binSql AS bin FROM nw, b),
+       |sb AS (SELECT source, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS stot FROM sb GROUP BY 1),
+       |gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM sb GROUP BY 1),
+       |gt AS (SELECT CAST(sum(gc) AS BIGINT) AS gtot FROM gb),
+       |grid AS (
+       |  SELECT st.source, st.stot,
+       |    greatest(coalesce(sb.c, 0)::DOUBLE / st.stot, $PSI_EPS) AS p,
+       |    greatest(gb.gc::DOUBLE / gt.gtot, $PSI_EPS) AS q
+       |  FROM st CROSS JOIN gb CROSS JOIN gt
+       |  LEFT JOIN sb ON sb.source = st.source AND sb.bin = gb.bin)
+       |SELECT source, max(stot) AS n_docs,
+       |  round(sum((p - q) * ln(p / q)), 6) AS psi,
+       |  round(sum((p - q) * ln(p / q)), 6) > $PSI_T AS drifted
+       |FROM grid GROUP BY source ORDER BY source""".stripMargin
+  }
 }

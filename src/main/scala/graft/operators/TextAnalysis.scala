@@ -1073,4 +1073,87 @@ object TextAnalysis {
        |  round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
        |    / ((n*sx2 - sx*sx) * (n*sy2 - sy*sy)), 6) AS r2
        |FROM s""".stripMargin
+
+  // --------------------------------------------------- chi² term selection
+
+  /** Global-count cutoff for χ² candidates — the standard min-df gate
+    * feature selection applies before scoring (a word seen twice carries
+    * no statistical signal and bloats the candidate frame). */
+  private[graft] val CHI2_MIN_C = 5L
+  private[graft] val CHI2_TOP   = 10
+
+  /** χ² term–source association (`q_chi2_terms`) — the classic
+    * feature-selection scan: for every (source, word) the 2×2
+    * contingency χ² against the rest of the corpus, top-[[CHI2_TOP]]
+    * OVER-represented words per source (observed > expected only — the
+    * discriminative vocabulary of each source). The frequentist sibling
+    * of [[graft.operators.Pipeline.qJsDivergence]] (which scores the
+    * whole distribution, not individual terms).
+    *
+    * Scale shape: one token explode into a (source, word) hash agg;
+    * word marginals are a groupBy joined back on word (aggregated
+    * frames both sides); source marginals and the grand total are
+    * broadcast. The only window partitions by source over the
+    * candidate frame — bounded by the post-cutoff VOCABULARY, which
+    * saturates sublinearly (Heaps' law), not by the corpus; the χ²
+    * products run in doubles (the squared term overflows BIGINT long
+    * before any real corpus ends).
+    */
+  def qChi2Terms(s: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .cache()
+    val wt = sw.groupBy("word").agg(sum("c").as("wc"))
+      .filter(col("wc") >= CHI2_MIN_C)
+    val st = sw.groupBy("source").agg(sum("c").as("st"))
+    val nn = sw.agg(sum("c").as("n")).select(col("n").cast("double").as("nd"))
+    val cand = sw.join(wt, "word")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(nn))
+      .withColumn("a", col("c").cast("double"))
+      .withColumn("wcd", col("wc").cast("double"))
+      .withColumn("std", col("st").cast("double"))
+      .withColumn("dif",
+        col("a") * (col("nd") - col("std") - col("wcd") + col("a")) -
+          (col("wcd") - col("a")) * (col("std") - col("a")))
+      .filter(col("dif") > 0) // over-represented in this source only
+      .withColumn("chi2",
+        (col("nd") * col("dif") * col("dif")) /
+          (col("wcd") * (col("nd") - col("wcd")) * col("std") *
+            (col("nd") - col("std"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("chi2").desc, col("word"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= CHI2_TOP)
+      .select(col("source"), col("rank").cast("long").as("rank"), col("word"),
+        col("c"), col("wc"), round(col("chi2"), 4).as("chi2"))
+      .orderBy("source", "rank")
+  }
+
+  val oracleChi2Terms: String =
+    s"""WITH sw AS (
+       |  SELECT source, word, count(*) AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |wt AS (SELECT word, CAST(sum(c) AS BIGINT) AS wc FROM sw GROUP BY word
+       |       HAVING sum(c) >= $CHI2_MIN_C),
+       |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM sw GROUP BY source),
+       |nn AS (SELECT sum(c)::DOUBLE AS nd FROM sw),
+       |cand AS (
+       |  SELECT sw.source, sw.word, sw.c, wt.wc,
+       |    sw.c::DOUBLE AS a, wt.wc::DOUBLE AS wcd, st.st::DOUBLE AS std, nn.nd,
+       |    sw.c::DOUBLE * (nn.nd - st.st::DOUBLE - wt.wc::DOUBLE + sw.c::DOUBLE)
+       |      - (wt.wc::DOUBLE - sw.c::DOUBLE) * (st.st::DOUBLE - sw.c::DOUBLE) AS dif
+       |  FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN nn),
+       |scored AS (
+       |  SELECT source, word, c, wc,
+       |    (nd * dif * dif) / (wcd * (nd - wcd) * std * (nd - std)) AS chi2
+       |  FROM cand WHERE dif > 0),
+       |r AS (
+       |  SELECT source, word, c, wc, chi2,
+       |    row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, word) AS rank
+       |  FROM scored)
+       |SELECT source, rank, word, c, wc, round(chi2, 4) AS chi2
+       |FROM r WHERE rank <= $CHI2_TOP ORDER BY source, rank""".stripMargin
 }

@@ -225,7 +225,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // term frame (<=33 rows by construction) onto the per-source
         // totals; q_t_closeness crossJoins the broadcast k-row global
         // priority distribution onto the QI-group frame
-        "q_js_divergence", "q_t_closeness")
+        "q_js_divergence", "q_t_closeness",
+        // q_chi2_terms crossJoins the 1-row grand-total frame;
+        // q_psi crossJoins the 1-row decile-boundary frame and the
+        // broadcast 10-row global-bin-share frame (jsDivergence's shape)
+        "q_chi2_terms", "q_psi")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
@@ -279,7 +283,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_quality_sweep" -> ("suffix cumsum + totals over the completed " +
           "10-row threshold grid"),
         "q_t_closeness" -> ("global distribution cum/total windows over " +
-          "the k-category priority frame (k=|orderpriority| enum)"))
+          "the k-category priority frame (k=|orderpriority| enum)"),
+        "q_psi" -> ("percentilesTwoPhase bucket-cumulative windows (the " +
+          "constant 'ALL' group folds to an empty partition spec): " +
+          "<=PCT_BUCKETS rows each by construction"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

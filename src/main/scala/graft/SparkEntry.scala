@@ -196,6 +196,7 @@ object SparkEntry {
     "q_chunk_overlap"     -> Pipeline.qChunkOverlap _,
     "q_attribution"       -> EventOps.qAttribution _,
     "q_group_kfold"       -> MlPrep.qGroupKfold _,
+    "q_woe_iv"            -> MlPrep.qWoeIv _,
     "q_knn_outlier"       -> Similarity.qKnnOutlier _,
     "q_erasure_audit"     -> Privacy.qErasureAudit _,
     "q_link_predict"      -> Graph.qLinkPredict _,
@@ -479,6 +480,7 @@ object SparkEntry {
     "q_chunk_overlap"     -> Pipeline.oracleChunkOverlap,
     "q_attribution"       -> EventOps.oracleAttribution,
     "q_group_kfold"       -> MlPrep.oracleGroupKfold,
+    "q_woe_iv"            -> MlPrep.oracleWoeIv,
     "q_knn_outlier"       -> Similarity.oracleKnnOutlier,
     "q_erasure_audit"     -> Privacy.oracleErasureAudit,
     "q_link_predict"      -> Graph.oracleLinkPredict,

@@ -359,4 +359,67 @@ object MlPrep {
        |  round(CAST(revenue AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share
        |FROM g, tot ORDER BY fold""".stripMargin
   }
+
+  // --------------------------------------------------------------- WOE/IV
+
+  /** Laplace smoothing count for WOE — keeps ln finite for categories
+    * with zero events on either side (the standard 0.5 adjustment). */
+  private[graft] val WOE_SMOOTH = 0.5
+
+  /** Weight-of-evidence + information value (`q_woe_iv`) — the
+    * credit-scoring sibling of [[qTargetEncode]]: for each part brand,
+    * WOE = ln(share-of-events / share-of-non-events) of the
+    * returned-line outcome (l_returnflag = 'R'), with the per-category
+    * IV contribution (p_evt − p_non)·WOE whose feature-level sum ranks
+    * predictive power. Smoothed by [[WOE_SMOOTH]] on both counts so
+    * one-sided categories stay finite.
+    *
+    * Scale shape: the part dim broadcasts onto the lineitem scan; one
+    * map-side-combinable aggregate to the |brands| frame; the global
+    * event/non-event totals are a 1-row broadcast. Counts are exact
+    * integers, so both engines divide identical doubles — no rounding
+    * ties.
+    */
+  def qWoeIv(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.dim(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_returnflag") === "R").cast("long").as("evt"))
+    val byBrand = rows.groupBy("brand")
+      .agg(sum("evt").as("n_evt"),
+        (count(lit(1)) - sum("evt")).as("n_non"))
+    val tot = byBrand.agg(sum("n_evt").as("g_evt"), sum("n_non").as("g_non"))
+    byBrand.crossJoin(broadcast(tot))
+      .withColumn("p_evt",
+        (col("n_evt") + WOE_SMOOTH) / (col("g_evt") + WOE_SMOOTH))
+      .withColumn("p_non",
+        (col("n_non") + WOE_SMOOTH) / (col("g_non") + WOE_SMOOTH))
+      .withColumn("woe", round(log(col("p_evt") / col("p_non")), 6))
+      .select(col("brand"), col("n_evt"), col("n_non"), col("woe"),
+        round((col("p_evt") - col("p_non")) * log(col("p_evt") / col("p_non")), 6)
+          .as("iv_term"))
+      .orderBy("brand")
+  }
+
+  val oracleWoeIv: String =
+    s"""WITH r AS (
+       |  SELECT p_brand AS brand,
+       |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS evt
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |b AS (SELECT brand, CAST(sum(evt) AS BIGINT) AS n_evt,
+       |        CAST(count(*) - sum(evt) AS BIGINT) AS n_non
+       |      FROM r GROUP BY brand),
+       |t AS (SELECT CAST(sum(n_evt) AS BIGINT) AS g_evt,
+       |        CAST(sum(n_non) AS BIGINT) AS g_non FROM b),
+       |p AS (
+       |  SELECT brand, n_evt, n_non,
+       |    (n_evt + $WOE_SMOOTH) / (g_evt + $WOE_SMOOTH) AS p_evt,
+       |    (n_non + $WOE_SMOOTH) / (g_non + $WOE_SMOOTH) AS p_non
+       |  FROM b, t)
+       |SELECT brand, n_evt, n_non,
+       |  round(ln(p_evt / p_non), 6) AS woe,
+       |  round((p_evt - p_non) * ln(p_evt / p_non), 6) AS iv_term
+       |FROM p ORDER BY brand""".stripMargin
 }

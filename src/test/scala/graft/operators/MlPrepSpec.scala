@@ -79,4 +79,36 @@ class MlPrepSpec extends AnyFunSpec with SparkTestBase {
       assert(a == b)
     }
   }
+
+  describe("q_woe_iv") {
+
+    it("matches a driver-side smoothed WOE replay and IV terms are non-negative") {
+      val got = MlPrep.qWoeIv(spark, sfDir).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      val rows = graft.Tables.lineitem(spark, sfDir)
+        .join(graft.Tables.part(spark, sfDir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), (col("l_returnflag") === "R").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val byBrand = rows.groupBy(_._1).view
+        .mapValues(xs => (xs.map(_._2).sum, xs.length - xs.map(_._2).sum)).toMap
+      val gEvt = byBrand.values.map(_._1).sum.toDouble
+      val gNon = byBrand.values.map(_._2).sum.toDouble
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.keySet == byBrand.keySet)
+      byBrand.foreach { case (brand, (ne, nn)) =>
+        val pe = (ne + MlPrep.WOE_SMOOTH) / (gEvt + MlPrep.WOE_SMOOTH)
+        val pn = (nn + MlPrep.WOE_SMOOTH) / (gNon + MlPrep.WOE_SMOOTH)
+        val (ge, gn, gwoe, giv) = got(brand)
+        assert(ge == ne && gn == nn, s"$brand counts")
+        assert(math.abs(gwoe - r6(math.log(pe / pn))) <= 1e-6, s"$brand woe")
+        assert(math.abs(giv - r6((pe - pn) * math.log(pe / pn))) <= 1e-6,
+          s"$brand iv")
+        // (p_evt - p_non) and ln(p_evt/p_non) always share a sign
+        assert(giv >= 0, s"$brand iv_term negative")
+      }
+    }
+  }
 }

@@ -202,6 +202,60 @@ object StreamOps {
       .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
         col("n_docs"), col("avg_js"), col("max_js"))
 
+  /** Trained doc-length decile artifact for [[psiMonitor]] — the batch
+    * side of the streaming PSI pair (`graft.operators.Pipeline.qPsi`'s
+    * global boundaries + bin shares, collected once as the nightly
+    * artifact): 9 decile cuts and the 10 reference bin shares. The
+    * quantiles come from `percentilesTwoPhase` — no global sort.
+    */
+  def trainLengthDeciles(docs: DataFrame): (Seq[Double], Seq[Double]) = {
+    val nw = docs.select(size(split(col("text"), " ")).cast("double").as("nw"),
+      lit("ALL").as("g"))
+    val cutsSpec = (1 to 9).map(i => s"d$i" -> i / 10.0)
+    val row = graft.operators.Relational
+      .percentilesTwoPhase(nw, "g", "nw", cutsSpec).collect().head
+    val cuts = (1 to 9).map(i => row.getAs[Double](s"d$i"))
+    val binCol = cuts.map(c => (col("nw") > c).cast("int")).reduce(_ + _)
+    val counts = nw.groupBy(binCol.as("bin")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val shares = (0 to 9).map(b => counts.getOrElse(b, 0L) / total)
+    (cuts, shares)
+  }
+
+  /** Windowed PSI drift monitor — the population twin of
+    * [[driftMonitor]] (which scores CONTENT per doc; this scores the
+    * LENGTH DISTRIBUTION per window): each arriving doc bins against
+    * the trained decile cuts (stateless projection), and per tumbling
+    * hour the window's bin shares compare to the trained reference via
+    * Σ(p−q)ln(p/q), zero shares clamped at `Pipeline.PSI_EPS`. One
+    * stateful op (the windowed agg, append mode, state = 10 counters
+    * per open window); identical on a static frame (watermark no-op).
+    */
+  def psiMonitor(docs: DataFrame, cuts: Seq[Double], ref: Seq[Double],
+      delay: String = "1 hour"): DataFrame = {
+    import graft.operators.Pipeline.PSI_EPS
+    require(cuts.length == 9 && ref.length == 10, "artifact shape: 9 cuts, 10 shares")
+    val binCol = cuts
+      .map(c => (size(split(col("text"), " ")).cast("double") > c).cast("int"))
+      .reduce(_ + _)
+    val counts = (0 to 9).map(b =>
+      sum((col("bin") === b).cast("long")).as(s"c$b"))
+    val n = col("n_docs").cast("double")
+    val psi = (0 to 9).map { b =>
+      val p = greatest(col(s"c$b").cast("double") / n, lit(PSI_EPS))
+      val q = lit(math.max(ref(b), PSI_EPS))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    docs.withColumn("bin", binCol)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_docs"), counts: _*)
+      .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
+        col("n_docs"), round(psi, 6).as("psi"),
+        (round(psi, 6) > graft.operators.Pipeline.PSI_T).as("drifted"))
+  }
+
   /** Streaming incremental near-dup probe — the streaming twin of
     * `Dedup.qDedupIncremental`'s near channel: each arriving document's
     * K-minhash signature (one stateless projection, bit-identical to

@@ -36,6 +36,29 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Media ingest from a blob store layout — the shape real media lands
+    * in a lake: one file per object, `<source>/<doc_id>.bin`. Spark's
+    * built-in `binaryFile` source reads (path, modificationTime, length,
+    * content) with the payload never parsed driver-side; doc_id comes
+    * from the filename stem and source from the parent directory, both
+    * as codegen'd path projections. `pathGlobFilter` prunes at FILE
+    * LISTING time (a per-source glob never opens other sources'
+    * blobs), and `spark.sql.files.maxPartitionBytes` sizes partitions —
+    * blobs stay partition-local end to end, same as [[mediaTable]].
+    */
+  def mediaFromBinaryFiles(s: SparkSession, dir: String,
+      glob: Option[String] = None): Dataset[MediaRecord] = {
+    import s.implicits._
+    val reader = s.read.format("binaryFile")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        regexp_extract(col("path"), "([^/]+)/[^/]+$", 1).as("source"))
+      .as[MediaRecord]
+  }
+
   /** STUB decode: a deterministic fake codec. Real plumbing, fake pixels.
     * Runs partition-locally via mapPartitions — the shape a real decoder
     * (batched JNI / native call) would use; swap `decodeOne` for the codec.

@@ -44,6 +44,62 @@ class MultimodalSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("binaryFile blob ingest") {
+
+    it("reads a blob-store layout into MediaRecords and decodes identically to the table path") {
+      withTempDir { dir =>
+        val recs = Multimodal.mediaTable(spark, sfDir).collect().take(24)
+        val bySrc = recs.groupBy(_.source)
+        bySrc.foreach { case (src, rs) =>
+          val d = new java.io.File(dir, src); d.mkdirs()
+          rs.foreach { r =>
+            java.nio.file.Files.write(
+              new java.io.File(d, s"${r.doc_id}.bin").toPath, r.payload)
+          }
+        }
+        val ingested = Multimodal
+          .mediaFromBinaryFiles(spark, dir.getAbsolutePath + "/*")
+          .collect().sortBy(_.doc_id)
+        assert(ingested.length == recs.length)
+        val want = recs.sortBy(_.doc_id)
+        ingested.zip(want).foreach { case (a, b) =>
+          assert(a.doc_id == b.doc_id && a.source == b.source &&
+            java.util.Arrays.equals(a.payload, b.payload),
+            s"blob mismatch at ${b.doc_id}")
+        }
+        // decode parity: the stub codec sees identical bytes either way
+        val viaBlobs = Multimodal.decodeFeatures(
+            Multimodal.mediaFromBinaryFiles(spark, dir.getAbsolutePath + "/*"))
+          .collect().sortBy(_.doc_id)
+          .map(x => (x.doc_id, x.byte_len, x.width, x.height, x.n_frames, x.frame_hashes))
+        val viaTable = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sfDir))
+          .collect().filter(f => want.exists(_.doc_id == f.doc_id)).sortBy(_.doc_id)
+          .map(x => (x.doc_id, x.byte_len, x.width, x.height, x.n_frames, x.frame_hashes))
+        assert(viaBlobs.toSeq == viaTable.toSeq)
+      }
+    }
+
+    it("pathGlobFilter prunes to one source at file-listing time") {
+      withTempDir { dir =>
+        val recs = Multimodal.mediaTable(spark, sfDir).collect().take(24)
+        recs.groupBy(_.source).foreach { case (src, rs) =>
+          val d = new java.io.File(dir, src); d.mkdirs()
+          rs.foreach { r =>
+            java.nio.file.Files.write(
+              new java.io.File(d, s"${r.doc_id}.bin").toPath, r.payload)
+          }
+        }
+        val src0 = recs.map(_.source).min
+        val only = Multimodal.mediaFromBinaryFiles(
+            spark, dir.getAbsolutePath + s"/$src0")
+          .collect()
+        val want = recs.filter(_.source == src0)
+        assert(only.length == want.length && only.forall(_.source == src0),
+          s"glob pruning leaked: ${only.map(_.source).distinct.toSeq}")
+      }
+    }
+  }
+
   describe("query smoke (sf0.001)") {
     it("every SparkEntry query executes and the flagship returns rows") {
       assert(graft.SparkEntry.entry(spark).count() > 0)

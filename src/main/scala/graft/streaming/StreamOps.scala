@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators (SURVEY §2.7), built for batch/stream
   * parity: `windowCounts` is ONE transform applied verbatim to the static
@@ -651,4 +651,65 @@ object StreamOps {
       .transformWithState(new MisraGriesProcessor(k),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  // ------------------------------------------------- streaming MERGE sink
+
+  /** Current contents of an [[upsertStream]]-maintained table: the
+    * version the `_CURRENT` pointer names, or an empty (key, value)
+    * frame before the first commit. */
+  def upsertTableRead(s: SparkSession, tableDir: String): DataFrame = {
+    val ptr = new java.io.File(tableDir, "_CURRENT")
+    if (ptr.exists()) {
+      val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
+      s.read.parquet(s"$tableDir/$v")
+    } else {
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("key BIGINT, value DOUBLE"))
+    }
+  }
+
+  /** Streaming MERGE into a parquet warehouse table — the foreachBatch
+    * upsert sink every CDC-to-lake pipeline ends in, built on the same
+    * full-outer merge shape as `Warehouse.qMergeUpsert`. Per micro-batch:
+    * the batch REDUCES to its latest change per key (max_by on the
+    * sequence number — map-side combinable, no window), full-outer
+    * merges with the current table version, and commits by writing
+    * `v<batchId>` and atomically renaming the `_CURRENT` pointer.
+    *
+    * Exactly-once table state: a replayed batch (restart between write
+    * and checkpoint commit) rewrites the SAME `v<batchId>` dir from the
+    * same inputs and re-points `_CURRENT` at it — idempotent by
+    * construction, no transaction log needed. Readers see only
+    * committed versions (the pointer flips after the version lands).
+    * At 100 TB the merge co-partitions on key (bucketed table versions
+    * make it zero-exchange) and old versions retire by any vacuum
+    * policy; the pointer-swap commit is O(1) regardless of table size.
+    *
+    * `changes` schema: (key BIGINT, op STRING 'U'|'D', value DOUBLE,
+    * seq BIGINT).
+    */
+  def upsertStream(changes: DataFrame, tableDir: String): DataStreamWriter[Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val latest = batch
+          .groupBy("key")
+          .agg(expr("max_by(struct(op, value), seq)").as("ch"))
+          .select(col("key"), col("ch.op").as("op"), col("ch.value").as("cv"))
+        val cur = upsertTableRead(s, tableDir)
+          .select(col("key").as("t_key"), col("value").as("t_value"))
+        val merged = cur.join(latest, col("t_key") === col("key"), "full_outer")
+          .filter(coalesce(col("op"), lit("K")) =!= "D")
+          .select(coalesce(col("t_key"), col("key")).as("key"),
+            when(col("op") === "U", col("cv")).otherwise(col("t_value")).as("value"))
+        merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+        val tmp = new java.io.File(tableDir, s"_CURRENT.tmp$batchId")
+        java.nio.file.Files.write(tmp.toPath, s"v$batchId".getBytes)
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(tableDir, "_CURRENT").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      ()
+    }
 }

@@ -111,6 +111,63 @@ object LineageGraph {
     } finally e.unpersist()
   }
 
+  /** PII taint propagation — the governance crossover between the column
+    * lineage graph and the privacy surface: given the columns a
+    * classifier (or a steward) marked as PII at the sources, every
+    * downstream column DERIVED from them is tainted, through renames,
+    * expressions and joins alike. One multi-root frontier walk over
+    * [[columnEdges]] (state = (root, column) pairs — all roots propagate
+    * in the same distributed pass, not one BFS per root); min-hop depth
+    * per (root, column). Returns (pii_root, column, depth) with depth 0
+    * rows for the roots themselves.
+    */
+  def piiTaint(s: SparkSession, records: Seq[LineageRecord],
+      taintedRoots: Seq[String], maxDepth: Int = 20): DataFrame = {
+    import s.implicits._
+    val e = columnEdges(s, records).cache()
+    try {
+      var frontier = taintedRoots.map(r => (r, r)).toDF("pii_root", "column")
+        .withColumn("depth", lit(0))
+      var all = frontier
+      var depth = 0
+      var converged = false
+      while (!converged && depth < maxDepth) {
+        depth += 1
+        val next = frontier.join(e, col("column") === col("src"))
+          .select(col("pii_root"), col("dst").as("column")).distinct()
+          .join(all.select(col("pii_root").as("sr"), col("column").as("sc")),
+            col("pii_root") === col("sr") && col("column") === col("sc"),
+            "left_anti")
+          .withColumn("depth", lit(depth))
+          .localCheckpoint()
+        if (next.isEmpty) converged = true
+        else {
+          all = all.unionByName(next).localCheckpoint()
+          frontier = next
+        }
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"PII taint closure capped at depth $maxDepth")
+      all
+    } finally e.unpersist()
+  }
+
+  /** Entity rollup of [[piiTaint]]: per output entity, how many of its
+    * columns are PII-derived and from which roots — the table a privacy
+    * review reads to find datasets that silently re-materialize PII. */
+  def piiTaintReport(s: SparkSession, records: Seq[LineageRecord],
+      taintedRoots: Seq[String], maxDepth: Int = 20): DataFrame = {
+    val taint = piiTaint(s, records, taintedRoots, maxDepth)
+      .filter(col("depth") > 0)
+      .withColumn("entity",
+        regexp_extract(col("column"), "^(.*)\\.[^.]+$", 1))
+    taint.groupBy("entity")
+      .agg(countDistinct("column").as("n_tainted_columns"),
+        sort_array(collect_set("pii_root")).as("pii_roots"))
+      .orderBy(desc("n_tainted_columns"), col("entity"))
+  }
+
   /** Fan-out report: every entity with its direct consumer count and the
     * size of its full downstream cone — the blast-radius ranking a data
     * platform reviews before a risky backfill. */

@@ -86,6 +86,52 @@ class LineageGraphSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  it("PII taint propagates through derivations to the entity report, sparing clean columns") {
+    withTempDir { dir =>
+      val sink = new InMemorySink
+      val l = Lineage.installSync(spark, sink)
+      try {
+        val base = dir.getAbsolutePath
+        // r_name is "PII"; r_regionkey is clean. b derives from both;
+        // c derives ONLY from the clean key — must stay untainted.
+        spark.read.parquet(s"$sfDir/region.parquet")
+          .select(col("r_regionkey"), col("r_name"))
+          .write.mode("overwrite").parquet(s"$base/a")
+        spark.read.parquet(s"$base/a")
+          .select(col("r_regionkey").as("rk"),
+            upper(col("r_name")).as("name_upper"))
+          .write.mode("overwrite").parquet(s"$base/b")
+        spark.read.parquet(s"$base/a")
+          .select((col("r_regionkey") * 2).as("rk2"))
+          .write.mode("overwrite").parquet(s"$base/c")
+        spark.read.parquet(s"$base/b")
+          .select(concat(col("name_upper"), lit("?")).as("greeting"))
+          .write.mode("overwrite").parquet(s"$base/d")
+        assert(eventually()(sink.records.count(r =>
+          r.output.isDefined && r.columnLineage.nonEmpty) >= 4))
+        val records = sink.records
+        val aRec = records.find(_.output.exists(_.name.endsWith("/a"))).get
+        val piiRoot = aRec.columnLineage.find(_.output == "r_name").get.sources.head
+        val taint = LineageGraph.piiTaint(spark, records, Seq(piiRoot)).collect()
+          .map(r => (r.getString(1), r.getInt(2)))
+        def at(suffix: String) =
+          taint.collectFirst { case (c, d) if c.endsWith(suffix) => d }
+        assert(at("/a.r_name").contains(1), s"taint: ${taint.toSeq}")
+        assert(at("/b.name_upper").contains(2), s"taint: ${taint.toSeq}")
+        assert(at("/d.greeting").contains(3), s"taint: ${taint.toSeq}")
+        assert(!taint.exists(t => t._1.endsWith(".rk") || t._1.endsWith(".rk2")),
+          s"clean columns tainted: ${taint.toSeq}")
+        val report = LineageGraph.piiTaintReport(spark, records, Seq(piiRoot))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(report.keys.exists(_.endsWith("/b")) &&
+          report.keys.exists(_.endsWith("/d")), s"report: $report")
+        assert(!report.keys.exists(_.endsWith("/c")),
+          s"clean entity in PII report: $report")
+        assert(report.values.forall(_ == 1))
+      } finally Lineage.uninstall(spark, l)
+    }
+  }
+
   it("impact report ranks the shared upstream highest") {
     withTempDir { dir =>
       val records = capturedPipeline(dir)

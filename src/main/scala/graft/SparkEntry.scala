@@ -163,6 +163,7 @@ object SparkEntry {
     "q_kcore"             -> Graph.qKcore _,
     "q_graph_bfs"         -> Graph.qGraphBfs _,
     "q_label_prop"        -> Graph.qLabelProp _,
+    "q_graph_modularity"  -> Graph.qGraphModularity _,
     "q_target_encode"     -> MlPrep.qTargetEncode _,
     "q_feature_hash"      -> MlPrep.qFeatureHash _,
     "q_assoc_rules"       -> MlPrep.qAssocRules _,
@@ -447,6 +448,7 @@ object SparkEntry {
     "q_kcore"             -> Graph.oracleKcore,
     "q_graph_bfs"         -> Graph.oracleGraphBfs,
     "q_label_prop"        -> Graph.oracleLabelProp,
+    "q_graph_modularity"  -> Graph.oracleGraphModularity,
     "q_target_encode"     -> MlPrep.oracleTargetEncode,
     "q_feature_hash"      -> MlPrep.oracleFeatureHash,
     "q_assoc_rules"       -> MlPrep.oracleAssocRules,

@@ -403,6 +403,106 @@ object Graph {
     rounds.reduce(_.union(_)).orderBy("round")
   }
 
+  /** Modularity of the label-propagation communities
+    * (`q_graph_modularity`) — the quality gauge that tells whether
+    * [[qLabelProp]]'s labels mean anything: Newman's
+    * Q = Σ_c (w_in_c/2m − (d_c/2m)²) over the same trading graph and
+    * the same LPA_ROUNDS labels. Q≈0 = no better than random wiring;
+    * bipartite customer–supplier graphs cap low, which the gauge
+    * reports honestly rather than hiding.
+    *
+    * Determinism: Q decomposes as W_in/(2m) − D2/(4m²) with W_in
+    * (within-community directed edges), 2m (total directed edges) and
+    * D2 = Σ_c d_c² ALL exact integers (D2 in DECIMAL(38,0) — the
+    * square overflows BIGINT at real-graph scale), so the only double
+    * arithmetic is one final expression — no order-dependent float
+    * summation across communities.
+    *
+    * Scale shape: same per-round discipline as qLabelProp (broadcast
+    * label join, localCheckpoint per round); the modularity pass is
+    * two hash aggregates over the |edges| frame onto |communities|
+    * then 1 row.
+    */
+  def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KCORE_T)
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint()
+    for (_ <- 1 to LPA_ROUNDS) {
+      labels = edges
+        .join(broadcast(labels.select(col("v").as("src"), col("label"))), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("v"))
+        .agg(min(struct((col("cnt") * -1).as("nc"), col("label"))).as("m"))
+        .select(col("v"), col("m.label").as("label"))
+        .localCheckpoint()
+    }
+    val ann = edges
+      .join(broadcast(labels.select(col("v").as("src"), col("label").as("slab"))), "src")
+      .join(broadcast(labels.select(col("v").as("dst"), col("label").as("dlab"))), "dst")
+    val deg = ann.groupBy("slab")
+      .agg(count(lit(1)).as("d"),
+        sum((col("slab") === col("dlab")).cast("long")).as("win"))
+    val nNodes = labels.agg(countDistinct("v").as("n_nodes"))
+    deg.agg(count(lit(1)).as("n_comms"),
+        sum("d").as("twom"), sum("win").as("w_in"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("d2"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("n_comms"),
+        (col("twom") / 2).cast("long").as("n_edges"),
+        round(col("w_in") / col("twom").cast("double") -
+          col("d2").cast("double") /
+            (col("twom").cast("double") * col("twom")), 6).as("modularity"))
+  }
+
+  val oracleGraphModularity: String = {
+    def roundCte(r: Int): String = {
+      val prev = s"l${r - 1}"
+      s"""l$r AS (
+         |  SELECT dst AS v, label FROM (
+         |    SELECT dst, label,
+         |           row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+         |    FROM (SELECT e.dst, l.label, count(*) AS cnt
+         |          FROM edges e JOIN $prev l ON e.src = l.v GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val iters = (1 to LPA_ROUNDS).map(roundCte).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $KCORE_T),
+       |edges AS (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode, cnode FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),
+       |$iters,
+       |ann AS (
+       |  SELECT ls.label AS slab, ld.label AS dlab
+       |  FROM edges e JOIN l$LPA_ROUNDS ls ON e.src = ls.v
+       |               JOIN l$LPA_ROUNDS ld ON e.dst = ld.v),
+       |deg AS (
+       |  SELECT slab, count(*) AS d,
+       |    CAST(sum(CASE WHEN slab = dlab THEN 1 ELSE 0 END) AS BIGINT) AS win
+       |  FROM ann GROUP BY slab),
+       |tot AS (
+       |  SELECT count(*) AS n_comms, CAST(sum(d) AS BIGINT) AS twom,
+       |    CAST(sum(win) AS BIGINT) AS w_in,
+       |    sum((d::DECIMAL(38,0)) * d) AS d2
+       |  FROM deg),
+       |nn AS (SELECT count(DISTINCT v) AS n_nodes FROM l$LPA_ROUNDS)
+       |SELECT nn.n_nodes, tot.n_comms, tot.twom // 2 AS n_edges,
+       |  round(tot.w_in / tot.twom::DOUBLE
+       |    - tot.d2::DOUBLE / (tot.twom::DOUBLE * tot.twom), 6) AS modularity
+       |FROM tot, nn""".stripMargin
+  }
+
   val oracleLabelProp: String = {
     def roundCte(r: Int): String = {
       val prev = s"l${r - 1}"

@@ -52,6 +52,40 @@ class GraphCommunitySpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_graph_modularity") {
+
+    it("matches a driver-side Newman-Q replay over the replayed LPA labels") {
+      val pairs = graft.Tables.lineitem(spark, sfDir)
+        .join(graft.Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+        .select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+      val dir = pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1)
+      val adj = dir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var labels: Map[String, String] = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to 3) { // LPA_ROUNDS
+        labels = adj.map { case (v, ns) =>
+          val freq = ns.map(labels).groupBy(identity).view.mapValues(_.size)
+          v -> freq.toSeq.minBy { case (lab, cnt) => (-cnt, lab) }._1
+        }
+      }
+      val twom = dir.length.toLong
+      val wIn = dir.count { case (s0, d0) => labels(s0) == labels(d0) }.toLong
+      val dC = dir.groupBy(e => labels(e._1)).view.mapValues(_.size.toLong).toMap
+      val d2 = dC.values.map(d => BigInt(d) * d).sum
+      val q = wIn.toDouble / twom - d2.toDouble / (twom.toDouble * twom)
+      val r6 = BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val row = Graph.qGraphModularity(spark, sfDir).collect().head
+      assert(row.getLong(0) == adj.size.toLong, "n_nodes")
+      assert(row.getLong(1) == dC.size.toLong, "n_comms")
+      assert(row.getLong(2) == twom / 2, "n_edges")
+      assert(math.abs(row.getDouble(3) - r6) <= 1e-6,
+        s"modularity ${row.getDouble(3)} vs replay $r6")
+      assert(row.getDouble(3) > -1 && row.getDouble(3) < 1)
+    }
+  }
+
   describe("q_hard_negatives") {
 
     it("every mined negative has a different label and a valid cosine") {

@@ -229,7 +229,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_chi2_terms crossJoins the 1-row grand-total frame;
         // q_psi crossJoins the 1-row decile-boundary frame and the
         // broadcast 10-row global-bin-share frame (jsDivergence's shape)
-        "q_chi2_terms", "q_psi")
+        "q_chi2_terms", "q_psi",
+        // q_woe_iv crossJoins the 1-row event/non-event totals frame;
+        // q_graph_modularity crossJoins the 1-row node-count frame
+        // (q_pagerank's shape)
+        "q_woe_iv", "q_graph_modularity")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

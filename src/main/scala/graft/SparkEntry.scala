@@ -123,6 +123,8 @@ object SparkEntry {
     "q_knn_ivfpq"    -> Similarity.qKnnIvfPq _,
     "q_embedding_jl"    -> Similarity.qEmbeddingJl _,
     "q_embedding_probe" -> Similarity.qEmbeddingProbe _,
+    "q_uncertainty_sample" -> Similarity.qUncertaintySample _,
+    "q_embedding_sq"    -> Similarity.qEmbeddingSq _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -410,6 +412,8 @@ object SparkEntry {
     "q_knn_ivfpq"    -> Similarity.oracleKnnIvfPq,
     "q_embedding_jl"    -> Similarity.oracleEmbeddingJl,
     "q_embedding_probe" -> Similarity.oracleEmbeddingProbe,
+    "q_uncertainty_sample" -> Similarity.oracleUncertaintySample,
+    "q_embedding_sq"    -> Similarity.oracleEmbeddingSq,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

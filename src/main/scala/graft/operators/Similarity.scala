@@ -1580,4 +1580,109 @@ object Similarity {
        |$selects
        |ORDER BY sel_round""".stripMargin
   }
+
+  // ------------------------------------------------- uncertainty sampling
+
+  private[graft] val UNC_K = 15
+
+  /** Active-learning uncertainty sampling (`q_uncertainty_sample`) — the
+    * annotation-budget allocator: the [[UNC_K]] vectors the trained
+    * probe is LEAST sure about (smallest |margin|), which is where the
+    * next labeling round buys the most model improvement. Margins are
+    * the same 6dp-rounded polynomial over the shared [[probeWeights]]
+    * as `q_auc_probe` — bit-deterministic across engines — with vec_id
+    * breaking |margin| ties (a +m/−m pair ties exactly).
+    *
+    * Scale shape: training is the in-plan GD loop (one scan per step);
+    * scoring is a 1-row weight broadcast onto the scan; the head is
+    * TakeOrdered — never a global sort.
+    */
+  def qUncertaintySample(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), probeX.as("x"))
+      .crossJoin(broadcast(probeWeights(s, dir)))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("x"), col("w")), 6).as("margin"))
+      .orderBy(abs(col("margin")), col("vec_id"))
+      .limit(UNC_K)
+
+  val oracleUncertaintySample: String =
+    s"""WITH $probeTrainSql
+       |SELECT vec_id, CAST(label AS INT) AS label,
+       |  round($probeDotXW, 6) AS margin
+       |FROM e, wi$PROBE_ITERS
+       |ORDER BY abs(round($probeDotXW, 6)), vec_id LIMIT $UNC_K""".stripMargin
+
+  // -------------------------------------------------- scalar quantization
+
+  /** int8 scalar-quantization audit (`q_embedding_sq`) — the 4×
+    * storage-compression dial every vector store offers, measured
+    * before anyone flips it: per-dimension min/max train the 256-level
+    * grid, every vector round-trips through its codes, and the per-label
+    * readout reports the reconstruction error the quantizer would
+    * inject (alongside [[qKnnPq]]'s codebook approach — SQ is the
+    * cheaper, dimension-independent baseline).
+    *
+    * Scale shape: the per-dim range table is ONE posexplode hash-agg
+    * folded to a 1-row pair of 64-long arrays (the Lloyd collect
+    * pattern) and broadcast; encode+decode+error is a scan-side fold
+    * over the constant DIM — no shuffle beyond the |labels| aggregate.
+    * The fold mirrors DuckDB's list_sum order exactly (the [[dot]]
+    * convention).
+    */
+  def qEmbeddingSq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val dims = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("vmin"), max("v").as("vmax"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("vmin")))),
+          x => x.getField("vmin")).as("mins"),
+        transform(array_sort(collect_list(struct(col("dim"), col("vmax")))),
+          x => x.getField("vmax")).as("maxs"))
+    val errTerm = (i: Column) => {
+      val v = element_at(col("emb"), i)
+      val mn = element_at(col("mins"), i)
+      val span = element_at(col("maxs"), i) - mn
+      val code = when(span > 0d, round((v - mn) / span * 255d, 0)).otherwise(lit(0d))
+      val recon = mn + code / lit(255d) * span
+      (v - recon) * (v - recon)
+    }
+    e.crossJoin(broadcast(dims))
+      .select(col("label"),
+        aggregate(sequence(lit(1), lit(DIM)), lit(0d),
+          (acc, i) => acc + errTerm(i)).as("err"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("err") / DIM), 6).as("mse"),
+        round(max(col("err")), 6).as("max_vec_err"))
+      .orderBy("label")
+  }
+
+  val oracleEmbeddingSq: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, v -> v::DOUBLE) AS emb
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT dim, min(v) AS vmin, max(v) AS vmax
+       |  FROM (SELECT unnest(emb) AS v,
+       |          unnest(generate_series(1, len(emb))) AS dim FROM e)
+       |  GROUP BY dim),
+       |g AS (SELECT list(vmin ORDER BY dim) AS mins,
+       |        list(vmax ORDER BY dim) AS maxs FROM d),
+       |sc AS (
+       |  SELECT label,
+       |    list_sum(list_transform(generate_series(1, $DIM), i ->
+       |      CASE WHEN maxs[i] - mins[i] > 0 THEN
+       |        (emb[i] - (mins[i] + round((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 255, 0)
+       |          / 255 * (maxs[i] - mins[i])))
+       |        * (emb[i] - (mins[i] + round((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 255, 0)
+       |          / 255 * (maxs[i] - mins[i])))
+       |      ELSE (emb[i] - mins[i]) * (emb[i] - mins[i]) END)) AS err
+       |  FROM e, g)
+       |SELECT label, count(*) AS n,
+       |  round(avg(err / $DIM), 6) AS mse,
+       |  round(max(err), 6) AS max_vec_err
+       |FROM sc GROUP BY label ORDER BY label""".stripMargin
 }

@@ -233,7 +233,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_woe_iv crossJoins the 1-row event/non-event totals frame;
         // q_graph_modularity crossJoins the 1-row node-count frame
         // (q_pagerank's shape)
-        "q_woe_iv", "q_graph_modularity")
+        "q_woe_iv", "q_graph_modularity",
+        // q_uncertainty_sample broadcasts the 1-row trained-weight frame
+        // (q_embedding_probe's shape); q_embedding_sq broadcasts the
+        // 1-row per-dim min/max array frame
+        "q_uncertainty_sample", "q_embedding_sq")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

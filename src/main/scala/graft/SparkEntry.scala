@@ -42,6 +42,7 @@ object SparkEntry {
     "q_theta_sets"        -> Relational.qThetaSets _,
     "q_grouping_sets"       -> Relational.qGroupingSets _,
     "q_window_range"        -> Relational.qWindowRange _,
+    "q_window_battery"      -> Relational.qWindowBattery _,
     "q_idle_capital"        -> Relational.qIdleCapital _,
     "q_join_size_est"       -> Relational.qJoinSizeEst _,
     "q_trend_forecast"      -> Relational.qTrendForecast _,
@@ -166,6 +167,7 @@ object SparkEntry {
     "q_graph_bfs"         -> Graph.qGraphBfs _,
     "q_label_prop"        -> Graph.qLabelProp _,
     "q_graph_modularity"  -> Graph.qGraphModularity _,
+    "q_hits"              -> Graph.qHits _,
     "q_target_encode"     -> MlPrep.qTargetEncode _,
     "q_feature_hash"      -> MlPrep.qFeatureHash _,
     "q_assoc_rules"       -> MlPrep.qAssocRules _,
@@ -285,6 +287,7 @@ object SparkEntry {
     "q_theta_sets"        -> Relational.oracleThetaSets,
     "q_grouping_sets"      -> Relational.oracleGroupingSets,
     "q_window_range"       -> Relational.oracleWindowRange,
+    "q_window_battery"     -> Relational.oracleWindowBattery,
     "q_idle_capital"       -> Relational.oracleIdleCapital,
     "q_join_size_est"      -> Relational.oracleJoinSizeEst,
     "q_trend_forecast"     -> Relational.oracleTrendForecast,
@@ -453,6 +456,7 @@ object SparkEntry {
     "q_graph_bfs"         -> Graph.oracleGraphBfs,
     "q_label_prop"        -> Graph.oracleLabelProp,
     "q_graph_modularity"  -> Graph.oracleGraphModularity,
+    "q_hits"              -> Graph.oracleHits,
     "q_target_encode"     -> MlPrep.oracleTargetEncode,
     "q_feature_hash"      -> MlPrep.oracleFeatureHash,
     "q_assoc_rules"       -> MlPrep.oracleAssocRules,

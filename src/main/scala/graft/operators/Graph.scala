@@ -403,6 +403,89 @@ object Graph {
     rounds.reduce(_.union(_)).orderBy("round")
   }
 
+  private[graft] val HITS_ITERS = 3
+  private[graft] val HITS_TOP   = 10
+
+  /** HITS hubs & authorities (`q_hits`) — the second centrality next to
+    * [[qPagerank]], and the one that actually fits a BIPARTITE trade
+    * graph: customers are pure hubs (they only point), suppliers pure
+    * authorities (they only collect), so the two mutually-reinforcing
+    * scores are the natural "big buyer" / "critical supplier" ranking.
+    * [[HITS_ITERS]] rounds of h = W·a, a = Wᵀ·h, each MAX-normalized
+    * (max is order-independent, unlike the textbook L2/L1 norms whose
+    * global float sum would accumulate engine-dependently) and rounded
+    * 9dp — the pagerank determinism discipline.
+    *
+    * Scale shape: identical to pagerank — edges localCheckpointed once;
+    * per round the vertex-sized score frame broadcasts onto the edge
+    * set (shuffle-join on a billion-vertex graph — hints change, shape
+    * doesn't); top-K via TakeOrdered.
+    */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .groupBy("cnode", "snode").agg(count(lit(1)).cast("double").as("w"))
+      .localCheckpoint()
+    var auth = pairs.select(col("snode")).distinct()
+      .select(col("snode"), lit(1.0).as("a"))
+    var hubs: DataFrame = null
+    for (_ <- 1 to HITS_ITERS) {
+      val hRaw = pairs.join(broadcast(auth), "snode")
+        .groupBy("cnode").agg(sum(col("w") * col("a")).as("h"))
+      val hMax = hRaw.agg(max("h").as("hmax"))
+      hubs = hRaw.crossJoin(broadcast(hMax))
+        .select(col("cnode"), round(col("h") / col("hmax"), 9).as("h"))
+        .localCheckpoint()
+      val aRaw = pairs.join(broadcast(hubs), "cnode")
+        .groupBy("snode").agg(sum(col("w") * col("h")).as("a"))
+      val aMax = aRaw.agg(max("a").as("amax"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("snode"), round(col("a") / col("amax"), 9).as("a"))
+        .localCheckpoint()
+    }
+    val topH = hubs.select(col("cnode").as("node"), lit("hub").as("kind"),
+        round(col("h"), 6).as("score"))
+      .orderBy(desc("score"), col("node")).limit(HITS_TOP)
+    val topA = auth.select(col("snode").as("node"), lit("authority").as("kind"),
+        round(col("a"), 6).as("score"))
+      .orderBy(desc("score"), col("node")).limit(HITS_TOP)
+    topH.unionByName(topA)
+      .orderBy(col("kind"), col("score").desc, col("node"))
+  }
+
+  val oracleHits: String = {
+    def round9(e: String) = s"round($e, 9)"
+    def hCte(r: Int): String = {
+      val prevA = if (r == 1) "a0" else s"a${r - 1}"
+      s"""hr$r AS (
+         |  SELECT cnode, sum(w * a) AS h FROM pairs JOIN $prevA USING (snode)
+         |  GROUP BY cnode),
+         |h$r AS (SELECT cnode, ${round9("h / (SELECT max(h) FROM hr" + r + ")")} AS h
+         |        FROM hr$r),
+         |ar$r AS (
+         |  SELECT snode, sum(w * h) AS a FROM pairs JOIN h$r USING (cnode)
+         |  GROUP BY snode),
+         |a$r AS (SELECT snode, ${round9("a / (SELECT max(a) FROM ar" + r + ")")} AS a
+         |        FROM ar$r)""".stripMargin
+    }
+    val iters = (1 to HITS_ITERS).map(hCte).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode,
+       |    count(*)::DOUBLE AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |a0 AS (SELECT DISTINCT snode, 1.0 AS a FROM pairs),
+       |$iters,
+       |th AS (SELECT cnode AS node, 'hub' AS kind, round(h, 6) AS score
+       |       FROM h$HITS_ITERS ORDER BY score DESC, node LIMIT $HITS_TOP),
+       |ta AS (SELECT snode AS node, 'authority' AS kind, round(a, 6) AS score
+       |       FROM a$HITS_ITERS ORDER BY score DESC, node LIMIT $HITS_TOP)
+       |SELECT * FROM (SELECT * FROM th UNION ALL SELECT * FROM ta)
+       |ORDER BY kind, score DESC, node""".stripMargin
+  }
+
   /** Modularity of the label-propagation communities
     * (`q_graph_modularity`) — the quality gauge that tells whether
     * [[qLabelProp]]'s labels mean anything: Newman's

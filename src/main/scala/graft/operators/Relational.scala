@@ -1216,6 +1216,57 @@ object Relational {
        | JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------- window battery
+
+  /** Full analytic window-function surface in one query
+    * (`q_window_battery`) — row_number / lag / lead / first_value /
+    * last_value / nth_value / cume_dist / percent_rank over each
+    * customer's order sequence, every frame written EXPLICITLY
+    * (first/last/nth over the whole partition; rank functions over the
+    * default RANGE frame) so both engines bind identical semantics.
+    * The coverage query proving a reference user loses no window
+    * function by switching.
+    *
+    * Scale shape: one shuffle on o_custkey; every window partitions by
+    * customer (bounded groups), no global window anywhere. cume_dist /
+    * percent_rank are exact rationals of integer counts — no float
+    * drift.
+    */
+  def qWindowBattery(s: SparkSession, dir: String): DataFrame = {
+    val p = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = p.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("rn", row_number().over(p))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(p))
+      .withColumn("next_price", lead("o_totalprice", 1).over(p))
+      .withColumn("first_price", first("o_totalprice").over(full))
+      .withColumn("last_price", last("o_totalprice").over(full))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+      .withColumn("cume", round(cume_dist().over(p), 6))
+      .withColumn("prank", round(percent_rank().over(p), 6))
+      .drop("o_orderdate")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val oracleWindowBattery: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER p AS INT) AS rn,
+      |  lag(o_totalprice) OVER p AS prev_price,
+      |  lead(o_totalprice) OVER p AS next_price,
+      |  first_value(o_totalprice) OVER pf AS first_price,
+      |  last_value(o_totalprice) OVER pf AS last_price,
+      |  nth_value(o_totalprice, 2) OVER pf AS second_price,
+      |  round(cume_dist() OVER p, 6) AS cume,
+      |  round(percent_rank() OVER p, 6) AS prank
+      |FROM orders
+      |WINDOW
+      |  p AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  pf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, rn""".stripMargin
+
   // ----------------------------------------------------------- cohort LTV
 
   /** Cohort lifetime-value curve (`q_cohort_ltv`) — customers cohorted by

@@ -66,6 +66,7 @@ object SparkEntry {
     "q_cramers_v"    -> Stats.qCramersV _,
     "q_hhi"          -> Stats.qHhi _,
     "q_cusum_changepoint" -> Stats.qCusumChangepoint _,
+    "q_bootstrap_ci"  -> Stats.qBootstrapCi _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
     "q_cdc_apply"       -> Warehouse.qCdcApply _,
@@ -310,6 +311,7 @@ object SparkEntry {
     "q_cramers_v"    -> Stats.oracleCramersV,
     "q_hhi"          -> Stats.oracleHhi,
     "q_cusum_changepoint" -> Stats.oracleCusumChangepoint,
+    "q_bootstrap_ci"  -> Stats.oracleBootstrapCi,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
     "q_cdc_apply"         -> Warehouse.oracleCdcApply,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,

@@ -505,4 +505,91 @@ object Stats {
       |  round(-sum(hy_term), 6) AS h_ls,
       |  round(sum(mi_term) / sqrt(sum(hx_term) * sum(hy_term)), 6) AS nmi
       |FROM t GROUP BY n""".stripMargin
+
+  // -------------------------------------------------- Poisson bootstrap
+
+  private[graft] val BOOT_B = 32
+
+  /** Poisson(1) inverse-CDF ladder, cumulative e⁻¹·Σ1/k! at 6dp — the
+    * per-replicate weight is the count of times a row enters the
+    * resample, capped at 5 (P(>5) ≈ 0.06%). */
+  private[graft] val POIS_CDF = Seq(0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+  /** Poisson-bootstrap confidence interval for mean order value
+    * (`q_bootstrap_ci`) — THE at-scale bootstrap: classic multinomial
+    * resampling needs a global shuffle per replicate, while Poisson
+    * bootstrap gives each row an independent Poisson(1) inclusion
+    * count, so ALL [[BOOT_B]] replicates fold in ONE map-side pass.
+    * Weights come from the deterministic h60 of (orderkey, replicate) —
+    * both engines draw identical resamples. Revenue folds in integer
+    * cents (exact sums), each replicate mean is one int division, and
+    * the spread statistics fold over the SORTED 32-element mean array —
+    * deterministic order on both sides, no float-summation drift
+    * anywhere. CI = drop-extremes empirical interval (2nd..31st of 32,
+    * a 93.75% interval, documented rather than interpolated).
+    *
+    * Scale shape: a constant 32× row fan-out into a map-side-combinable
+    * (replicate) aggregate — 32 rows out — then driver-free array math.
+    */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns.h60
+    val rows = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val point = rows.agg(count(lit(1)).as("n_rows"), sum("cents").as("tot"))
+    val u = (h60(concat(col("o_orderkey").cast("string"), lit("#"),
+      col("b").cast("string"))) % 1000000).cast("double") / 1000000d
+    val w = POIS_CDF.zipWithIndex
+      .foldRight(lit(5): org.apache.spark.sql.Column) { case ((p, k), acc) =>
+        when(u < p, k).otherwise(acc)
+      }
+    val means = rows
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(BOOT_B - 1))).as("b"))
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("w") * col("cents")).as("swx"), sum("w").as("sw"))
+      .select((col("swx").cast("double") / col("sw") / 100.0).as("m"))
+    val arr = means.agg(array_sort(collect_list("m")).as("ms"))
+    val mMean = aggregate(col("ms"), lit(0d), (a, x) => a + x) / BOOT_B
+    arr.crossJoin(broadcast(point))
+      .withColumn("mm", mMean)
+      .select(col("n_rows"),
+        round(col("tot").cast("double") / col("n_rows") / 100.0, 4)
+          .as("point_mean"),
+        round(element_at(col("ms"), 2), 4).as("ci_lo"),
+        round(element_at(col("ms"), BOOT_B - 1), 4).as("ci_hi"),
+        round(sqrt(aggregate(col("ms"), lit(0d),
+          (a, x) => a + (x - col("mm")) * (x - col("mm"))) / (BOOT_B - 1)), 4)
+          .as("boot_se"))
+  }
+
+  val oracleBootstrapCi: String = {
+    import graft.functions.HashFns.h60Sql
+    val uSql = s"(${h60Sql("CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)")} % 1000000) / 1000000.0"
+    val wSql = POIS_CDF.zipWithIndex
+      .map { case (p, k) => s"WHEN u < $p THEN $k" }
+      .mkString("CASE ", " ", " ELSE 5 END")
+    s"""WITH r AS (
+       |  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |pt AS (SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS tot FROM r),
+       |x AS (
+       |  SELECT o_orderkey, cents, unnest(generate_series(0, ${BOOT_B - 1})) AS b
+       |  FROM r),
+       |uw AS (SELECT cents, b, $wSql AS w FROM (SELECT *, $uSql AS u FROM x)),
+       |bm AS (
+       |  SELECT b, CAST(sum(w * cents) AS BIGINT) AS swx, CAST(sum(w) AS BIGINT) AS sw
+       |  FROM uw GROUP BY b),
+       |ms AS (SELECT list(swx::DOUBLE / sw / 100.0 ORDER BY swx::DOUBLE / sw / 100.0) AS ms
+       |       FROM bm),
+       |mm AS (SELECT ms, list_sum(ms) / $BOOT_B AS m_mean FROM ms)
+       |SELECT pt.n_rows,
+       |  round(pt.tot::DOUBLE / pt.n_rows / 100.0, 4) AS point_mean,
+       |  round(ms[2], 4) AS ci_lo,
+       |  round(ms[${BOOT_B - 1}], 4) AS ci_hi,
+       |  round(sqrt(list_sum(list_transform(ms, x -> (x - m_mean) * (x - m_mean)))
+       |    / ${BOOT_B - 1}), 4) AS boot_se
+       |FROM mm, pt""".stripMargin
+  }
 }

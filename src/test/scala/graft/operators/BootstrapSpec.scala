@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import graft.functions.HashFns
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+/** Poisson-bootstrap CI: full driver-side replay (same h60 draws, same
+  * ladder, same sorted-fold spread math) plus interval sanity.
+  */
+class BootstrapSpec extends AnyFunSpec with SparkTestBase {
+
+  def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  it("q_bootstrap_ci matches a sequential driver-side replay") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val means = (0 until Stats.BOOT_B).map { b =>
+      var swx = 0L; var sw = 0L
+      rows.foreach { case (k, cents) =>
+        val u = (HashFns.h60Local(s"$k#$b") % 1000000) / 1000000.0
+        val w = Stats.POIS_CDF.zipWithIndex
+          .collectFirst { case (p, i) if u < p => i }.getOrElse(5)
+        swx += w * cents; sw += w
+      }
+      swx.toDouble / sw / 100.0
+    }.sorted
+    val mMean = means.foldLeft(0.0)(_ + _) / Stats.BOOT_B
+    val se = math.sqrt(means.foldLeft(0.0)((a, x) => a + (x - mMean) * (x - mMean))
+      / (Stats.BOOT_B - 1))
+    val row = Stats.qBootstrapCi(spark, sfDir).collect().head
+    assert(row.getLong(0) == rows.length)
+    val point = rows.map(_._2).sum.toDouble / rows.length / 100.0
+    assert(row.getDouble(1) == r4(point), "point_mean")
+    assert(row.getDouble(2) == r4(means(1)), "ci_lo = 2nd smallest")
+    assert(row.getDouble(3) == r4(means(Stats.BOOT_B - 2)), "ci_hi = 31st")
+    assert(math.abs(row.getDouble(4) - r4(se)) <= 1e-4, "boot_se")
+    // the interval brackets the point estimate and is properly ordered
+    assert(row.getDouble(2) <= row.getDouble(1) &&
+      row.getDouble(1) <= row.getDouble(3), s"CI does not bracket: $row")
+    assert(row.getDouble(4) > 0)
+  }
+}

@@ -238,8 +238,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // (q_embedding_probe's shape); q_embedding_sq broadcasts the
         // 1-row per-dim min/max array frame
         "q_uncertainty_sample", "q_embedding_sq",
-        // q_hits crossJoins the 1-row per-round max-normalizer frames
-        "q_hits")
+        // q_hits crossJoins the 1-row per-round max-normalizer frames;
+        // q_bootstrap_ci crossJoins the 1-row point-estimate frame
+        "q_hits", "q_bootstrap_ci")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_hhi"          -> Stats.qHhi _,
     "q_cusum_changepoint" -> Stats.qCusumChangepoint _,
     "q_bootstrap_ci"  -> Stats.qBootstrapCi _,
+    "q_ab_welch"      -> Stats.qAbWelch _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
     "q_cdc_apply"       -> Warehouse.qCdcApply _,
@@ -312,6 +313,7 @@ object SparkEntry {
     "q_hhi"          -> Stats.oracleHhi,
     "q_cusum_changepoint" -> Stats.oracleCusumChangepoint,
     "q_bootstrap_ci"  -> Stats.oracleBootstrapCi,
+    "q_ab_welch"      -> Stats.oracleAbWelch,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
     "q_cdc_apply"         -> Warehouse.oracleCdcApply,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,

@@ -506,6 +506,87 @@ object Stats {
       |  round(sum(mi_term) / sqrt(sum(hx_term) * sum(hy_term)), 6) AS nmi
       |FROM t GROUP BY n""".stripMargin
 
+  // -------------------------------------------------------- A/B testing
+
+  /** A/B experiment readout (`q_ab_welch`) — the two-sample mean test an
+    * experimentation platform runs per metric: customers split into
+    * arms by the deterministic h60 parity of their key (the real-world
+    * assignment rule — stable, uniform, reproducible), order value
+    * compared via Welch's t (unequal variances). Both arms' moment
+    * sums fold EXACTLY — counts, Σcents (BIGINT) and Σcents²
+    * (DECIMAL(38,0): the square overflows BIGINT at fleet scale) — so
+    * t and the Welch–Satterthwaite df are single expressions over
+    * engine-identical integers; an honest A/A split on synthetic data
+    * reports |t| small, and the spec pins that too.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the fact scan
+    * onto a 2-row arm frame; everything after is constant-size math.
+    */
+  def qAbWelch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns.h60
+    val arms = Tables.orders(s, dir)
+      .select((h60(col("o_custkey").cast("string")) % 2).cast("int").as("arm"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sx2"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("na"), col("sx").as("sxa"), col("sx2").as("sx2a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("nb"), col("sx").as("sxb"), col("sx2").as("sx2b"))
+    def meanOf(sx: String, n: String) =
+      col(sx).cast("double") / col(n) / 100.0
+    // sample variance in dollars²: (Σx² − (Σx)²/n) / (n−1), cents² → /10⁴
+    def varOf(sx2: String, sx: String, n: String) =
+      (col(sx2).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double") / col(n)) /
+        (col(n) - 1) / 10000.0
+    val va = varOf("sx2a", "sxa", "na"); val vb = varOf("sx2b", "sxb", "nb")
+    val sea = va / col("na"); val seb = vb / col("nb")
+    val t = (meanOf("sxa", "na") - meanOf("sxb", "nb")) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1))
+    a.crossJoin(broadcast(b))
+      .select(col("na"), col("nb"),
+        round(meanOf("sxa", "na"), 4).as("mean_a"),
+        round(meanOf("sxb", "nb"), 4).as("mean_b"),
+        round(t, 6).as("welch_t"),
+        round(df, 2).as("welch_df"),
+        (abs(t) > 1.96).as("significant_95"))
+  }
+
+  val oracleAbWelch: String = {
+    import graft.functions.HashFns.h60Sql
+    s"""WITH r AS (
+       |  SELECT ${h60Sql("CAST(o_custkey AS VARCHAR)")} % 2 AS arm,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |g AS (
+       |  SELECT arm, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+       |    sum((cents::DECIMAL(38,0)) * cents) AS sx2
+       |  FROM r GROUP BY arm),
+       |ab AS (
+       |  SELECT
+       |    (SELECT n FROM g WHERE arm = 0) AS na,
+       |    (SELECT sx FROM g WHERE arm = 0) AS sxa,
+       |    (SELECT sx2 FROM g WHERE arm = 0) AS sx2a,
+       |    (SELECT n FROM g WHERE arm = 1) AS nb,
+       |    (SELECT sx FROM g WHERE arm = 1) AS sxb,
+       |    (SELECT sx2 FROM g WHERE arm = 1) AS sx2b),
+       |m AS (
+       |  SELECT na, nb,
+       |    sxa::DOUBLE / na / 100.0 AS ma, sxb::DOUBLE / nb / 100.0 AS mb,
+       |    (sx2a::DOUBLE - sxa::DOUBLE * sxa::DOUBLE / na) / (na - 1) / 10000.0 / na AS sea,
+       |    (sx2b::DOUBLE - sxb::DOUBLE * sxb::DOUBLE / nb) / (nb - 1) / 10000.0 / nb AS seb
+       |  FROM ab)
+       |SELECT na, nb, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+       |  round((ma - mb) / sqrt(sea + seb), 6) AS welch_t,
+       |  round((sea + seb) * (sea + seb)
+       |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS welch_df,
+       |  abs((ma - mb) / sqrt(sea + seb)) > 1.96 AS significant_95
+       |FROM m""".stripMargin
+  }
+
   // -------------------------------------------------- Poisson bootstrap
 
   private[graft] val BOOT_B = 32

@@ -41,4 +41,32 @@ class BootstrapSpec extends AnyFunSpec with SparkTestBase {
       row.getDouble(1) <= row.getDouble(3), s"CI does not bracket: $row")
     assert(row.getDouble(4) > 0)
   }
+
+  it("q_ab_welch matches a driver-side replay and the A/A split reads as noise") {
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byArm = rows.groupBy { case (k, _) => HashFns.h60Local(k.toString) % 2 }
+    def stats(arm: Long) = {
+      val xs = byArm(arm).map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val sx2 = xs.map(c => BigInt(c) * c).sum
+      (n, sx, sx2)
+    }
+    val (na, sxa, sx2a) = stats(0L); val (nb, sxb, sx2b) = stats(1L)
+    val ma = sxa.toDouble / na / 100.0; val mb = sxb.toDouble / nb / 100.0
+    val sea = (sx2a.toDouble - sxa.toDouble * sxa.toDouble / na) / (na - 1) / 10000.0 / na
+    val seb = (sx2b.toDouble - sxb.toDouble * sxb.toDouble / nb) / (nb - 1) / 10000.0 / nb
+    val t = (ma - mb) / math.sqrt(sea + seb)
+    val row = Stats.qAbWelch(spark, sfDir).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    // the h60-parity split must be roughly balanced
+    assert(math.abs(na - nb).toDouble / (na + nb) < 0.1, s"unbalanced arms: $na/$nb")
+    assert(row.getDouble(2) == r4(ma) && row.getDouble(3) == r4(mb))
+    assert(math.abs(row.getDouble(4) -
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6)
+    // an A/A split of iid synthetic orders should not be wildly significant
+    assert(math.abs(row.getDouble(4)) < 5, s"A/A t-stat implausible: $row")
+  }
 }

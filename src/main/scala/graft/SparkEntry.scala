@@ -68,6 +68,7 @@ object SparkEntry {
     "q_cusum_changepoint" -> Stats.qCusumChangepoint _,
     "q_bootstrap_ci"  -> Stats.qBootstrapCi _,
     "q_ab_welch"      -> Stats.qAbWelch _,
+    "q_cuped"         -> Stats.qCuped _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
     "q_cdc_apply"       -> Warehouse.qCdcApply _,
@@ -314,6 +315,7 @@ object SparkEntry {
     "q_cusum_changepoint" -> Stats.oracleCusumChangepoint,
     "q_bootstrap_ci"  -> Stats.oracleBootstrapCi,
     "q_ab_welch"      -> Stats.oracleAbWelch,
+    "q_cuped"         -> Stats.oracleCuped,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
     "q_cdc_apply"         -> Warehouse.oracleCdcApply,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,

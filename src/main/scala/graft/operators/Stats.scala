@@ -587,6 +587,119 @@ object Stats {
        |FROM m""".stripMargin
   }
 
+  /** Experiment-period pivot for [[qCuped]] — orders before it are the
+    * pre-period covariate, from it on the experiment metric. */
+  private[graft] val CUPED_PIVOT = "1996-01-01"
+
+  /** CUPED variance reduction (`q_cuped`) — the adjustment every mature
+    * experimentation platform applies before the t-test: each
+    * customer's experiment-period spend y is debiased by their
+    * PRE-period spend x via θ = cov(x,y)/var(x), which cuts metric
+    * variance by exactly ρ² (reported as `var_reduction`) without
+    * biasing the treatment contrast. Arms are the same h60-parity
+    * assignment as [[qAbWelch]].
+    *
+    * Every moment folds EXACTLY — per-arm n, Σx, Σy (BIGINT cents),
+    * Σxy, Σx², Σy² (DECIMAL(38,0)) — and the global moments are the
+    * 2-row arm sums, so θ, ρ², and the adjusted means are single
+    * expressions over engine-identical integers. One custkey shuffle
+    * (the per-customer x/y fold), then constant-size math.
+    */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns.h60
+    val perCust = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderdate") < lit(CUPED_PIVOT).cast("timestamp")).as("pre"))
+      .groupBy("o_custkey")
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .select((h60(col("o_custkey").cast("string")) % 2).cast("int").as("arm"),
+        col("x"), col("y"))
+    val arms = perCust.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .localCheckpoint(true)
+    val g = arms.agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+      sum("sxy").as("sxy"), sum("sxx").as("sxx"), sum("syy").as("syy"))
+    val varX = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / col("n")) / (col("n") - 1)
+    val varY = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / col("n")) / (col("n") - 1)
+    val covXY = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / col("n")) / (col("n") - 1)
+    val glob = g.select(col("n"), col("sx"),
+      (covXY / varX).as("theta"),
+      (covXY * covXY / (varX * varY)).as("rho2"))
+    def adjMean(armNo: Int) = {
+      val p = s"a$armNo"
+      (col(s"${p}_sy").cast("double") / col(s"${p}_n") -
+        col("theta") * (col(s"${p}_sx").cast("double") / col(s"${p}_n") -
+          col("sx").cast("double") / col("n"))) / 100.0
+    }
+    val a0 = arms.filter(col("arm") === 0)
+      .select(col("n").as("a0_n"), col("sx").as("a0_sx"), col("sy").as("a0_sy"))
+    val a1 = arms.filter(col("arm") === 1)
+      .select(col("n").as("a1_n"), col("sx").as("a1_sx"), col("sy").as("a1_sy"))
+    a0.crossJoin(broadcast(a1)).crossJoin(broadcast(glob))
+      .select(col("n").as("n_customers"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("var_reduction"),
+        round(adjMean(0), 4).as("adj_mean_a"),
+        round(adjMean(1), 4).as("adj_mean_b"),
+        round(adjMean(0) - adjMean(1), 6).as("adj_diff"))
+  }
+
+  val oracleCuped: String = {
+    import graft.functions.HashFns.h60Sql
+    s"""WITH pc AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$CUPED_PIVOT'
+       |      THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$CUPED_PIVOT'
+       |      THEN 0 ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS y
+       |  FROM orders GROUP BY o_custkey),
+       |pa AS (SELECT ${h60Sql("CAST(o_custkey AS VARCHAR)")} % 2 AS arm, x, y FROM pc),
+       |arms AS (
+       |  SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    sum((x::DECIMAL(38,0)) * y) AS sxy, sum((x::DECIMAL(38,0)) * x) AS sxx,
+       |    sum((y::DECIMAL(38,0)) * y) AS syy
+       |  FROM pa GROUP BY arm),
+       |g AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+       |    CAST(sum(sy) AS BIGINT) AS sy, sum(sxy) AS sxy, sum(sxx) AS sxx,
+       |    sum(syy) AS syy
+       |  FROM arms),
+       |gm AS (
+       |  SELECT n, sx,
+       |    ((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / (n - 1))
+       |      / ((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1)) AS theta,
+       |    ((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / (n - 1))
+       |      * ((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / (n - 1))
+       |      / (((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1))
+       |         * ((syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n) / (n - 1))) AS rho2
+       |  FROM g),
+       |ab AS (
+       |  SELECT
+       |    (SELECT n FROM arms WHERE arm = 0) AS a0_n,
+       |    (SELECT sx FROM arms WHERE arm = 0) AS a0_sx,
+       |    (SELECT sy FROM arms WHERE arm = 0) AS a0_sy,
+       |    (SELECT n FROM arms WHERE arm = 1) AS a1_n,
+       |    (SELECT sx FROM arms WHERE arm = 1) AS a1_sx,
+       |    (SELECT sy FROM arms WHERE arm = 1) AS a1_sy)
+       |SELECT gm.n AS n_customers,
+       |  round(gm.theta, 6) AS theta,
+       |  round(gm.rho2, 6) AS var_reduction,
+       |  round((a0_sy::DOUBLE / a0_n - gm.theta * (a0_sx::DOUBLE / a0_n - gm.sx::DOUBLE / gm.n)) / 100.0, 4) AS adj_mean_a,
+       |  round((a1_sy::DOUBLE / a1_n - gm.theta * (a1_sx::DOUBLE / a1_n - gm.sx::DOUBLE / gm.n)) / 100.0, 4) AS adj_mean_b,
+       |  round((a0_sy::DOUBLE / a0_n - gm.theta * (a0_sx::DOUBLE / a0_n - gm.sx::DOUBLE / gm.n)) / 100.0
+       |    - (a1_sy::DOUBLE / a1_n - gm.theta * (a1_sx::DOUBLE / a1_n - gm.sx::DOUBLE / gm.n)) / 100.0, 6) AS adj_diff
+       |FROM ab, gm""".stripMargin
+  }
+
   // -------------------------------------------------- Poisson bootstrap
 
   private[graft] val BOOT_B = 32

@@ -69,4 +69,47 @@ class BootstrapSpec extends AnyFunSpec with SparkTestBase {
     // an A/A split of iid synthetic orders should not be wildly significant
     assert(math.abs(row.getDouble(4)) < 5, s"A/A t-stat implausible: $row")
   }
+
+  it("q_cuped matches a driver-side replay and the adjustment preserves the global mean") {
+    val pivot = java.sql.Timestamp.valueOf(Stats.CUPED_PIVOT + " 00:00:00").getTime
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderdate").cast("timestamp").cast("long") * 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perCust = rows.groupBy(_._1).map { case (k, os) =>
+      val x = os.filter(_._3 < pivot).map(_._2).sum
+      val y = os.filter(_._3 >= pivot).map(_._2).sum
+      (HashFns.h60Local(k.toString) % 2, x, y)
+    }.toSeq
+    val n = perCust.length
+    def d(v: BigInt) = v.toDouble
+    val sx = perCust.map(_._2).sum; val sy = perCust.map(_._3).sum
+    val sxy = perCust.map(c => BigInt(c._2) * c._3).sum
+    val sxx = perCust.map(c => BigInt(c._2) * c._2).sum
+    val syy = perCust.map(c => BigInt(c._3) * c._3).sum
+    val varX = (d(sxx) - sx.toDouble * sx / n) / (n - 1)
+    val varY = (d(syy) - sy.toDouble * sy / n) / (n - 1)
+    val cov = (d(sxy) - sx.toDouble * sy / n) / (n - 1)
+    val theta = cov / varX
+    val row = Stats.qCuped(spark, sfDir).collect().head
+    def r(x: Double, sc: Int) = BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - r(theta, 6)) <= 1e-6, "theta")
+    assert(math.abs(row.getDouble(2) - r(cov * cov / (varX * varY), 6)) <= 1e-6, "rho2")
+    assert(row.getDouble(2) >= 0 && row.getDouble(2) <= 1, "rho2 range")
+    // CUPED is mean-preserving: weighted avg of adjusted arm means =
+    // global experiment-period mean
+    val arms = perCust.groupBy(_._1)
+    val wavg = Seq(0L, 1L).map { a =>
+      val xs = arms(a)
+      val adj = xs.map(_._3).sum.toDouble / xs.length -
+        theta * (xs.map(_._2).sum.toDouble / xs.length - sx.toDouble / n)
+      adj / 100.0 * xs.length
+    }.sum / n
+    assert(math.abs(wavg - sy.toDouble / n / 100.0) < 1e-6, "not mean-preserving")
+    assert(math.abs(row.getDouble(3) - r(
+      (arms(0L).map(_._3).sum.toDouble / arms(0L).length -
+        theta * (arms(0L).map(_._2).sum.toDouble / arms(0L).length - sx.toDouble / n)) / 100.0,
+      4)) <= 1e-4, "adj_mean_a")
+  }
 }

@@ -240,8 +240,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_uncertainty_sample", "q_embedding_sq",
         // q_hits crossJoins the 1-row per-round max-normalizer frames;
         // q_bootstrap_ci crossJoins the 1-row point-estimate frame
-        // q_ab_welch crossJoins the two 1-row arm-moment frames
-        "q_hits", "q_bootstrap_ci", "q_ab_welch")
+        // q_ab_welch crossJoins the two 1-row arm-moment frames;
+        // q_cuped crossJoins the two 1-row arm frames + 1-row globals
+        "q_hits", "q_bootstrap_ci", "q_ab_welch", "q_cuped")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -652,6 +652,46 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  // ---------------------------------------------- streaming A/B monitor
+
+  /** Live A/B experiment monitor (`abMonitor`) — the streaming twin of
+    * `Stats.qAbWelch`: each arriving event assigns to an arm by the h60
+    * parity of its user (stateless projection, the same rule as the
+    * batch test), and per tumbling hour the two arms' moment sums fold
+    * in the ONE allowed stateful op (windowed agg — state is 6 numbers
+    * per open window), with Welch's t computed as a closing projection.
+    * The dashboard an experimenter watches BETWEEN nightly batch reads;
+    * exact batch/stream parity by construction (watermark no-op on
+    * batch).
+    */
+  def abMonitor(events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import graft.functions.HashFns.h60
+    def m(arm: Int, c: org.apache.spark.sql.Column) =
+      sum(when(col("arm") === arm, c).otherwise(lit(0.0)))
+    val armed = events
+      .withColumn("arm", (h60(col("user_id").cast("string")) % 2).cast("int"))
+    val agg = armed
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        m(0, col("value")).as("sxa"), m(1, col("value")).as("sxb"),
+        m(0, col("value") * col("value")).as("sx2a"),
+        m(1, col("value") * col("value")).as("sx2b"))
+    // nullif-guarded divisors: an arm can be empty in a thin window and
+    // ANSI mode hard-errors on /0 — null propagates instead
+    def nz(c: org.apache.spark.sql.Column) = when(c =!= 0, c)
+    val ma = col("sxa") / nz(col("na")); val mb = col("sxb") / nz(col("nb"))
+    val sea = (col("sx2a") - col("sxa") * col("sxa") / nz(col("na"))) /
+      nz(col("na") - 1) / nz(col("na"))
+    val seb = (col("sx2b") - col("sxb") * col("sxb") / nz(col("nb"))) /
+      nz(col("nb") - 1) / nz(col("nb"))
+    agg.select(col("w.start").cast("timestamp_ntz").as("hour_start"),
+      col("na"), col("nb"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round((ma - mb) / nz(sqrt(sea + seb)), 6).as("welch_t"))
+  }
+
   // ------------------------------------------------- streaming MERGE sink
 
   /** Current contents of an [[upsertStream]]-maintained table: the

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_bootstrap_ci"  -> Stats.qBootstrapCi _,
     "q_ab_welch"      -> Stats.qAbWelch _,
     "q_cuped"         -> Stats.qCuped _,
+    "q_survival_km"   -> Stats.qSurvivalKm _,
     // warehouse maintenance & governance
     "q_data_quality"    -> Warehouse.qDataQuality _,
     "q_cdc_apply"       -> Warehouse.qCdcApply _,
@@ -316,6 +317,7 @@ object SparkEntry {
     "q_bootstrap_ci"  -> Stats.oracleBootstrapCi,
     "q_ab_welch"      -> Stats.oracleAbWelch,
     "q_cuped"         -> Stats.oracleCuped,
+    "q_survival_km"   -> Stats.oracleSurvivalKm,
     "q_data_quality"      -> Warehouse.oracleDataQuality,
     "q_cdc_apply"         -> Warehouse.oracleCdcApply,
     "q_merge_upsert"      -> Warehouse.oracleMergeUpsert,

@@ -587,6 +587,103 @@ object Stats {
        |FROM m""".stripMargin
   }
 
+  // ------------------------------------------------- survival analysis
+
+  /** Months of order silence after which a customer counts as churned
+    * (the event); quieter customers are right-censored at the dataset
+    * horizon. */
+  private[graft] val KM_CHURN_M = 6
+
+  /** Kaplan–Meier churn survival curve (`q_survival_km`) — the
+    * censoring-correct lifetime readout naive "average customer
+    * lifespan" numbers get wrong: customers still active at the data
+    * horizon are right-CENSORED, not events. Duration = months from
+    * first to last order (event: silent ≥ [[KM_CHURN_M]] months before
+    * the horizon) or first-to-horizon (censored). Month arithmetic is
+    * y·12+m boundary counting — exact integers, identical in both
+    * engines (fractional months_between vs date_diff would disagree on
+    * month-end edges).
+    *
+    * S(t) = Π_{u≤t}(1 − d_u/n_u) folds as a LIST-PRODUCT over the
+    * sorted ≤|months| risk table (a bounded frame: one cum window over
+    * it, whitelisted; the per-row product is a sequential fold over the
+    * same-ordered slice in both engines — no exp/ln round trip, whose
+    * libm drift would flip 6dp digits).
+    *
+    * Scale shape: one o_custkey shuffle to per-customer first/last;
+    * everything after lives on the ≤|calendar months| frame.
+    */
+  def qSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    def y12m(c: org.apache.spark.sql.Column) = year(c) * 12 + month(c)
+    val maxd = Tables.orders(s, dir).agg(max("o_orderdate").as("maxd"))
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(min("o_orderdate").as("first_d"), max("o_orderdate").as("last_d"))
+      .crossJoin(broadcast(maxd))
+      .select(
+        (y12m(col("maxd")) - y12m(col("last_d")) >= KM_CHURN_M).as("event"),
+        (y12m(col("last_d")) - y12m(col("first_d"))).as("dur_evt"),
+        (y12m(col("maxd")) - y12m(col("first_d"))).as("dur_cens"))
+      .select(col("event"),
+        when(col("event"), col("dur_evt")).otherwise(col("dur_cens")).as("dur"))
+    val tbl = perCust.groupBy("dur")
+      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+    val cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val risk = tbl
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(tot) -
+          coalesce(sum(col("d") + col("c")).over(cum), lit(0L)))
+    val arr = risk
+      .agg(array_sort(collect_list(struct(col("dur"), col("d"), col("n_risk"))))
+        .as("a"))
+    arr.select(col("a"), posexplode(col("a")).as(Seq("i", "e")))
+      .select(col("e.dur").as("duration_m"),
+        col("e.n_risk").as("n_risk"), col("e.d").as("n_churned"),
+        round(aggregate(
+          slice(col("a"), lit(1), col("i") + 1),
+          lit(1.0),
+          (acc, x) => acc * (lit(1.0) -
+            x.getField("d").cast("double") / x.getField("n_risk"))), 6)
+          .as("survival"))
+      .orderBy("duration_m")
+  }
+
+  val oracleSurvivalKm: String =
+    s"""WITH pc AS (
+       |  SELECT o_custkey, min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+       |  FROM orders GROUP BY o_custkey),
+       |m AS (SELECT max(o_orderdate) AS maxd FROM orders),
+       |dur AS (
+       |  SELECT
+       |    (year(maxd) * 12 + month(maxd)) - (year(last_d) * 12 + month(last_d))
+       |      >= $KM_CHURN_M AS event,
+       |    CASE WHEN (year(maxd) * 12 + month(maxd)) - (year(last_d) * 12 + month(last_d))
+       |           >= $KM_CHURN_M
+       |      THEN (year(last_d) * 12 + month(last_d)) - (year(first_d) * 12 + month(first_d))
+       |      ELSE (year(maxd) * 12 + month(maxd)) - (year(first_d) * 12 + month(first_d))
+       |    END AS dur
+       |  FROM pc, m),
+       |tbl AS (
+       |  SELECT dur, CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM dur GROUP BY dur),
+       |risk AS (
+       |  SELECT dur, d, c,
+       |    CAST(sum(d + c) OVER () -
+       |      coalesce(sum(d + c) OVER (ORDER BY dur
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+       |  FROM tbl),
+       |a AS (SELECT list(struct_pack(dur := dur, d := d, n_risk := n_risk)
+       |        ORDER BY dur) AS a FROM risk),
+       |x AS (
+       |  SELECT unnest(a) AS e, unnest(generate_series(1, len(a))) AS i, a FROM a)
+       |SELECT e.dur AS duration_m, e.n_risk AS n_risk, e.d AS n_churned,
+       |  round(list_product(list_transform(a[1:i],
+       |    t -> 1.0 - t.d::DOUBLE / t.n_risk)), 6) AS survival
+       |FROM x ORDER BY duration_m""".stripMargin
+
   /** Experiment-period pivot for [[qCuped]] — orders before it are the
     * pre-period covariate, from it on the experiment metric. */
   private[graft] val CUPED_PIVOT = "1996-01-01"

@@ -112,4 +112,46 @@ class BootstrapSpec extends AnyFunSpec with SparkTestBase {
         theta * (arms(0L).map(_._2).sum.toDouble / arms(0L).length - sx.toDouble / n)) / 100.0,
       4)) <= 1e-4, "adj_mean_a")
   }
+
+  it("q_survival_km matches a driver-side KM replay with monotone survival") {
+    def y12m(t: java.sql.Timestamp) = {
+      val c = t.toLocalDateTime
+      c.getYear * 12 + c.getMonthValue
+    }
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderdate").cast("timestamp")).as("f"),
+        max(col("o_orderdate").cast("timestamp")).as("l"))
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2)))
+    val maxM = perCust.map(c => y12m(c._2)).max
+    val durs = perCust.map { case (f, l) =>
+      val event = maxM - y12m(l) >= Stats.KM_CHURN_M
+      (if (event) y12m(l) - y12m(f) else maxM - y12m(f), event)
+    }
+    val byDur = durs.groupBy(_._1).view.mapValues { xs =>
+      (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.toMap
+    val sorted = byDur.keys.toSeq.sorted
+    var atRisk = durs.length.toLong
+    var surv = 1.0
+    val expected = sorted.map { t =>
+      val (d, c) = byDur(t)
+      surv *= 1.0 - d.toDouble / atRisk
+      val row = (t, atRisk, d,
+        BigDecimal(surv).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      atRisk -= d + c
+      row
+    }
+    val got = Stats.qSurvivalKm(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) <= 1e-6, s"survival at ${g._1}: $g vs $e")
+    }
+    assert(got.length == expected.length)
+    val curve = got.map(_._4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "survival not monotone non-increasing")
+    assert(curve.head <= 1.0 && curve.last >= 0.0)
+  }
 }

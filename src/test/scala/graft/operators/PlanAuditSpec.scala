@@ -242,7 +242,8 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_bootstrap_ci crossJoins the 1-row point-estimate frame
         // q_ab_welch crossJoins the two 1-row arm-moment frames;
         // q_cuped crossJoins the two 1-row arm frames + 1-row globals
-        "q_hits", "q_bootstrap_ci", "q_ab_welch", "q_cuped")
+        // q_survival_km crossJoins the 1-row horizon-date frame
+        "q_hits", "q_bootstrap_ci", "q_ab_welch", "q_cuped", "q_survival_km")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
@@ -299,7 +300,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
           "the k-category priority frame (k=|orderpriority| enum)"),
         "q_psi" -> ("percentilesTwoPhase bucket-cumulative windows (the " +
           "constant 'ALL' group folds to an empty partition spec): " +
-          "<=PCT_BUCKETS rows each by construction"))
+          "<=PCT_BUCKETS rows each by construction"),
+        "q_survival_km" -> ("risk-table cum/total windows over the " +
+          "per-duration frame: <=|calendar months| rows by construction"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

@@ -129,6 +129,7 @@ object SparkEntry {
     "q_embedding_jl"    -> Similarity.qEmbeddingJl _,
     "q_embedding_probe" -> Similarity.qEmbeddingProbe _,
     "q_uncertainty_sample" -> Similarity.qUncertaintySample _,
+    "q_gains_curve"     -> Similarity.qGainsCurve _,
     "q_embedding_sq"    -> Similarity.qEmbeddingSq _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
@@ -424,6 +425,7 @@ object SparkEntry {
     "q_embedding_jl"    -> Similarity.oracleEmbeddingJl,
     "q_embedding_probe" -> Similarity.oracleEmbeddingProbe,
     "q_uncertainty_sample" -> Similarity.oracleUncertaintySample,
+    "q_gains_curve"     -> Similarity.oracleGainsCurve,
     "q_embedding_sq"    -> Similarity.oracleEmbeddingSq,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,

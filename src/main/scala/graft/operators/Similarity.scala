@@ -1613,6 +1613,67 @@ object Similarity {
        |FROM e, wi$PROBE_ITERS
        |ORDER BY abs(round($probeDotXW, 6)), vec_id LIMIT $UNC_K""".stripMargin
 
+  // ------------------------------------------------------- gains curve
+
+  /** Cumulative gains / lift curve (`q_gains_curve`) — the
+    * model-eval readout next to [[qAucProbe]] and `q_calibration`: rank
+    * the corpus by the trained probe's margin, cut into exact deciles
+    * ([[graft.operators.Relational.ntileExact]] on (−margin, vec_id) —
+    * its fourth call site, never a global sort), and report per decile
+    * the positives captured, the cumulative capture rate, and lift vs
+    * the base rate. The "top 10% of scores captures X% of positives"
+    * table a targeting campaign is actually planned from.
+    *
+    * Determinism: margins are the shared 6dp-rounded polynomial;
+    * counts are exact integers; cum math runs over the 10-row decile
+    * frame only.
+    */
+  def qGainsCurve(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir)
+      .select(col("vec_id"), when(col("label") < 5, 1L).otherwise(0L).as("y"),
+        probeX.as("x"))
+      .crossJoin(broadcast(probeWeights(s, dir)))
+      .select(col("vec_id"), col("y"),
+        (-round(dot(col("x"), col("w")), 6)).as("negm"))
+    val deciles = graft.operators.Relational
+      .ntileExact(scored, "negm", "vec_id", 10, "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    deciles
+      .withColumn("cum_pos", sum("n_pos").over(cum))
+      .withColumn("tot_pos", sum("n_pos").over(tot))
+      .withColumn("cum_n", sum("n").over(cum))
+      .withColumn("tot_n", sum("n").over(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("cum_pos").cast("double") / col("tot_pos"), 6)
+          .as("cum_capture"),
+        round((col("cum_pos").cast("double") / col("cum_n")) /
+          (col("tot_pos").cast("double") / col("tot_n")), 6).as("cum_lift"))
+      .orderBy("decile")
+  }
+
+  val oracleGainsCurve: String =
+    s"""WITH $probeTrainSql,
+       |sc AS (
+       |  SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE 0 END AS y,
+       |    -round($probeDotXW, 6) AS negm
+       |  FROM e, wi$PROBE_ITERS),
+       |dt AS (
+       |  SELECT y, CAST(ntile(10) OVER (ORDER BY negm, vec_id) AS INT) AS decile
+       |  FROM sc),
+       |d AS (SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+       |      FROM dt GROUP BY decile)
+       |SELECT decile, n, n_pos,
+       |  round((sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::DOUBLE
+       |    / (sum(n_pos) OVER ()), 6) AS cum_capture,
+       |  round(((sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::DOUBLE
+       |      / (sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)))
+       |    / ((sum(n_pos) OVER ())::DOUBLE / (sum(n) OVER ())), 6) AS cum_lift
+       |FROM d ORDER BY decile""".stripMargin
+
   // -------------------------------------------------- scalar quantization
 
   /** int8 scalar-quantization audit (`q_embedding_sq`) — the 4×

@@ -242,8 +242,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_bootstrap_ci crossJoins the 1-row point-estimate frame
         // q_ab_welch crossJoins the two 1-row arm-moment frames;
         // q_cuped crossJoins the two 1-row arm frames + 1-row globals
-        // q_survival_km crossJoins the 1-row horizon-date frame
-        "q_hits", "q_bootstrap_ci", "q_ab_welch", "q_cuped", "q_survival_km")
+        // q_survival_km crossJoins the 1-row horizon-date frame;
+        // q_gains_curve: ntileExact's two 1-row frames + 1-row weights
+        "q_hits", "q_bootstrap_ci", "q_ab_welch", "q_cuped", "q_survival_km",
+        "q_gains_curve")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
@@ -302,7 +304,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
           "constant 'ALL' group folds to an empty partition spec): " +
           "<=PCT_BUCKETS rows each by construction"),
         "q_survival_km" -> ("risk-table cum/total windows over the " +
-          "per-duration frame: <=|calendar months| rows by construction"))
+          "per-duration frame: <=|calendar months| rows by construction"),
+        "q_gains_curve" -> ("ntileExact bucket windows (<=PCT_BUCKETS rows) " +
+          "+ cum/total windows over the 10-row decile frame"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

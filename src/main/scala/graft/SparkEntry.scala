@@ -95,6 +95,7 @@ object SparkEntry {
     "q_session_window"    -> EventOps.qSessionWindow _,
     "q_time_weighted_avg" -> EventOps.qTimeWeightedAvg _,
     "q_seasonal_profile"  -> EventOps.qSeasonalProfile _,
+    "q_stl_decompose"     -> EventOps.qStlDecompose _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -389,6 +390,7 @@ object SparkEntry {
     "q_session_window"    -> EventOps.oracleSessionWindow,
     "q_time_weighted_avg" -> EventOps.oracleTimeWeightedAvg,
     "q_seasonal_profile"  -> EventOps.oracleSeasonalProfile,
+    "q_stl_decompose"     -> EventOps.oracleStlDecompose,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 

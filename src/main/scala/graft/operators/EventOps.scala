@@ -478,6 +478,63 @@ object EventOps {
       |  CAST(n = max(n) OVER (PARTITION BY event_type) AS INT) AS is_peak
       |FROM agg ORDER BY event_type, dow""".stripMargin
 
+  /** Multiplicative-residual anomaly band for [[qStlDecompose]]. */
+  private[graft] val STL_BAND = 0.3
+
+  /** Classical trend/seasonal/residual decomposition (`q_stl_decompose`)
+    * of the daily event volume — the moving-average decomposition
+    * behind every capacity dashboard, and what [[qSeasonalProfile]]'s
+    * static profile can't do: tell a GROWING Tuesday from a Tuesday
+    * that is merely always big. Trend = centered 7-day MA (edge days
+    * average their available neighbors — same ROWS-frame semantics
+    * both engines); seasonal index = mean detrended ratio per weekday;
+    * residual = volume/(trend·seasonal) with ±[[STL_BAND]] anomaly
+    * flags.
+    *
+    * Scale shape: the raw stream reduces to the |days| frame FIRST;
+    * every window after that is over the calendar-bounded daily frame
+    * (whitelisted), never the event stream.
+    */
+  def qStlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ma = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend", avg(col("n")).over(ma))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .withColumn("ratio", col("n") / col("trend"))
+    val seasonal = trended.groupBy("dow")
+      .agg(round(avg("ratio"), 6).as("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      .withColumn("resid",
+        round(col("n") / (col("trend") * col("seasonal")), 6))
+      .select(col("day").cast("timestamp_ntz").as("day"), col("n"),
+        round(col("trend"), 4).as("trend"), col("dow"), col("seasonal"),
+        col("resid"),
+        (col("resid") > 1 + STL_BAND || col("resid") < 1 - STL_BAND)
+          .as("anomaly"))
+      .orderBy("day")
+  }
+
+  val oracleStlDecompose: String =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS day,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1),
+       |t AS (
+       |  SELECT day, n,
+       |    avg(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+       |    dayofweek(day) AS dow
+       |  FROM daily),
+       |r AS (SELECT day, n, trend, dow, n / trend AS ratio FROM t),
+       |se AS (SELECT dow, round(avg(ratio), 6) AS seasonal FROM r GROUP BY dow)
+       |SELECT r.day, r.n, round(r.trend, 4) AS trend, r.dow, se.seasonal,
+       |  round(r.n / (r.trend * se.seasonal), 6) AS resid,
+       |  (round(r.n / (r.trend * se.seasonal), 6) > ${1 + STL_BAND}
+       |   OR round(r.n / (r.trend * se.seasonal), 6) < ${1 - STL_BAND}) AS anomaly
+       |FROM r JOIN se USING (dow) ORDER BY r.day""".stripMargin
+
   /** First-order Markov transition model over per-user event paths — the
     * path-mining primitive behind next-action prediction and funnel
     * drop-off attribution: P(next event type | current event type), top-3

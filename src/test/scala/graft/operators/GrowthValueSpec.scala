@@ -101,6 +101,49 @@ class GrowthValueSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_stl_decompose") {
+
+    it("matches a driver-side MA/seasonal replay and seasonal indices center on 1") {
+      def r(x: Double, sc: Int) =
+        BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val daily = EventOps.events(spark, sfDir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day").cast("date").cast("string"), col("n"),
+          (dayofweek(col("day")) - 1))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+        .sortBy(_._1)
+      val n = daily.length
+      val trend = daily.indices.map { i =>
+        val lo = math.max(0, i - 3); val hi = math.min(n - 1, i + 3)
+        val win = (lo to hi).map(j => daily(j)._2)
+        win.sum.toDouble / win.size
+      }
+      val ratios = daily.indices.map(i => daily(i)._2 / trend(i))
+      val seasonal = daily.indices.groupBy(i => daily(i)._3).view
+        .mapValues(is => r(is.map(ratios).sum / is.size, 6)).toMap
+      val got = EventOps.qStlDecompose(spark, sfDir)
+        .select(col("day").cast("date").cast("string"), col("n"), col("trend"),
+          col("dow"), col("seasonal"), col("resid"), col("anomaly"))
+        .collect()
+        .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getInt(3),
+          x.getDouble(4), x.getDouble(5), x.getBoolean(6))).toMap
+      daily.indices.foreach { i =>
+        val (d, cnt, dow) = daily(i)
+        val (gn, gt, gd, gs, gr, ga) = got(d)
+        assert(gn == cnt && gd == dow, s"$d basic")
+        assert(math.abs(gt - r(trend(i), 4)) <= 1e-4, s"$d trend")
+        assert(gs == seasonal(dow), s"$d seasonal")
+        val resid = r(cnt / (trend(i) * seasonal(dow)), 6)
+        assert(math.abs(gr - resid) <= 1e-6, s"$d resid")
+        assert(ga == (gr > 1 + EventOps.STL_BAND || gr < 1 - EventOps.STL_BAND))
+      }
+      // seasonal indices average ~1 (they are mean detrended ratios)
+      val meanIdx = seasonal.values.sum / seasonal.size
+      assert(math.abs(meanIdx - 1.0) < 0.1, s"seasonal indices off-center: $seasonal")
+    }
+  }
+
   describe("q_cohort_ltv") {
 
     lazy val got = Relational.qCohortLtv(spark, sfDir)

@@ -306,7 +306,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_survival_km" -> ("risk-table cum/total windows over the " +
           "per-duration frame: <=|calendar months| rows by construction"),
         "q_gains_curve" -> ("ntileExact bucket windows (<=PCT_BUCKETS rows) " +
-          "+ cum/total windows over the 10-row decile frame"))
+          "+ cum/total windows over the 10-row decile frame"),
+        "q_stl_decompose" -> ("centered-MA window over the per-DAY " +
+          "aggregate — calendar-span-bounded (q_autocorr's shape)"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

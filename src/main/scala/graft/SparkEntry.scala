@@ -46,6 +46,7 @@ object SparkEntry {
     "q_idle_capital"        -> Relational.qIdleCapital _,
     "q_join_size_est"       -> Relational.qJoinSizeEst _,
     "q_trend_forecast"      -> Relational.qTrendForecast _,
+    "q_forecast_backtest"   -> Relational.qForecastBacktest _,
     "q_topk_native"         -> Relational.qTopkNative _,
     "q_promo_share"         -> Relational.qPromoShare _,
     "q_band_revenue"        -> Relational.qBandRevenue _,
@@ -297,6 +298,7 @@ object SparkEntry {
     "q_idle_capital"       -> Relational.oracleIdleCapital,
     "q_join_size_est"      -> Relational.oracleJoinSizeEst,
     "q_trend_forecast"     -> Relational.oracleTrendForecast,
+    "q_forecast_backtest"  -> Relational.oracleForecastBacktest,
     "q_topk_native"        -> Relational.oracleTopkNative,
     "q_promo_share"        -> Relational.oraclePromoShare,
     "q_band_revenue"       -> Relational.oracleBandRevenue,

@@ -1216,6 +1216,81 @@ object Relational {
        | JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------- forecast backtest
+
+  /** Holdout months for [[qForecastBacktest]]. */
+  private[graft] val BKT_HOLDOUT = 3
+
+  /** Forecast backtest (`q_forecast_backtest`) — the eval loop
+    * [[qTrendForecast]] is missing: refit the same OLS on all months
+    * EXCEPT the last [[BKT_HOLDOUT]], predict those, and report each
+    * holdout month's actual/predicted/absolute-percentage-error — the
+    * honest answer to "should anyone trust forecast_next". Slope and
+    * intercept round to 6dp BEFORE prediction, so the predicted values
+    * are polynomials over engine-identical inputs.
+    *
+    * Scale shape: one fact aggregate to the |months| frame; the fit is
+    * a 1-row broadcast; the holdout is a |BKT_HOLDOUT|-row output.
+    */
+  def qForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum("o_totalprice").as("rev"))
+      .select(col("m"),
+        months_between(col("m"),
+          lit("1995-01-01").cast("timestamp")).cast("double").as("t"),
+        col("rev"))
+    val maxT = monthly.agg(max("t").as("maxt"))
+    val train = monthly.crossJoin(broadcast(maxT))
+      .filter(col("t") <= col("maxt") - BKT_HOLDOUT)
+    val fit = train.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("t").as("st"), sum("rev").as("sy"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("rev")).as("sty"))
+      .select(
+        round((col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sty") - col("st") * col("sy")) /
+          (col("n") * col("stt") - col("st") * col("st"))) * col("st")) /
+          col("n"), 6).as("icept"))
+    monthly.crossJoin(broadcast(maxT))
+      .filter(col("t") > col("maxt") - BKT_HOLDOUT)
+      .crossJoin(broadcast(fit))
+      .select(col("m").cast("timestamp_ntz").as("month"),
+        round(col("rev"), 2).as("actual"),
+        round(col("icept") + col("slope") * col("t"), 2).as("predicted"),
+        round(abs(col("rev") - (col("icept") + col("slope") * col("t"))) /
+          col("rev"), 6).as("ape"))
+      .orderBy("month")
+  }
+
+  val oracleForecastBacktest: String =
+    s"""WITH monthly AS (
+       |  SELECT date_trunc('month', o_orderdate) AS m,
+       |    date_diff('month', TIMESTAMP '1995-01-01',
+       |      date_trunc('month', o_orderdate))::DOUBLE AS t,
+       |    sum(o_totalprice) AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |mx AS (SELECT max(t) AS maxt FROM monthly),
+       |tr AS (SELECT t, rev FROM monthly, mx WHERE t <= maxt - $BKT_HOLDOUT),
+       |s AS (
+       |  SELECT count(*)::DOUBLE AS n, sum(t) AS st, sum(rev) AS sy,
+       |    sum(t * t) AS stt, sum(t * rev) AS sty
+       |  FROM tr),
+       |fit AS (
+       |  SELECT
+       |    round((n * sty - st * sy) / (n * stt - st * st), 6) AS slope,
+       |    round((sy - ((n * sty - st * sy) / (n * stt - st * st)) * st) / n, 6)
+       |      AS icept
+       |  FROM s)
+       |SELECT m AS month, round(rev, 2) AS actual,
+       |  round(icept + slope * t, 2) AS predicted,
+       |  round(abs(rev - (icept + slope * t)) / rev, 6) AS ape
+       |FROM monthly, mx, fit
+       |WHERE t > maxt - $BKT_HOLDOUT
+       |ORDER BY month""".stripMargin
+
   // ------------------------------------------------------- window battery
 
   /** Full analytic window-function surface in one query

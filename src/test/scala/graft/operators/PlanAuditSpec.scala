@@ -245,7 +245,8 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_survival_km crossJoins the 1-row horizon-date frame;
         // q_gains_curve: ntileExact's two 1-row frames + 1-row weights
         "q_hits", "q_bootstrap_ci", "q_ab_welch", "q_cuped", "q_survival_km",
-        "q_gains_curve")
+        // q_forecast_backtest crossJoins the 1-row max-month and fit frames
+        "q_gains_curve", "q_forecast_backtest")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -50,6 +50,54 @@ class WindowHitsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_forecast_backtest") {
+
+    it("matches a driver-side OLS refit on the training months only") {
+      val monthly = Tables.orders(spark, sfDir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(sum("o_totalprice").as("rev"))
+        .select(col("m").cast("date").cast("string"),
+          months_between(col("m"), lit("1995-01-01").cast("timestamp"))
+            .cast("double"),
+          col("rev"))
+        .collect().map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
+        .sortBy(_._2)
+      val maxT = monthly.map(_._2).max
+      val train = monthly.filter(_._2 <= maxT - Relational.BKT_HOLDOUT)
+      val n = train.length.toDouble
+      val st = train.map(_._2).sum; val sy = train.map(_._3).sum
+      val stt = train.map(t => t._2 * t._2).sum
+      val sty = train.map(t => t._2 * t._3).sum
+      val slope = r((n * sty - st * sy) / (n * stt - st * st), 6)
+      val icept = r((sy - ((n * sty - st * sy) / (n * stt - st * st)) * st) / n, 6)
+      val expected = monthly.filter(_._2 > maxT - Relational.BKT_HOLDOUT)
+        .map { case (m, t, rev) =>
+          (m, r(rev, 2), r(icept + slope * t, 2),
+            r(math.abs(rev - (icept + slope * t)) / rev, 6))
+        }.toSeq
+      val got = Relational.qForecastBacktest(spark, sfDir)
+        .select(col("month").cast("date").cast("string"), col("actual"),
+          col("predicted"), col("ape"))
+        .collect().map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+          x.getDouble(3))).toSeq
+      assert(got.length == Relational.BKT_HOLDOUT)
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g._1 == e._1 && g._2 == e._2, s"$g vs $e")
+        assert(math.abs(g._3 - e._3) <= 0.02 && math.abs(g._4 - e._4) <= 1e-5,
+          s"$g vs $e")
+      }
+      // the holdout months were NOT in the fit (refit on all months
+      // would produce different coefficients — guard against leakage)
+      val all = monthly
+      val nA = all.length.toDouble
+      val stA = all.map(_._2).sum; val syA = all.map(_._3).sum
+      val sttA = all.map(t => t._2 * t._2).sum
+      val styA = all.map(t => t._2 * t._3).sum
+      val slopeAll = r((nA * styA - stA * syA) / (nA * sttA - stA * stA), 6)
+      assert(slope != slopeAll, "backtest fit leaked the holdout months")
+    }
+  }
+
   describe("q_window_battery") {
 
     it("matches a sequential per-customer replay of every window function") {

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_dedup_by_source"     -> Dedup.qDedupBySource _,
     "q_dedup_soft"          -> Dedup.qDedupSoft _,
     "q_dedup_substring"     -> Dedup.qDedupSubstring _,
+    "q_dedup_spans"         -> Dedup.qDedupSpans _,
     "q_dedup_incremental"   -> Dedup.qDedupIncremental _,
     "q_dedup_editdist"      -> Dedup.qDedupEditdist _,
     "q_text_containment"    -> Dedup.qTextContainment _,
@@ -125,6 +126,7 @@ object SparkEntry {
     "q_knn_centroid" -> Similarity.qKnnCentroid _,
     "q_knn_ivf"      -> Similarity.qKnnIvf _,
     "q_knn_recall"   -> Similarity.qKnnRecall _,
+    "q_knn_nprobe"   -> Similarity.qKnnNprobe _,
     "q_knn_pq"       -> Similarity.qKnnPq _,
     "q_embedding_profile" -> Similarity.qEmbeddingProfile _,
     "q_knn_ivfpq"    -> Similarity.qKnnIvfPq _,
@@ -414,6 +416,7 @@ object SparkEntry {
     "q_dedup_by_source"     -> Dedup.oracleDedupBySource,
     "q_dedup_soft"          -> Dedup.oracleDedupSoft,
     "q_dedup_substring"     -> Dedup.oracleDedupSubstring,
+    "q_dedup_spans"         -> Dedup.oracleDedupSpans,
     "q_dedup_incremental"   -> Dedup.oracleDedupIncremental,
     "q_dedup_editdist"      -> Dedup.oracleDedupEditdist,
     "q_text_containment"    -> Dedup.oracleTextContainment,
@@ -423,6 +426,7 @@ object SparkEntry {
     "q_knn_centroid" -> Similarity.oracleKnnCentroid,
     "q_knn_ivf"      -> Similarity.oracleKnnIvf,
     "q_knn_recall"   -> Similarity.oracleKnnRecall,
+    "q_knn_nprobe"   -> Similarity.oracleKnnNprobe,
     "q_knn_pq"       -> Similarity.oracleKnnPq,
     "q_embedding_profile" -> Similarity.oracleEmbeddingProfile,
     "q_knn_ivfpq"    -> Similarity.oracleKnnIvfPq,

@@ -733,8 +733,15 @@ object Dedup {
   private[graft] def ccLabels(pairs: DataFrame): DataFrame =
     ccLabelsWithRounds(pairs)._1
 
+  /** Process-wide count of [[ccLabelsWithRounds]] executions — the
+    * observability hook DedupShareSpec uses to prove the verdict
+    * pipeline (shingle → MinHash → banding → iterative CC) runs ONCE
+    * per (session, dir) however many consumers join its output. */
+  private[graft] val ccRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** [[ccLabels]] plus the number of rounds it ran (spec hook). */
   private[graft] def ccLabelsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    ccRuns.incrementAndGet()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -822,7 +829,29 @@ object Dedup {
     * [[collapseExact]] + [[minhashPairs]] + [[ccLabels]] — two extra
     * equality joins over what `q_dedup_clusters` already computes.
     */
-  def qDedupVerdict(s: SparkSession, dir: String): DataFrame = {
+  def qDedupVerdict(s: SparkSession, dir: String): DataFrame =
+    verdictShared(s, dir)
+
+  /** Per-(session, dir) memo of the MATERIALIZED verdict. At 100 TB the
+    * KEEP/DROP verdict is a persisted artifact every consumer joins —
+    * never recomputed per query. In-process we mirror that: the first
+    * caller runs the full pipeline and `localCheckpoint`s the result;
+    * `q_dedup_verdict`, `q_dedup_by_source`, `q_dedup_soft` (and any
+    * future consumer) all read the same materialized frame, so the
+    * shingle → MinHash → banding → iterative-CC chain executes exactly
+    * once per composite run (DedupShareSpec pins this via [[ccRuns]]).
+    * Entries for stopped sessions are evicted on access. */
+  private val verdictCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def verdictShared(s: SparkSession, dir: String): DataFrame = {
+    verdictCache.keySet.removeIf(
+      (k: (SparkSession, String)) => k._1.sparkContext.isStopped)
+    verdictCache.computeIfAbsent((s, dir),
+      (_: (SparkSession, String)) => computeVerdict(s, dir).localCheckpoint())
+  }
+
+  private def computeVerdict(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val reps = collapseExact(docs).cache()
     val sig = minhashSignatures(shingleTable(reps)).cache()
@@ -1344,7 +1373,7 @@ object Dedup {
       .filter(size(col("w")) >= SUB_N)
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")) - (SUB_N - 1))).as("i"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("i"),
         h60(concat_ws(" ", slice(col("w"), col("i"), lit(SUB_N)))).as("sh"))
 
   /** UNALIGNED exact-substring duplication census (`q_dedup_substring`):
@@ -1412,6 +1441,68 @@ object Dedup {
        |    / sum(pm.m), 6) AS dup_frac
        |FROM pm LEFT JOIN sd ON pm.sh = sd.sh
        |GROUP BY pm.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Maximal duplicated-SPAN report (`q_dedup_spans`) — the census above
+    * counts shared windows; the curation decision (what to cut, whether
+    * a doc is a wholesale copy) needs SPANS: adjacent shared stride-1
+    * windows merged into maximal runs. A planted 40-word copy is ONE
+    * 40-word span here, not 33 separate windows — the Lee et al. 2021
+    * exact-substring dedup output shape (their suffix-array spans ≙
+    * maximal runs of shared [[SUB_N]]-windows: a shared span of L ≥
+    * SUB_N words ⟺ L−SUB_N+1 consecutive shared window starts). Per
+    * doc: span count, longest span, and total span-covered words (spans
+    * closer than SUB_N overlap by < SUB_N words; the sum is the
+    * standard upper-bound report, documented as such).
+    *
+    * Scale shape: everything rides [[windowTable]]'s 12-byte hash
+    * stream; sharedness is the same min≠max 2-cell aggregate as the
+    * census; the run-merge is one gaps-and-islands window PARTITIONED
+    * BY doc (`i − row_number` over the doc's shared positions — frame
+    * bounded by doc length) and two map-side-combinable aggregates.
+    * Nothing pairwise, nothing quadratic.
+    */
+  def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    spansOf(Tables.documents(s, dir))
+
+  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+    val wins = windowTable(docs).cache()
+    val shared = wins.groupBy("sh")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select("sh")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val runs = wins.join(shared, Seq("sh"))
+      .select(col("doc_id"), col("i"))
+      .withColumn("grp", col("i") - row_number().over(byDoc))
+    runs.groupBy("doc_id", "grp")
+      .agg(min("i").as("span_start"),
+        (max("i") - min("i") + SUB_N).cast("long").as("span_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        max("span_len").as("longest_span"),
+        sum("span_len").as("dup_words"))
+      .orderBy("doc_id")
+  }
+
+  val oracleDedupSpans: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |win AS (
+       |  SELECT doc_id, i, ${h60Sql(s"array_to_string(ws[i : i + ${SUB_N - 1}], ' ')")} AS sh
+       |  FROM w, unnest(generate_series(1, len(ws) - ${SUB_N - 1})) t(i)
+       |  WHERE len(ws) >= $SUB_N),
+       |sd AS (SELECT sh FROM win GROUP BY sh HAVING min(doc_id) <> max(doc_id)),
+       |runs AS (
+       |  SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM win JOIN sd USING (sh)),
+       |spans AS (
+       |  SELECT doc_id, min(i) AS span_start,
+       |    max(i) - min(i) + $SUB_N AS span_len
+       |  FROM runs GROUP BY doc_id, grp)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(max(span_len) AS BIGINT) AS longest_span,
+       |  CAST(sum(span_len) AS BIGINT) AS dup_words
+       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------- entity resolution
 

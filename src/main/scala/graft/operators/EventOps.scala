@@ -504,8 +504,17 @@ object EventOps {
       .withColumn("trend", avg(col("n")).over(ma))
       .withColumn("dow", dayofweek(col("day")) - 1)
       .withColumn("ratio", col("n") / col("trend"))
+    // Deterministic seasonal fold: sum the per-dow ratios in sorted order
+    // (collect_list → array_sort → aggregate) instead of a float partial
+    // aggregation whose addition order varies with the shuffle — the same
+    // order-pinned discipline qSurvivalKm/qBootstrapCi use. The per-dow
+    // frame is calendar-bounded (≤|days|/7 doubles), so the collected
+    // array is tiny at any corpus size.
     val seasonal = trended.groupBy("dow")
-      .agg(round(avg("ratio"), 6).as("seasonal"))
+      .agg(collect_list(col("ratio")).as("ratios"))
+      .select(col("dow"),
+        round(aggregate(array_sort(col("ratios")), lit(0.0d),
+          (acc, x) => acc + x) / size(col("ratios")), 6).as("seasonal"))
     trended.join(broadcast(seasonal), "dow")
       .withColumn("resid",
         round(col("n") / (col("trend") * col("seasonal")), 6))
@@ -735,18 +744,29 @@ object EventOps {
     val newSess = when(
       lag(tsSec, 1).over(byUser).isNull ||
         tsSec - lag(tsSec, 1).over(byUser) > 1800d, 1).otherwise(0)
+    // Per-session agg state is bounded at PATH_CAP: rank events within
+    // the session FIRST (row_number over (user_id, sess_id) — satisfied
+    // by the existing user_id hash partitioning, so it costs a sort, not
+    // a shuffle) and collect only the first PATH_CAP structs
+    // (collect_list skips the nulls the `when` produces past the cap).
+    // Without this, one bot emitting an event every 25 minutes forever is
+    // ONE session whose entire history would buffer in a single group's
+    // state; with it, state is O(PATH_CAP) per session at any corpus
+    // size while `len` still counts the full session.
+    val bySess = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
     val paths = ev
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
         newSess.as("new_sess"))
       .withColumn("sess_id",
         sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(bySess))
       .groupBy("user_id", "sess_id")
       .agg(
-        concat_ws(">", slice(
+        concat_ws(">",
           transform(
-            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-            x => x.getField("event_type")),
-          1, PATH_CAP)).as("path"),
+            array_sort(collect_list(when(col("rn") <= PATH_CAP,
+              struct(col("ts"), col("event_id"), col("event_type"))))),
+            x => x.getField("event_type"))).as("path"),
         count(lit(1)).as("len"))
     paths.groupBy("path")
       .agg(count(lit(1)).as("n_sessions"), round(avg("len"), 6).as("avg_len"))

@@ -536,7 +536,7 @@ object Graph {
     val nNodes = labels.agg(countDistinct("v").as("n_nodes"))
     deg.agg(count(lit(1)).as("n_comms"),
         sum("d").as("twom"), sum("win").as("w_in"),
-        sum((col("d") * col("d")).cast("decimal(38,0)")).as("d2"))
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("d2"))
       .crossJoin(broadcast(nNodes))
       .select(col("n_nodes"), col("n_comms"),
         (col("twom") / 2).cast("long").as("n_edges"),

@@ -464,6 +464,106 @@ object Similarity {
        |  round(coalesce(h.hits, 0) / ${RECALL_QS * RECALL_K}.0, 4) AS recall_at_3
        |FROM methods m LEFT JOIN hits h USING (method) ORDER BY method""".stripMargin
 
+  /** nprobe settings the sweep measures — 1 to IVF_K, so the top row is
+    * the exhaustive probe (recall 1.0 by construction: probing every
+    * cell IS brute force) and the curve shows where recall saturates. */
+  private[graft] val NPROBES = Seq(1, 2, 4, 8)
+
+  /** The nprobe/recall trade-off curve (`q_knn_nprobe`) — the 100 TB
+    * tuning table for the IVF dial: recall@[[RECALL_K]] of trained-cell
+    * IVF at nprobe ∈ [[NPROBES]], all settings measured from ONE brute
+    * ground-truth pass and ONE candidate scoring pass. Each vector lives
+    * in exactly one cell, so a candidate's relevance to a query is fully
+    * described by its cell's rank `cr` in that query's centroid ordering;
+    * scoring once with `cr` attached and filtering `cr <= nprobe` per
+    * setting replays every probe width without rescoring — the sweep
+    * costs one scan more than a single-nprobe gauge, not |NPROBES| scans.
+    *
+    * Scale shape: truth is the documented sampled-stratum brute pass
+    * (RECALL_QS broadcast queries × one corpus scan); the sweep side
+    * touches only vectors in the union of the top-max(NPROBES) cells;
+    * the ranking window partitions on (qid, nprobe) over that bounded
+    * candidate frame.
+    */
+  def qKnnNprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val qs = broadcast(e.filter(col("vec_id") < RECALL_QS)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb")))
+    val truthW = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    val truth = e.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
+      .withColumn("rn", row_number().over(truthW)).filter(col("rn") <= RECALL_K)
+      .select(col("qid"), col("vec_id"))
+    val cent = trainedCentroids(s, e).cache()
+    val assigned = assignCells(s, e, cent)
+    val qCellW = Window.partitionBy("qid").orderBy(desc("qc"), col("cell"))
+    val qCells = qs.crossJoin(broadcast(cent))
+      .select(col("qid"), col("cell"), cosine(s, "centroid", "qemb").as("qc"))
+      .withColumn("cr", row_number().over(qCellW))
+      .filter(col("cr") <= NPROBES.max)
+      .select(col("qid"), col("cell"), col("cr"))
+    val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .join(qs, Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cr"),
+        cosine(s, "emb", "qemb").as("cos"))
+    import s.implicits._
+    val probes = broadcast(NPROBES.toDF("nprobe"))
+    val sweepW = Window.partitionBy("qid", "nprobe")
+      .orderBy(desc("cos"), col("vec_id"))
+    val top = scored.join(probes, col("cr") <= col("nprobe"))
+      .withColumn("rn", row_number().over(sweepW)).filter(col("rn") <= RECALL_K)
+      .select(col("nprobe"), col("qid"), col("vec_id"))
+    val hits = top.join(truth, Seq("qid", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    probes.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) /
+          lit(RECALL_QS * RECALL_K.toDouble), 4).as("recall_at_k"))
+      .orderBy("nprobe")
+  }
+
+  val oracleKnnNprobe: String =
+    s"""WITH $kmeansCtes,
+       |qs AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < $RECALL_QS),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("e.emb", "q.qemb")} DESC, e.vec_id) AS rn
+       |    FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid) WHERE rn <= $RECALL_K),
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |qcells AS (
+       |  SELECT qid, cell, cr FROM (
+       |    SELECT q.qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosSql("c.centroid", "q.qemb")} DESC, c.cell) AS cr
+       |    FROM cent c CROSS JOIN qs q) WHERE cr <= ${NPROBES.max}),
+       |probes AS (${NPROBES.map(p => s"SELECT $p AS nprobe").mkString(" UNION ALL ")}),
+       |scored AS (
+       |  SELECT qc.qid, a.vec_id, qc.cr,
+       |    ${cosSql("a.emb", "q.qemb")} AS cos
+       |  FROM assigned a JOIN qcells qc USING (cell) JOIN qs q ON q.qid = qc.qid
+       |  WHERE a.vec_id <> qc.qid),
+       |top AS (
+       |  SELECT nprobe, qid, vec_id FROM (
+       |    SELECT p.nprobe, s.qid, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.qid, p.nprobe
+       |        ORDER BY s.cos DESC, s.vec_id) AS rn
+       |    FROM scored s JOIN probes p ON s.cr <= p.nprobe) WHERE rn <= $RECALL_K),
+       |hits AS (
+       |  SELECT nprobe, count(*) AS hits
+       |  FROM top JOIN truth USING (qid, vec_id) GROUP BY nprobe)
+       |SELECT p.nprobe, coalesce(h.hits, 0) AS hits,
+       |  round(coalesce(h.hits, 0) / ${RECALL_QS * RECALL_K}.0, 4) AS recall_at_k
+       |FROM probes p LEFT JOIN hits h USING (nprobe) ORDER BY p.nprobe""".stripMargin
+
   // ---------------------------------------------------- product quantization
   /** PQ geometry: DIM=64 split into PQ_M=8 subspaces of PQ_SUB=8 dims,
     * PQ_KSUB=16 codes per subspace, trained PQ_ITERS Lloyd rounds per

@@ -529,7 +529,7 @@ object Stats {
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy("arm")
       .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
-        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sx2"))
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sx2"))
     val a = arms.filter(col("arm") === 0)
       .select(col("n").as("na"), col("sx").as("sxa"), col("sx2").as("sx2a"))
     val b = arms.filter(col("arm") === 1)
@@ -715,9 +715,9 @@ object Stats {
         col("x"), col("y"))
     val arms = perCust.groupBy("arm")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
       .localCheckpoint(true)
     val g = arms.agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
       sum("sxy").as("sxy"), sum("sxx").as("sxx"), sum("syy").as("syy"))

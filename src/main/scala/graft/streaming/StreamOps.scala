@@ -730,7 +730,21 @@ object StreamOps {
     */
   def upsertStream(changes: DataFrame, tableDir: String): DataStreamWriter[Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      if (!batch.isEmpty) {
+      // Replay short-circuit: if `_CURRENT` already names v<batchId>, the
+      // crash happened AFTER the pointer flip but BEFORE the offsets
+      // commit. The version is fully committed — re-running the merge
+      // would read v<batchId> via upsertTableRead and overwrite the same
+      // path in one job, which Spark rejects ("Cannot overwrite a path
+      // that is also being read from") and would crash-loop recovery.
+      // Skipping is exactly-once-correct: the committed state IS the
+      // deterministic merge of this batch.
+      val alreadyCommitted = {
+        val ptr = new java.io.File(tableDir, "_CURRENT")
+        ptr.exists() &&
+          new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim ==
+            s"v$batchId"
+      }
+      if (!batch.isEmpty && !alreadyCommitted) {
         val s = batch.sparkSession
         val latest = batch
           .groupBy("key")
@@ -752,4 +766,49 @@ object StreamOps {
       }
       ()
     }
+
+  /** Version ids currently on disk under an [[upsertStream]] table,
+    * ascending — each `v<batchId>` dir is an immutable committed
+    * snapshot of the table after that micro-batch's merge. */
+  def upsertTableVersions(tableDir: String): Seq[Long] = {
+    val d = new java.io.File(tableDir)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted.toSeq
+  }
+
+  /** Time-travel read: the [[upsertStream]] table AS OF `version` —
+    * versions are immutable once `_CURRENT` has moved past them, so a
+    * historical read needs no lock and no log replay, just the dir. */
+  def upsertTableReadVersion(s: SparkSession, tableDir: String,
+      version: Long): DataFrame =
+    s.read.parquet(s"$tableDir/v$version")
+
+  /** Retention GC for an [[upsertStream]] table: drop all but the newest
+    * `keep` versions, NEVER the one `_CURRENT` names (a reader that
+    * resolved the pointer a moment ago may still be scanning it).
+    * Returns the version ids deleted. O(#versions) metadata work —
+    * independent of table size, safe to run while the stream commits,
+    * because the stream only ever appends new `v<batchId>` dirs and
+    * flips the pointer forward. */
+  def vacuumUpsertTable(tableDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "retention must keep at least one version")
+    val current: Option[String] = {
+      val ptr = new java.io.File(tableDir, "_CURRENT")
+      if (ptr.exists())
+        Some(new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim)
+      else None
+    }
+    val doomed = upsertTableVersions(tableDir).dropRight(keep)
+      .filterNot(v => current.contains(s"v$v"))
+    doomed.foreach { v =>
+      val root = new java.io.File(tableDir, s"v$v").toPath
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete(_: Path))
+      finally walk.close()
+    }
+    doomed
+  }
 }

@@ -61,6 +61,25 @@ class SessionPathsSpec extends AnyFunSpec with SparkTestBase {
       assert(mid.getLong(2) == direct, s"wau(${d}) = ${mid.getLong(2)} vs direct $direct")
     }
 
+    it("bounds per-session agg state at PATH_CAP (10k-event bot session)") {
+      // one bot emitting every 10 s forever is ONE session; the collect
+      // must buffer only the first PATH_CAP structs, not the history
+      val rows = (1 to 10000).map(i => (7L, i.toLong, ts(i * 10L), s"e${i % 5}"))
+      val df = EventOps.sessionPathsOf(
+        rows.toDF("user_id", "event_id", "ts", "event_type"))
+      val got = df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.size == 1)
+      val (path, (n, len)) = got.head
+      assert(n == 1L && len == 10000.0, "len must still count the whole session")
+      assert(path == (1 to EventOps.PATH_CAP).map(i => s"e${i % 5}").mkString(">"))
+      // and the PLAN proves it: the collected struct is gated by the
+      // row_number cap, so per-group state is O(PATH_CAP) by construction
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("collect_list(CASE WHEN"),
+        s"collect_list must be capped by the rank predicate:\n$plan")
+    }
+
     it("on the sf events: session census conserves against the sessionizer") {
       val full = EventOps.sessionPathsOf(EventOps.events(spark, sfDir))
       val nSessions = full.agg(sum("n_sessions")).head().getLong(0)

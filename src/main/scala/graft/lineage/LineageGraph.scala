@@ -29,12 +29,49 @@ object LineageGraph {
       .toDF("src", "dst")
   }
 
+  /** Dataset edges straight off a catalog DataFrame
+    * ([[LineageCatalog.loadDf]]) — the million-record path: the catalog
+    * never materializes on the driver; extraction is a filter + two
+    * explodes + distinct, all distributed. Same edge semantics as
+    * [[edges]] (successful runs that wrote an output; self-edges kept).
+    */
+  def edgesDf(catalog: DataFrame): DataFrame =
+    catalog
+      .filter(col("status") === "success" && col("output.name").isNotNull)
+      .select(explode(col("inputs")).as("in"), col("output.name").as("dst"))
+      .select(col("in.name").as("src"), col("dst"))
+      .distinct()
+
+  /** Column edges off a catalog DataFrame — [[columnEdges]] without the
+    * driver round-trip: explode the columnLineage mappings, then their
+    * source lists. */
+  def columnEdgesDf(catalog: DataFrame): DataFrame =
+    catalog
+      .filter(col("status") === "success" && col("output.name").isNotNull)
+      .select(col("output.name").as("out"), explode(col("columnLineage")).as("m"))
+      .select(explode(col("m.sources")).as("src"),
+        concat(col("out"), lit("."), col("m.output")).as("dst"))
+      .distinct()
+
+  /** [[downstream]] over a persisted catalog path — loads the JSONL as a
+    * distributed scan and walks [[edgesDf]]; the driver holds only the
+    * frontier bookkeeping, never the record set. */
+  def downstreamCatalog(s: SparkSession, catalogPath: String, root: String,
+      maxDepth: Int = 20): DataFrame =
+    downstreamOverEdges(s, edgesDf(LineageCatalog.loadDf(s, catalogPath)),
+      root, maxDepth)
+
   /** Entities reachable downstream of `root` with their minimum hop
     * depth (root itself at depth 0). */
   def downstream(s: SparkSession, records: Seq[LineageRecord], root: String,
+      maxDepth: Int = 20): DataFrame =
+    downstreamOverEdges(s, edges(s, records), root, maxDepth)
+
+  /** The closure walk itself, over any (src, dst) edge frame. */
+  def downstreamOverEdges(s: SparkSession, edgeFrame: DataFrame, root: String,
       maxDepth: Int = 20): DataFrame = {
     import s.implicits._
-    val e = edges(s, records).cache()
+    val e = edgeFrame.cache()
     try {
       var frontier = Seq(root).toDF("entity").withColumn("depth", lit(0))
       var all = frontier
@@ -82,9 +119,20 @@ object LineageGraph {
     * column-granular blast radius a schema change review needs. Same
     * frontier-expansion discipline as [[downstream]]. */
   def downstreamColumns(s: SparkSession, records: Seq[LineageRecord],
+      rootColumn: String, maxDepth: Int = 20): DataFrame =
+    downstreamColumnsOverEdges(s, columnEdges(s, records), rootColumn, maxDepth)
+
+  /** [[downstreamColumns]] over a persisted catalog path (no driver
+    * materialization of the record set). */
+  def downstreamColumnsCatalog(s: SparkSession, catalogPath: String,
+      rootColumn: String, maxDepth: Int = 20): DataFrame =
+    downstreamColumnsOverEdges(s,
+      columnEdgesDf(LineageCatalog.loadDf(s, catalogPath)), rootColumn, maxDepth)
+
+  def downstreamColumnsOverEdges(s: SparkSession, edgeFrame: DataFrame,
       rootColumn: String, maxDepth: Int = 20): DataFrame = {
     import s.implicits._
-    val e = columnEdges(s, records).cache()
+    val e = edgeFrame.cache()
     try {
       var frontier = Seq(rootColumn).toDF("column").withColumn("depth", lit(0))
       var all = frontier
@@ -122,9 +170,19 @@ object LineageGraph {
     * rows for the roots themselves.
     */
   def piiTaint(s: SparkSession, records: Seq[LineageRecord],
+      taintedRoots: Seq[String], maxDepth: Int = 20): DataFrame =
+    piiTaintOverEdges(s, columnEdges(s, records), taintedRoots, maxDepth)
+
+  /** [[piiTaint]] over a persisted catalog path. */
+  def piiTaintCatalog(s: SparkSession, catalogPath: String,
+      taintedRoots: Seq[String], maxDepth: Int = 20): DataFrame =
+    piiTaintOverEdges(s, columnEdgesDf(LineageCatalog.loadDf(s, catalogPath)),
+      taintedRoots, maxDepth)
+
+  def piiTaintOverEdges(s: SparkSession, edgeFrame: DataFrame,
       taintedRoots: Seq[String], maxDepth: Int = 20): DataFrame = {
     import s.implicits._
-    val e = columnEdges(s, records).cache()
+    val e = edgeFrame.cache()
     try {
       var frontier = taintedRoots.map(r => (r, r)).toDF("pii_root", "column")
         .withColumn("depth", lit(0))
@@ -179,9 +237,10 @@ object LineageGraph {
       val roots = e.select(col("src").as("entity")).distinct()
         .collect().map(_.getString(0))
       // per-root BFS; the root set is catalog-entity-sized (bounded), each
-      // closure is the distributed loop above
+      // closure is the distributed loop above — over the edge frame
+      // built ONCE here, not re-derived from the record Seq per root
       val cones = roots.map { r =>
-        val cone = downstream(s, records, r, maxDepth)
+        val cone = downstreamOverEdges(s, e, r, maxDepth)
           .filter(col("depth") > 0).count()
         (r, cone)
       }.toSeq.toDF("entity", "downstream_count")

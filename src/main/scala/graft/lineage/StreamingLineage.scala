@@ -57,6 +57,18 @@ final class StreamingLineageListener private (
       val durNs = Option(p.durationMs.get("triggerExecution"))
         .map(_.longValue() * 1000000L).getOrElse(0L)
       val info = resolvePlanInfo(p.id, p.runId)
+      // Watermark-lateness observability: every production stream
+      // eventually needs to know how many rows its watermark silently
+      // discarded — surfaced per micro-batch on the lineage record (the
+      // monitoring twin of the batch listener's observe() gates).
+      // numRowsDroppedByWatermark is summed across stateful operators;
+      // the current watermark rides along so a consumer can correlate a
+      // drop spike with a watermark jump.
+      val dropped = p.stateOperators.toSeq.map(_.numRowsDroppedByWatermark).sum
+      val observed =
+        (if (p.stateOperators.nonEmpty)
+          Seq("rowsDroppedByWatermark" -> dropped.toString) else Nil) ++
+        Option(p.eventTime.get("watermark")).map("watermark" -> _)
       LineageRecord(
         appId = appId,
         appName = appName,
@@ -71,7 +83,8 @@ final class StreamingLineageListener private (
         outputColumns = info.outputColumns,
         columnLineage = info.columnLineage,
         schemaFingerprint = info.fingerprint,
-        rowsWritten = rowsOut)
+        rowsWritten = rowsOut,
+        observed = observed)
     }
 
   /** Resolve (and cache) the run's column lineage from the live query's

@@ -53,6 +53,8 @@ object SparkEntry {
     "q_order_gaps"          -> Relational.qOrderGaps _,
     "q_cohort_ltv"          -> Relational.qCohortLtv _,
     "q_rfm"                 -> Relational.qRfm _,
+    "q_nation_trade"        -> Relational.qNationTrade _,
+    "q_market_share"        -> Relational.qMarketShare _,
     "q_late_sole_supplier"  -> Relational.qLateSoleSupplier _,
     "q_profit_by_nation_year" -> Relational.qProfitByNationYear _,
     "q_big_orders"          -> Relational.qBigOrders _,
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_time_weighted_avg" -> EventOps.qTimeWeightedAvg _,
     "q_seasonal_profile"  -> EventOps.qSeasonalProfile _,
     "q_stl_decompose"     -> EventOps.qStlDecompose _,
+    "q_holt_winters"      -> EventOps.qHoltWinters _,
     // §2.3 dedup
     "q_dedup_exact"         -> Dedup.qDedupExact _,
     "q_dedup_fingerprint"   -> Dedup.qDedupFingerprint _,
@@ -127,6 +130,7 @@ object SparkEntry {
     "q_knn_ivf"      -> Similarity.qKnnIvf _,
     "q_knn_recall"   -> Similarity.qKnnRecall _,
     "q_knn_nprobe"   -> Similarity.qKnnNprobe _,
+    "q_semdedup_sweep" -> Similarity.qSemdedupSweep _,
     "q_knn_pq"       -> Similarity.qKnnPq _,
     "q_embedding_profile" -> Similarity.qEmbeddingProfile _,
     "q_knn_ivfpq"    -> Similarity.qKnnIvfPq _,
@@ -307,6 +311,8 @@ object SparkEntry {
     "q_order_gaps"         -> Relational.oracleOrderGaps,
     "q_cohort_ltv"         -> Relational.oracleCohortLtv,
     "q_rfm"                -> Relational.oracleRfm,
+    "q_nation_trade"       -> Relational.oracleNationTrade,
+    "q_market_share"       -> Relational.oracleMarketShare,
     "q_late_sole_supplier" -> Relational.oracleLateSoleSupplier,
     "q_profit_by_nation_year" -> Relational.oracleProfitByNationYear,
     "q_big_orders"         -> Relational.oracleBigOrders,
@@ -395,6 +401,7 @@ object SparkEntry {
     "q_time_weighted_avg" -> EventOps.oracleTimeWeightedAvg,
     "q_seasonal_profile"  -> EventOps.oracleSeasonalProfile,
     "q_stl_decompose"     -> EventOps.oracleStlDecompose,
+    "q_holt_winters"      -> EventOps.oracleHoltWinters,
     "q_sketch_distinct" -> Relational.oracleSketchDistinct,
     "q_sketch_quantile" -> Relational.oracleSketchQuantile,
 
@@ -427,6 +434,7 @@ object SparkEntry {
     "q_knn_ivf"      -> Similarity.oracleKnnIvf,
     "q_knn_recall"   -> Similarity.oracleKnnRecall,
     "q_knn_nprobe"   -> Similarity.oracleKnnNprobe,
+    "q_semdedup_sweep" -> Similarity.oracleSemdedupSweep,
     "q_knn_pq"       -> Similarity.oracleKnnPq,
     "q_embedding_profile" -> Similarity.oracleEmbeddingProfile,
     "q_knn_ivfpq"    -> Similarity.oracleKnnIvfPq,

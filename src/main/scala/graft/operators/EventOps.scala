@@ -544,6 +544,93 @@ object EventOps {
        |   OR round(r.n / (r.trend * se.seasonal), 6) < ${1 - STL_BAND}) AS anomaly
        |FROM r JOIN se USING (dow) ORDER BY r.day""".stripMargin
 
+  /** Holt's smoothing weights, literal text shared with the oracle so
+    * both engines fold the identical constants. */
+  private val HW_ALPHA = "0.5"
+  private val HW_BETA  = "0.3"
+
+  /** Holt double-exponential smoothing (`q_holt_winters`) of the daily
+    * event volume — the trend-aware operational forecaster between
+    * [[qEventsEwma]] (level only; lags any trend) and
+    * [[qStlDecompose]] (retrospective decomposition; no forecast):
+    * level ← α·n + (1−α)·(level+trend), trend ← β·Δlevel + (1−β)·trend,
+    * with the one-step-ahead forecast and its error per day. The
+    * recursion is inherently sequential, so it folds LEFT-TO-RIGHT over
+    * the sorted daily array (collect_list → array_sort → aggregate) —
+    * the deterministic-fold discipline — with each step 9dp-rounded so
+    * the Spark fold and the oracle's recursive CTE walk bit-identical
+    * state.
+    *
+    * Scale shape: the event stream reduces to the calendar-bounded
+    * daily frame FIRST (one map-side-combinable aggregate); the fold
+    * runs once over that |days| array — O(days) state on one row, never
+    * a per-event window.
+    */
+  def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = lit(HW_ALPHA.toDouble); val b = lit(HW_BETA.toDouble)
+    val rowT = "array<struct<day:timestamp,n:bigint,level:double," +
+      "trend:double,forecast:double,err:double>>"
+    daily.agg(collect_list(struct(col("day"), col("n"))).as("ds"))
+      .select(aggregate(
+        array_sort(col("ds")),
+        struct(lit(0.0).as("level"), lit(0.0).as("trend"),
+          array().cast(rowT).as("rows")),
+        (acc, x) => {
+          val first = size(acc.getField("rows")) === 0
+          val nD = x.getField("n").cast("double")
+          val fPrev = round(acc.getField("level") + acc.getField("trend"), 9)
+          val lvl = when(first, nD)
+            .otherwise(round(a * nD + (lit(1.0) - a) * fPrev, 9))
+          val tr = when(first, lit(0.0))
+            .otherwise(round(b * (lvl - acc.getField("level")) +
+              (lit(1.0) - b) * acc.getField("trend"), 9))
+          val fc = when(first, lit(null).cast("double")).otherwise(fPrev)
+          val er = when(first, lit(null).cast("double"))
+            .otherwise(round(nD - fPrev, 9))
+          struct(lvl.as("level"), tr.as("trend"),
+            concat(acc.getField("rows"), array(struct(
+              x.getField("day").as("day"), x.getField("n").as("n"),
+              lvl.as("level"), tr.as("trend"),
+              fc.as("forecast"), er.as("err")))).as("rows"))
+        }).as("st"))
+      .select(explode(col("st.rows")).as("r"))
+      .select(col("r.day").cast("timestamp_ntz").as("day"), col("r.n").as("n"),
+        round(col("r.level"), 6).as("level"),
+        round(col("r.trend"), 6).as("trend"),
+        round(col("r.forecast"), 6).as("forecast"),
+        round(col("r.err"), 6).as("err"))
+      .orderBy("day")
+  }
+
+  val oracleHoltWinters: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS day,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1),
+       |idx AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily),
+       |hw AS (
+       |  -- the anchor's literals must be typed DOUBLE: a bare 0.0 is
+       |  -- DECIMAL(2,1) and the union would pin the recursive trend
+       |  -- column to one decimal place, silently quantizing every step
+       |  SELECT i, day, n, n::DOUBLE AS level, 0.0::DOUBLE AS trend,
+       |    NULL::DOUBLE AS forecast, NULL::DOUBLE AS err
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT x.i, x.day, x.n,
+       |    round($HW_ALPHA * x.n + (1.0 - $HW_ALPHA) * round(h.level + h.trend, 9), 9),
+       |    round($HW_BETA * (round($HW_ALPHA * x.n + (1.0 - $HW_ALPHA)
+       |        * round(h.level + h.trend, 9), 9) - h.level)
+       |      + (1.0 - $HW_BETA) * h.trend, 9),
+       |    round(h.level + h.trend, 9),
+       |    round(x.n - round(h.level + h.trend, 9), 9)
+       |  FROM idx x JOIN hw h ON x.i = h.i + 1)
+       |SELECT day, n, round(level, 6) AS level, round(trend, 6) AS trend,
+       |  round(forecast, 6) AS forecast, round(err, 6) AS err
+       |FROM hw ORDER BY day""".stripMargin
+
   /** First-order Markov transition model over per-user event paths — the
     * path-mining primitive behind next-action prediction and funnel
     * drop-off attribution: P(next event type | current event type), top-3

@@ -1465,4 +1465,137 @@ object Relational {
       |  round(avg(recency_days), 2) AS avg_recency_days
       |FROM sc GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
+
+  // --------------------------------------------- international trade flows
+
+  /** The Q7-style focus set: trade between the first [[TRADE_NATIONS]]
+    * nations (TPC-H Q7 fixes two; a 5-nation block keeps the output a
+    * richer but still bounded pair×year matrix). */
+  private val TRADE_NATIONS = 5
+
+  /** Cross-nation trade flows (`q_nation_trade`) — TPC-H Q7's shape:
+    * revenue shipped from a supplier nation to a DIFFERENT customer
+    * nation per ship year, for the [[TRADE_NATIONS]]-nation focus set.
+    * Revenue folds as exact integer cents (the cross-engine float-sum
+    * discipline; line revenue is cent-rounded per row, summed as
+    * BIGINT, divided once at the end).
+    *
+    * Scale shape: one fact-table pass; both nation dimensions reach the
+    * fact via broadcast joins (customer is itself fact-sized, so the
+    * orders→customer join shuffles on custkey once — the same exchange
+    * every per-customer operator rides); the output frame is the
+    * bounded pair×year matrix, aggregated with map-side combine.
+    */
+  def qNationTrade(s: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_nationkey") < TRADE_NATIONS)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val sn = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_nationkey") < TRADE_NATIONS)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum("cents") / 100.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  val oracleNationTrade: String =
+    s"""WITH cn AS (
+       |  SELECT c_custkey, n_name AS cust_nation FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE n_nationkey < $TRADE_NATIONS),
+       |sn AS (
+       |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_nationkey < $TRADE_NATIONS)
+       |SELECT supp_nation, cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS ship_year,
+       |  count(*) AS n_lines,
+       |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       |    AS BIGINT) / 100.0 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN cn ON o_custkey = c_custkey
+       |JOIN sn ON l_suppkey = s_suppkey
+       |WHERE supp_nation <> cust_nation
+       |GROUP BY supp_nation, cust_nation, ship_year
+       |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin
+
+  /** Q8's parameters: the market under study and the focal supplier
+    * nation whose share is measured. */
+  private val MKT_REGION = "ASIA"
+  private val MKT_NATION = "NATION_2"
+
+  /** National market share (`q_market_share`) — TPC-H Q8's shape: per
+    * order year, the fraction of revenue in [[MKT_REGION]]'s customer
+    * market supplied by [[MKT_NATION]]. Same integer-cents fold as
+    * [[qNationTrade]]; the share divides two exact BIGINT cent sums.
+    *
+    * Scale shape: the region filter prunes the customer side before its
+    * one custkey shuffle; the supplier flag joins broadcast; output is
+    * |years| rows.
+    */
+  def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val mktCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === MKT_REGION)),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"),
+        (col("n_name") === MKT_NATION).cast("long").as("is_focal")))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(mktCust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).as("order_year"), col("is_focal"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("order_year")
+      .agg((sum("cents") / 100.0).as("mkt_revenue"),
+        (sum(col("is_focal") * col("cents")) / 100.0).as("focal_revenue"),
+        round(sum(col("is_focal") * col("cents")) /
+          sum("cents").cast("double"), 6).as("mkt_share"))
+      .orderBy("order_year")
+  }
+
+  val oracleMarketShare: String =
+    s"""WITH mkt AS (
+       |  SELECT c_custkey FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = '$MKT_REGION'),
+       |supp AS (
+       |  SELECT s_suppkey,
+       |    CASE WHEN n_name = '$MKT_NATION' THEN 1 ELSE 0 END AS is_focal
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |l AS (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS order_year, is_focal,
+       |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN mkt ON o_custkey = c_custkey
+       |  JOIN supp ON l_suppkey = s_suppkey)
+       |SELECT order_year,
+       |  CAST(sum(cents) AS BIGINT) / 100.0 AS mkt_revenue,
+       |  CAST(sum(is_focal * cents) AS BIGINT) / 100.0 AS focal_revenue,
+       |  round(CAST(sum(is_focal * cents) AS BIGINT) /
+       |    CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE), 6) AS mkt_share
+       |FROM l GROUP BY order_year ORDER BY order_year""".stripMargin
 }

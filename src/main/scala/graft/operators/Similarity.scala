@@ -1602,6 +1602,82 @@ object Similarity {
        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.drop_id
        |GROUP BY a.cell ORDER BY cell""".stripMargin
 
+  /** Thresholds the SemDeDup sweep measures — bracketing [[SEMDEDUP_TAU]]
+    * from permissive to near-exact. */
+  private[graft] val SEMDEDUP_TAUS = Seq(0.80, 0.90, 0.95, 0.99)
+
+  /** SemDeDup threshold sweep (`q_semdedup_sweep`) — the curation dial
+    * for [[qDedupSemantic]]: how many documents a given cosine
+    * threshold τ would drop, for τ ∈ [[SEMDEDUP_TAUS]], measured from
+    * ONE within-cell pair scan (the expensive part — cosines are
+    * computed once with the pair's cos attached, then every τ replays
+    * as a filter over the scored pair frame, the [[qKnnNprobe]]
+    * replay-don't-rescore shape). Same planted-dup fixture and trained
+    * quantizer as the single-τ query, so the τ=0.90 row reconciles with
+    * it (spec-pinned).
+    */
+  def qSemdedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dups = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("emb"), (v, i) =>
+          v + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("emb"))
+    val corpus = e.unionByName(dups)
+    val cent = trainedCentroids(s, e).cache()
+    val assigned = assignCells(s, corpus, cent)
+    val pairCos = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("drop_id"),
+        round(cosine(s, "a.emb", "b.emb"), 6).as("cos"))
+      .filter(col("cos") >= SEMDEDUP_TAUS.min) // one scored frame, min-τ pruned
+    import s.implicits._
+    val taus = broadcast(SEMDEDUP_TAUS.toDF("tau"))
+    val dropped = pairCos.join(taus, col("cos") >= col("tau"))
+      .select(col("tau"), col("drop_id")).distinct()
+      .groupBy("tau").agg(count(lit(1)).as("n_dropped"))
+    val n = assigned.agg(count(lit(1)).as("n_corpus"))
+    taus.join(dropped, Seq("tau"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("tau"), col("n_corpus"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        round(coalesce(col("n_dropped"), lit(0L)) /
+          col("n_corpus").cast("double"), 6).as("drop_frac"))
+      .orderBy("tau")
+  }
+
+  val oracleSemdedupSweep: String =
+    s"""WITH $kmeansCtes,
+       |e2 AS (
+       |  SELECT vec_id, emb FROM e
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         list_transform(generate_series(1, len(emb)),
+       |           i -> emb[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END)
+       |  FROM e WHERE vec_id % 25 = 0),
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e2.vec_id, e2.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e2.vec_id
+       |        ORDER BY ${cosSql("e2.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e2 CROSS JOIN cent c) WHERE rn = 1),
+       |paircos AS (
+       |  SELECT b.vec_id AS drop_id, round(${cosSql("a.emb", "b.emb")}, 6) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosSql("a.emb", "b.emb")}, 6) >= ${SEMDEDUP_TAUS.min}),
+       |taus AS (${SEMDEDUP_TAUS.map(t => s"SELECT $t AS tau").mkString(" UNION ALL ")}),
+       |dropped AS (
+       |  SELECT tau, count(*) AS n_dropped FROM (
+       |    SELECT DISTINCT t.tau, p.drop_id
+       |    FROM paircos p JOIN taus t ON p.cos >= t.tau) GROUP BY tau),
+       |n AS (SELECT count(*) AS n_corpus FROM assigned)
+       |SELECT t.tau, n.n_corpus, coalesce(d.n_dropped, 0) AS n_dropped,
+       |  round(coalesce(d.n_dropped, 0) / n.n_corpus::DOUBLE, 6) AS drop_frac
+       |FROM taus t LEFT JOIN dropped d USING (tau), n
+       |ORDER BY t.tau""".stripMargin
+
   // ------------------------------------------------------- k-center coreset
 
   /** Coreset size for `q_coreset_kcenter` (seed + 7 greedy picks). */

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_cramers_v"    -> Stats.qCramersV _,
     "q_hhi"          -> Stats.qHhi _,
     "q_cusum_changepoint" -> Stats.qCusumChangepoint _,
+    "q_corr_matrix"   -> Stats.qCorrMatrix _,
     "q_bootstrap_ci"  -> Stats.qBootstrapCi _,
     "q_ab_welch"      -> Stats.qAbWelch _,
     "q_cuped"         -> Stats.qCuped _,
@@ -326,6 +327,7 @@ object SparkEntry {
     "q_cramers_v"    -> Stats.oracleCramersV,
     "q_hhi"          -> Stats.oracleHhi,
     "q_cusum_changepoint" -> Stats.oracleCusumChangepoint,
+    "q_corr_matrix"   -> Stats.oracleCorrMatrix,
     "q_bootstrap_ci"  -> Stats.oracleBootstrapCi,
     "q_ab_welch"      -> Stats.oracleAbWelch,
     "q_cuped"         -> Stats.oracleCuped,

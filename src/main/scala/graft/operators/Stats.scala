@@ -25,6 +25,75 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** The lineitem measures [[qCorrMatrix]] correlates, with their
+    * integer-unit scaling (cents / basis points / units ×100). */
+  private val CORR_COLS = Seq(
+    ("qty", "l_quantity", 100),
+    ("price", "l_extendedprice", 100),
+    ("disc", "l_discount", 10000),
+    ("tax", "l_tax", 10000))
+
+  /** Pairwise Pearson correlation matrix (`q_corr_matrix`) over the
+    * lineitem measures — the numeric-profiling pass a curation pipeline
+    * runs to find redundant or leaking features before training.
+    * Every measure is scaled to an exact integer unit first (cents /
+    * bps), then ALL moments — Σx, Σx², Σxy for every pair — fold as
+    * DECIMAL(38,0) with the operand cast BEFORE the multiply (a cents
+    * price squared is ~1e14 per row; BIGINT overflows near 6e5 rows —
+    * the r9-advisor overflow class, engineered out here from the
+    * start). One map-side-combinable aggregate over one fact scan
+    * produces every moment; the correlation arithmetic runs on the
+    * single moment row. r is computed in doubles from exact integer
+    * moments, so both engines divide identical numbers.
+    */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ints = CORR_COLS.map { case (a, c, sc) =>
+      round(col(c) * sc).cast("decimal(38,0)").as(a)
+    }
+    val li = Tables.lineitem(s, dir).select(ints: _*)
+    val moments =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+      CORR_COLS.map { case (a, _, _) => sum(col(a)).as(s"s_$a") } ++
+      CORR_COLS.map { case (a, _, _) => sum(col(a) * col(a)).as(s"ss_$a") } ++
+      CORR_COLS.combinations(2).toSeq.map { case Seq((a, _, _), (b, _, _)) =>
+        sum(col(a) * col(b)).as(s"sp_${a}_$b")
+      }
+    val m = li.agg(moments.head, moments.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    val pairRows = CORR_COLS.combinations(2).toSeq.map { case Seq((a, _, _), (b, _, _)) =>
+      val cov = d("n") * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val va = d("n") * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = d("n") * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      m.select(lit(a).as("x"), lit(b).as("y"),
+        round(cov / sqrt(va * vb), 6).as("r"))
+    }
+    pairRows.reduce(_ unionByName _).orderBy("x", "y")
+  }
+
+  val oracleCorrMatrix: String = {
+    val ints = CORR_COLS.map { case (a, c, sc) =>
+      s"CAST(round($c * $sc) AS DECIMAL(38,0)) AS $a"
+    }.mkString(", ")
+    val moments =
+      Seq("count(*)::DECIMAL(38,0) AS n") ++
+      CORR_COLS.map { case (a, _, _) => s"sum($a) AS s_$a" } ++
+      CORR_COLS.map { case (a, _, _) => s"sum($a * $a) AS ss_$a" } ++
+      CORR_COLS.combinations(2).toSeq.map { case Seq((a, _, _), (b, _, _)) =>
+        s"sum($a * $b) AS sp_${a}_$b"
+      }
+    val pairSelects = CORR_COLS.combinations(2).toSeq.map { case Seq((a, _, _), (b, _, _)) =>
+      s"""SELECT '$a' AS x, '$b' AS y,
+         |  round((n::DOUBLE * sp_${a}_$b::DOUBLE - s_$a::DOUBLE * s_$b::DOUBLE)
+         |    / sqrt((n::DOUBLE * ss_$a::DOUBLE - s_$a::DOUBLE * s_$a::DOUBLE)
+         |         * (n::DOUBLE * ss_$b::DOUBLE - s_$b::DOUBLE * s_$b::DOUBLE)), 6) AS r
+         |  FROM m""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""WITH ints AS (SELECT $ints FROM lineitem),
+       |m AS (SELECT ${moments.mkString(", ")} FROM ints)
+       |$pairSelects
+       |ORDER BY x, y""".stripMargin
+  }
+
   // ------------------------------------------------------------ MAD
   /** Robust outlier detection (`q_mad_outliers`): per event type,
     * median + MAD (median absolute deviation), then |v − med| >

@@ -652,6 +652,74 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** One ordered observation for the streaming forecaster. */
+  case class HoltArrival(key: String, seq: Long, n: Double)
+
+  /** Forecast snapshot per key per micro-batch: the smoothed state, the
+    * NEXT-step forecast it implies, and the last observation's error. */
+  case class HoltSnapshot(key: String, level: Double, trend: Double,
+      next_forecast: Double, last_err: Double, n_obs: Long)
+
+  case class HoltState(level: Double, trend: Double, nObs: Long, lastErr: Double)
+
+  /** Streaming Holt forecaster on `transformWithState` — the online twin
+    * of `EventOps.qHoltWinters`: per key, O(1) (level, trend) state
+    * folds the same α/β recurrence with the same 9dp step rounding, so
+    * a series replayed through any micro-batch partitioning produces
+    * BIT-IDENTICAL state to the batch fold (HoltStreamSpec pins parity
+    * against qHoltWinters' constants). Rows fold in `seq` order within
+    * a batch on top of persisted state — the CUSUM/TWAP discipline.
+    * Emits one snapshot per key per batch with the next-step forecast a
+    * capacity dashboard would chart.
+    */
+  class HoltProcessor(alpha: Double, beta: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, HoltArrival, HoltSnapshot] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[HoltState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HoltState]("holt", Encoders.product[HoltState], TTLConfig.NONE)
+
+    private def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[HoltArrival],
+        timerValues: TimerValues): Iterator[HoltSnapshot] = {
+      val ordered = rows.toSeq.sortBy(_.seq)
+      if (ordered.isEmpty) Iterator.empty
+      else {
+        var s = if (st.exists()) st.get() else {
+          val h = ordered.head
+          HoltState(h.n, 0.0, 1L, 0.0) // seed: level = first obs, trend 0
+        }
+        val it = if (st.exists()) ordered.iterator else ordered.iterator.drop(1)
+        it.foreach { x =>
+          val f = r9(s.level + s.trend)
+          val lvl = r9(alpha * x.n + (1.0 - alpha) * f)
+          val tr = r9(beta * (lvl - s.level) + (1.0 - beta) * s.trend)
+          s = HoltState(lvl, tr, s.nObs + 1L, r9(x.n - f))
+        }
+        st.update(s)
+        Iterator.single(HoltSnapshot(key, s.level, s.trend,
+          r9(s.level + s.trend), s.lastErr, s.nObs))
+      }
+    }
+  }
+
+  /** Observation stream → per-key Holt forecast snapshots (Update mode). */
+  def holtStream(values: Dataset[HoltArrival], alpha: Double = 0.5,
+      beta: Double = 0.3): Dataset[HoltSnapshot] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .transformWithState(new HoltProcessor(alpha, beta),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   // ---------------------------------------------- streaming A/B monitor
 
   /** Live A/B experiment monitor (`abMonitor`) — the streaming twin of

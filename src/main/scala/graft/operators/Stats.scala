@@ -58,7 +58,11 @@ object Stats {
       CORR_COLS.combinations(2).toSeq.map { case Seq((a, _, _), (b, _, _)) =>
         sum(col(a) * col(b)).as(s"sp_${a}_$b")
       }
-    val m = li.agg(moments.head, moments.tail: _*)
+    // localCheckpoint: the moment row is referenced by all six pair
+    // branches — without materialization each branch re-plans the whole
+    // fact scan (measured: 6 scans of lineitem), with it the scan runs
+    // once and the branches read one cached row
+    val m = li.agg(moments.head, moments.tail: _*).localCheckpoint()
     def d(c: String) = col(c).cast("double")
     val pairRows = CORR_COLS.combinations(2).toSeq.map { case Seq((a, _, _), (b, _, _)) =>
       val cov = d("n") * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")

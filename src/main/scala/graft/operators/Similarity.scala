@@ -512,7 +512,13 @@ object Similarity {
     val probes = broadcast(NPROBES.toDF("nprobe"))
     val sweepW = Window.partitionBy("qid", "nprobe")
       .orderBy(desc("cos"), col("vec_id"))
-    val top = scored.join(probes, col("cr") <= col("nprobe"))
+    // replicate each candidate to the probe widths that include it by
+    // EXPLODING the filtered constant array — a generator in codegen,
+    // not a theta-join (a non-equi join against even a 4-row frame
+    // plans a nested-loop join; the audit bans those)
+    val top = scored.select(col("qid"), col("vec_id"), col("cos"),
+        explode(filter(array(NPROBES.map(lit): _*),
+          p => col("cr") <= p)).as("nprobe"))
       .withColumn("rn", row_number().over(sweepW)).filter(col("rn") <= RECALL_K)
       .select(col("nprobe"), col("qid"), col("vec_id"))
     val hits = top.join(truth, Seq("qid", "vec_id"))
@@ -1634,8 +1640,11 @@ object Similarity {
       .filter(col("cos") >= SEMDEDUP_TAUS.min) // one scored frame, min-τ pruned
     import s.implicits._
     val taus = broadcast(SEMDEDUP_TAUS.toDF("tau"))
-    val dropped = pairCos.join(taus, col("cos") >= col("tau"))
-      .select(col("tau"), col("drop_id")).distinct()
+    // same explode-not-theta-join shape as qKnnNprobe's probe replay
+    val dropped = pairCos.select(col("drop_id"),
+        explode(filter(array(SEMDEDUP_TAUS.map(lit): _*),
+          t => col("cos") >= t)).as("tau"))
+      .distinct()
       .groupBy("tau").agg(count(lit(1)).as("n_dropped"))
     val n = assigned.agg(count(lit(1)).as("n_corpus"))
     taus.join(dropped, Seq("tau"), "left")

@@ -191,8 +191,14 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_k_anonymity crossJoins two 1-row per-level stat frames
         "q_k_anonymity",
         // q_dedup_semantic broadcasts the IVF_K-row trained centroids
-        // (same bounded shape as q_knn_ivf)
-        "q_dedup_semantic",
+        // (same bounded shape as q_knn_ivf); q_semdedup_sweep rides the
+        // same quantizer plus a 1-row corpus-count crossJoin — its tau
+        // replay is an explode, not a join
+        "q_dedup_semantic", "q_semdedup_sweep",
+        // q_knn_nprobe crossJoins the RECALL_QS-row query sample for its
+        // one brute truth pass (q_knn_recall's documented shape); the
+        // probe replay itself is an explode, not a join
+        "q_knn_nprobe",
         // q_target_encode crossJoins the 1-row global-mean frame
         "q_target_encode",
         // q_auc_probe broadcasts the 1-row trained-weight frame;

@@ -597,11 +597,14 @@ object EventOps {
               fc.as("forecast"), er.as("err")))).as("rows"))
         }).as("st"))
       .select(explode(col("st.rows")).as("r"))
+      // no output re-rounding: the state is already 9dp-pinned per step
+      // and BIT-IDENTICAL across engines; a second coarser round can
+      // land on a decimal tie where Spark (HALF_UP on the shortest
+      // repr) and DuckDB (C rounding) disagree — the sf1 battery caught
+      // exactly one such row
       .select(col("r.day").cast("timestamp_ntz").as("day"), col("r.n").as("n"),
-        round(col("r.level"), 6).as("level"),
-        round(col("r.trend"), 6).as("trend"),
-        round(col("r.forecast"), 6).as("forecast"),
-        round(col("r.err"), 6).as("err"))
+        col("r.level").as("level"), col("r.trend").as("trend"),
+        col("r.forecast").as("forecast"), col("r.err").as("err"))
       .orderBy("day")
   }
 
@@ -627,8 +630,7 @@ object EventOps {
        |    round(h.level + h.trend, 9),
        |    round(x.n - round(h.level + h.trend, 9), 9)
        |  FROM idx x JOIN hw h ON x.i = h.i + 1)
-       |SELECT day, n, round(level, 6) AS level, round(trend, 6) AS trend,
-       |  round(forecast, 6) AS forecast, round(err, 6) AS err
+       |SELECT day, n, level, trend, forecast, err
        |FROM hw ORDER BY day""".stripMargin
 
   /** First-order Markov transition model over per-user event paths — the

@@ -1158,23 +1158,27 @@ object Relational {
     val redParts = Tables.dim(s, dir, "part")
       .filter(col("p_name").contains("red"))
       .select("p_partkey", "p_retailprice")
-    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    // per-row profit cent-rounded then summed as exact BIGINT: a raw
+    // double sum diverged from the oracle at sf1 (at ~1e11 one ulp is
+    // ~1.5e-5 — past the harness's 6dp compare grain; sf0.1 sums sat an
+    // order of magnitude below the cliff). The sf1 battery caught it.
+    val profitCents = round((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")) * 100).cast("long")
     Tables.lineitem(s, dir)
       .join(redParts, col("l_partkey") === col("p_partkey"))
       .join(Tables.dim(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.dim(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(profit), 2).as("profit"))
+      .agg(round(sum(profitCents) / 100.0, 2).as("profit"))
       .select(col("nation"), col("o_year"), col("profit"))
       .orderBy(col("nation"), desc("o_year"))
   }
 
   val oracleProfitByNationYear: String =
     """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-      | round(sum(l_extendedprice * (1.0 - l_discount)
-      |   - 0.6 * p_retailprice * l_quantity), 2) AS profit
+      | round(CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+      |   - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS profit
       |FROM lineitem
       | JOIN part ON l_partkey = p_partkey
       | JOIN supplier ON l_suppkey = s_suppkey

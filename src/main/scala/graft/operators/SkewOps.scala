@@ -45,13 +45,18 @@ object SkewOps {
     // for, so the demonstrated plan hashpartitions on (key, __salt)
     saltedJoin(li, dim.hint("shuffle_hash"), "l_returnflag", pmod(col("l_orderkey"), lit(SALTS)))
       .groupBy("flag_class")
-      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      // cents fold: raw double sums crossed the 6dp compare grain at the
+      // sf1 battery's ~1e11 magnitudes (one ulp ~1.5e-5)
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2)
+          .as("sum_price"))
       .orderBy("flag_class")
   }
 
   val oracleSkewSaltedJoin: String =
     """WITH dim AS (SELECT DISTINCT l_returnflag, 'cls_' || l_returnflag AS flag_class FROM lineitem)
-      |SELECT flag_class, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+      |SELECT flag_class, count(*) AS n,
+      | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_price
       |FROM lineitem JOIN dim USING (l_returnflag)
       |GROUP BY flag_class ORDER BY flag_class""".stripMargin
 

@@ -183,9 +183,12 @@ object Sources {
       writeOrc(src, path)
       val agg = readOrc(s, path)
         .groupBy("l_returnflag")
+        // cents/centi-unit folds — the sf1 battery's double-sum lesson
         .agg(count(lit(1)).as("n"),
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum(round(col("l_quantity") * 100).cast("long")) / 100.0, 2)
+            .as("sum_qty"),
+          round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2)
+            .as("sum_price"),
           countDistinct("l_orderkey").as("n_orders"))
         .orderBy("l_returnflag")
       localized(s, agg)
@@ -194,8 +197,8 @@ object Sources {
 
   val oracleSourceOrc: String =
     """SELECT l_returnflag, count(*) AS n,
-      | round(sum(l_quantity), 2) AS sum_qty,
-      | round(sum(l_extendedprice), 2) AS sum_price,
+      | round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_qty,
+      | round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_price,
       | count(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -121,6 +121,7 @@ object SparkEntry {
     "q_dedup_soft"          -> Dedup.qDedupSoft _,
     "q_dedup_substring"     -> Dedup.qDedupSubstring _,
     "q_dedup_spans"         -> Dedup.qDedupSpans _,
+    "q_span_scrub"          -> Dedup.qSpanScrub _,
     "q_dedup_incremental"   -> Dedup.qDedupIncremental _,
     "q_dedup_editdist"      -> Dedup.qDedupEditdist _,
     "q_text_containment"    -> Dedup.qTextContainment _,
@@ -426,6 +427,7 @@ object SparkEntry {
     "q_dedup_soft"          -> Dedup.oracleDedupSoft,
     "q_dedup_substring"     -> Dedup.oracleDedupSubstring,
     "q_dedup_spans"         -> Dedup.oracleDedupSpans,
+    "q_span_scrub"          -> Dedup.oracleSpanScrub,
     "q_dedup_incremental"   -> Dedup.oracleDedupIncremental,
     "q_dedup_editdist"      -> Dedup.oracleDedupEditdist,
     "q_text_containment"    -> Dedup.oracleTextContainment,

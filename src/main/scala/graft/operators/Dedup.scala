@@ -1484,6 +1484,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** APPLIED unaligned span scrub (`q_span_scrub`) — the [[qDedupSpans]]
+    * report turned into the curation action Lee et al. actually take:
+    * CUT every duplicated span from all but its first-occurrence
+    * document. Ownership is per window hash (min doc_id); a word is cut
+    * when any foreign-owned shared window covers its position, so the
+    * canonical (lowest-id) document keeps its text intact and every
+    * later copy loses exactly the copied span — unaligned, unlike
+    * [[segmentScrub]]'s segment-grid approximation. Reports per doc the
+    * word census and the cleaned text's fingerprint.
+    *
+    * Scale shape: everything flows from the one 12-byte window-hash
+    * stream: ownership is a map-side-combinable min per hash, coverage
+    * explodes the (bounded) SUB_N position span of foreign windows
+    * only, the kept-word reassembly is per-doc bounded (the
+    * segmentScrub precedent), and the anti-join on (doc, pos) is an
+    * equality join. Nothing pairwise.
+    */
+  def qSpanScrub(s: SparkSession, dir: String): DataFrame =
+    spanScrubOf(Tables.documents(s, dir))
+
+  private[graft] def spanScrubOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val wins = windowTable(docs)
+    val owner = wins.groupBy("sh").agg(min("doc_id").as("own"))
+    val covered = wins.join(owner, Seq("sh"))
+      .filter(col("doc_id") > col("own"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (SUB_N - 1))).as("pos"))
+      .distinct()
+    val words = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "wd")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("wd"))
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("wd")))),
+            x => x.getField("wd"))).as("clean"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        h60(coalesce(col("clean"), lit(""))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val oracleSpanScrub: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |win AS (
+       |  SELECT doc_id, i, ${h60Sql(s"array_to_string(ws[i : i + ${SUB_N - 1}], ' ')")} AS sh
+       |  FROM w, unnest(generate_series(1, len(ws) - ${SUB_N - 1})) t(i)
+       |  WHERE len(ws) >= $SUB_N),
+       |own AS (SELECT sh, min(doc_id) AS own FROM win GROUP BY sh),
+       |cov AS (
+       |  SELECT DISTINCT n.doc_id, n.i + k.k AS pos
+       |  FROM win n JOIN own USING (sh), unnest(generate_series(0, ${SUB_N - 1})) k(k)
+       |  WHERE n.doc_id > own),
+       |words AS (SELECT doc_id, i AS pos, ws[i] AS wd
+       |          FROM w, unnest(generate_series(1, len(ws))) t(i)),
+       |kept AS (
+       |  SELECT wo.doc_id, wo.pos, wo.wd
+       |  FROM words wo LEFT JOIN cov ON cov.doc_id = wo.doc_id AND cov.pos = wo.pos
+       |  WHERE cov.pos IS NULL),
+       |recon AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(wd, ' ' ORDER BY pos) AS clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(w.ws) - coalesce(r.n_kept, 0) AS BIGINT) AS n_cut,
+       |  ${h60Sql("coalesce(r.clean, '')")} AS clean_fp
+       |FROM w LEFT JOIN recon r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val oracleDedupSpans: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |win AS (

@@ -38,6 +38,9 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    # Keep DuckDB's spill files out of the repo (a 1.19 GB temp blob was
+    # once committed by accident); /tmp is tmpfs-or-disk but never tracked.
+    con.execute("SET temp_directory='/tmp/graft_duckdb_tmp'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     fails = 0

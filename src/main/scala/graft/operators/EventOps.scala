@@ -537,7 +537,13 @@ object EventOps {
        |    dayofweek(day) AS dow
        |  FROM daily),
        |r AS (SELECT day, n, trend, dow, n / trend AS ratio FROM t),
-       |se AS (SELECT dow, round(avg(ratio), 6) AS seasonal FROM r GROUP BY dow)
+       |-- sorted left-fold, mirroring Spark's aggregate(array_sort(...)):
+       |-- a plain avg() sums in scan order and a last-ulp difference can
+       |-- cross the 6dp rounding grain on larger calendars
+       |se AS (SELECT dow,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(ratio))),
+       |    (acc, x) -> acc + x) / count(ratio), 6) AS seasonal
+       |  FROM r GROUP BY dow)
        |SELECT r.day, r.n, round(r.trend, 4) AS trend, r.dow, se.seasonal,
        |  round(r.n / (r.trend * se.seasonal), 6) AS resid,
        |  (round(r.n / (r.trend * se.seasonal), 6) > ${1 + STL_BAND}

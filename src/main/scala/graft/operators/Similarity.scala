@@ -68,6 +68,28 @@ object Similarity {
     expr(s"graft_cosine($a, $b)")
   }
 
+  /** Top-k per group by (value DESC, id ASC), via the typed O(k)
+    * [[graft.functions.MinKPairAggregator]]: returns the group columns
+    * plus `_rank` (1-based), `_id` and `_value`, at most k rows per
+    * group. This replaces `row_number().over(Window.partitionBy(qid))`
+    * ranking in the ANN gauges: those windows are partitioned by a
+    * CONSTANT-cardinality key (the RECALL_QS sampled queries), so each
+    * partition is corpus-proportional and sorts in a single task at
+    * scale; the aggregate keeps O(k) state per group and combines
+    * map-side, so no task ever materializes a group. Tie order (equal
+    * value → smaller id first) matches the windows it replaces. */
+  private def topKByGroup(df: DataFrame, grpCols: Seq[String],
+      valueCol: Column, idCol: Column, k: Int): DataFrame = {
+    val minK = udaf(new graft.functions.MinKPairAggregator(k))
+    df.groupBy(grpCols.map(col): _*)
+      .agg(minK((-valueCol).cast("double"), idCol.cast("long")).as("_nbs"))
+      .select(grpCols.map(col) :+
+        posexplode(arrays_zip(col("_nbs.ds"), col("_nbs.ids")))
+          .as(Seq("_pos", "_z")): _*)
+      .select(grpCols.map(col) :+ (col("_pos") + 1).as("_rank") :+
+        col("_z.ids").as("_id") :+ (-col("_z.ds")).as("_value"): _*)
+  }
+
   /** Exact brute-force cosine top-10 for query vector vec_id=0. */
   def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     knnScores(s, dir)
@@ -338,32 +360,35 @@ object Similarity {
     val qs = broadcast(e.filter(col("vec_id") < RECALL_QS)
       .select(col("vec_id").as("qid"), col("emb").as("qemb")))
     // exact ground truth: brute-force top-3 per sampled query (one scan,
-    // broadcast sample — the correct exact plan at any scale)
-    val truthW = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
-    val truth = e.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
-      .withColumn("rn", row_number().over(truthW)).filter(col("rn") <= RECALL_K)
-      .select(col("qid"), col("vec_id"))
+    // broadcast sample, O(k)-state aggregate — the correct exact plan at
+    // any scale: no per-qid window whose 10 partitions would each sort
+    // the whole corpus in one task)
+    val truth = topKByGroup(
+        e.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos")),
+        Seq("qid"), col("cos"), col("vec_id"), RECALL_K)
+      .select(col("qid"), col("_id").as("vec_id"))
     // LSH top-3 (same candidates qKnnLsh ranks, restricted to the sample)
-    val lshW = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
-    val lshTop = lshCandidates(s, dir).filter(col("vec_id") < RECALL_QS)
-      .withColumn("rn", row_number().over(lshW)).filter(col("rn") <= RECALL_K)
-      .select(col("vec_id").as("qid"), col("cand_id").as("vec_id"))
+    val lshTop = topKByGroup(
+        lshCandidates(s, dir).filter(col("vec_id") < RECALL_QS)
+          .select(col("vec_id").as("qid"), col("cand_id"), col("cos")),
+        Seq("qid"), col("cos"), col("cand_id"), RECALL_K)
+      .select(col("qid"), col("_id").as("vec_id"))
     // IVF top-3: probe each query's top-2 trained cells, rank within
     val cent = trainedCentroids(s, e).cache()
     val assigned = assignCells(s, e, cent)
-    val qCellW = Window.partitionBy("qid").orderBy(desc("qc"), col("cell"))
-    val qCells = qs.crossJoin(broadcast(cent))
-      .select(col("qid"), col("cell"), cosine(s, "centroid", "qemb").as("qc"))
-      .withColumn("rn", row_number().over(qCellW)).filter(col("rn") <= 2)
-      .select(col("qid"), col("cell"))
-    val ivfW = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
-    val ivfTop = assigned.join(qCells, Seq("cell"))
-      .join(qs, Seq("qid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
-      .withColumn("rn", row_number().over(ivfW)).filter(col("rn") <= RECALL_K)
-      .select(col("qid"), col("vec_id"))
+    val qCells = topKByGroup(
+        qs.crossJoin(broadcast(cent))
+          .select(col("qid"), col("cell"), cosine(s, "centroid", "qemb").as("qc")),
+        Seq("qid"), col("qc"), col("cell"), 2)
+      .select(col("qid"), col("_id").as("cell"))
+    val ivfTop = topKByGroup(
+        assigned.join(qCells, Seq("cell"))
+          .join(qs, Seq("qid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos")),
+        Seq("qid"), col("cos"), col("vec_id"), RECALL_K)
+      .select(col("qid"), col("_id").as("vec_id"))
     // PQ top-3: ADC scores from codes alone (per-query LUT broadcast,
     // RECALL_QS·M·KSUB rows), ranked on sdot/‖x‖ — dividing by the
     // query norm is rank-invariant per qid, so it is omitted
@@ -375,14 +400,14 @@ object Similarity {
         pqsubs.filter(col("vec_id") < RECALL_QS)
           .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub")), Seq("m"))
       .select(col("qid"), col("m"), col("code"), dot(col("qsub"), col("centroid")).as("pdot")))
-    val pqW = Window.partitionBy("qid").orderBy(desc("adc"), col("vec_id"))
-    val pqTop = pqCodes.join(pqLut, Seq("m", "code"))
-      .groupBy("qid", "vec_id").agg(orderedSum("pdot").as("sdot"))
-      .join(pqNorms, Seq("vec_id"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), (col("sdot") / col("nrm")).as("adc"))
-      .withColumn("rn", row_number().over(pqW)).filter(col("rn") <= RECALL_K)
-      .select(col("qid"), col("vec_id"))
+    val pqTop = topKByGroup(
+        pqCodes.join(pqLut, Seq("m", "code"))
+          .groupBy("qid", "vec_id").agg(orderedSum("pdot").as("sdot"))
+          .join(pqNorms, Seq("vec_id"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), (col("sdot") / col("nrm")).as("adc")),
+        Seq("qid"), col("adc"), col("vec_id"), RECALL_K)
+      .select(col("qid"), col("_id").as("vec_id"))
     val approx = lshTop.withColumn("method", lit("lsh"))
       .unionByName(ivfTop.withColumn("method", lit("ivf")))
       .unionByName(pqTop.withColumn("method", lit("pq")))
@@ -482,27 +507,29 @@ object Similarity {
     * Scale shape: truth is the documented sampled-stratum brute pass
     * (RECALL_QS broadcast queries × one corpus scan); the sweep side
     * touches only vectors in the union of the top-max(NPROBES) cells;
-    * the ranking window partitions on (qid, nprobe) over that bounded
-    * candidate frame.
+    * every per-(qid, nprobe) ranking runs through the O(k)
+    * map-side-combinable [[topKByGroup]] aggregate, never a window
+    * partitioned by the constant-cardinality sample.
     */
   def qKnnNprobe(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val qs = broadcast(e.filter(col("vec_id") < RECALL_QS)
       .select(col("vec_id").as("qid"), col("emb").as("qemb")))
-    val truthW = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
-    val truth = e.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos"))
-      .withColumn("rn", row_number().over(truthW)).filter(col("rn") <= RECALL_K)
-      .select(col("qid"), col("vec_id"))
+    val truth = topKByGroup(
+        e.crossJoin(qs).filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos")),
+        Seq("qid"), col("cos"), col("vec_id"), RECALL_K)
+      .select(col("qid"), col("_id").as("vec_id"))
     val cent = trainedCentroids(s, e).cache()
     val assigned = assignCells(s, e, cent)
-    val qCellW = Window.partitionBy("qid").orderBy(desc("qc"), col("cell"))
-    val qCells = qs.crossJoin(broadcast(cent))
-      .select(col("qid"), col("cell"), cosine(s, "centroid", "qemb").as("qc"))
-      .withColumn("cr", row_number().over(qCellW))
-      .filter(col("cr") <= NPROBES.max)
-      .select(col("qid"), col("cell"), col("cr"))
+    // cell rank `cr` = the aggregator's 1-based position — the window's
+    // row_number with O(NPROBES.max) state instead of a per-qid sort
+    val qCells = topKByGroup(
+        qs.crossJoin(broadcast(cent))
+          .select(col("qid"), col("cell"), cosine(s, "centroid", "qemb").as("qc")),
+        Seq("qid"), col("qc"), col("cell"), NPROBES.max)
+      .select(col("qid"), col("_id").as("cell"), col("_rank").as("cr"))
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .join(qs, Seq("qid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -510,17 +537,16 @@ object Similarity {
         cosine(s, "emb", "qemb").as("cos"))
     import s.implicits._
     val probes = broadcast(NPROBES.toDF("nprobe"))
-    val sweepW = Window.partitionBy("qid", "nprobe")
-      .orderBy(desc("cos"), col("vec_id"))
     // replicate each candidate to the probe widths that include it by
     // EXPLODING the filtered constant array — a generator in codegen,
     // not a theta-join (a non-equi join against even a 4-row frame
     // plans a nested-loop join; the audit bans those)
-    val top = scored.select(col("qid"), col("vec_id"), col("cos"),
-        explode(filter(array(NPROBES.map(lit): _*),
-          p => col("cr") <= p)).as("nprobe"))
-      .withColumn("rn", row_number().over(sweepW)).filter(col("rn") <= RECALL_K)
-      .select(col("nprobe"), col("qid"), col("vec_id"))
+    val top = topKByGroup(
+        scored.select(col("qid"), col("vec_id"), col("cos"),
+          explode(filter(array(NPROBES.map(lit): _*),
+            p => col("cr") <= p)).as("nprobe")),
+        Seq("qid", "nprobe"), col("cos"), col("vec_id"), RECALL_K)
+      .select(col("nprobe"), col("qid"), col("_id").as("vec_id"))
     val hits = top.join(truth, Seq("qid", "vec_id"))
       .groupBy("nprobe").agg(count(lit(1)).as("hits"))
     probes.join(hits, Seq("nprobe"), "left")
@@ -972,18 +998,19 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         cosine(s, "emb", "qemb").as("cos_full"),
         cosine(s, "jl", "qjl").as("cos_jl"))
-    val w1 = Window.partitionBy("qid").orderBy(desc("cos_full"), col("vec_id"))
-    val w2 = Window.partitionBy("qid").orderBy(desc("cos_jl"), col("vec_id"))
-    scored
-      .withColumn("r1", row_number().over(w1))
-      .withColumn("r2", row_number().over(w2))
-      .filter(col("r1") === 1 || col("r2") === 1)
-      .groupBy("qid")
+    // both argmaxes in ONE pass over the scored cross join via two O(1)
+    // MinKPair aggregates — the per-qid row_number windows this replaces
+    // sorted corpus-sized partitions in single tasks (10 qids = 10 tasks)
+    val min1f = udaf(new graft.functions.MinKPairAggregator(1))
+    val min1j = udaf(new graft.functions.MinKPairAggregator(1))
+    scored.groupBy("qid")
       .agg(
-        max(when(col("r1") === 1, col("vec_id"))).as("nn_full"),
-        max(when(col("r2") === 1, col("vec_id"))).as("nn_jl"),
-        round(max(when(col("r1") === 1, col("cos_full"))), 6).as("cos_full"),
-        round(max(when(col("r2") === 1, col("cos_jl"))), 6).as("cos_jl"))
+        min1f((-col("cos_full")).cast("double"), col("vec_id").cast("long")).as("f"),
+        min1j((-col("cos_jl")).cast("double"), col("vec_id").cast("long")).as("j"))
+      .select(col("qid"),
+        col("f.ids")(0).as("nn_full"), col("j.ids")(0).as("nn_jl"),
+        round(-col("f.ds")(0), 6).as("cos_full"),
+        round(-col("j.ds")(0), 6).as("cos_jl"))
       .withColumn("agree", col("nn_full") === col("nn_jl"))
       .orderBy("qid")
   }
@@ -1239,7 +1266,7 @@ object Similarity {
     *
     * The synthetic corpus has no true semantic dups (measured: max
     * random-pair cos 0.51), so the query plants a DETERMINISTIC dup
-    * fixture — every 25th vec_id re-enters under id+100000 with +0.05
+    * fixture — every 25th vec_id re-enters under id+max(vec_id)+1 with +0.05
     * on its first coordinate (cos≈0.999 to its source), mirrored
     * exactly in the oracle — and dedups the extended corpus against
     * the quantizer trained on the ORIGINAL corpus (the production
@@ -1254,8 +1281,11 @@ object Similarity {
   def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // planted ids start at max(vec_id)+1 — a hard-coded offset would
+    // collide with real ids once the corpus outgrows it (ScaleUp runs)
     val dups = e.filter(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 100000L).as("vec_id"),
+      .crossJoin(broadcast(e.agg((max("vec_id") + 1).as("planted_off"))))
+      .select((col("vec_id") + col("planted_off")).as("vec_id"),
         transform(col("emb"), (v, i) =>
           v + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("emb"))
     val corpus = e.unionByName(dups)
@@ -1585,7 +1615,7 @@ object Similarity {
        |e2 AS (
        |  SELECT vec_id, emb FROM e
        |  UNION ALL
-       |  SELECT vec_id + 100000,
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM e),
        |         list_transform(generate_series(1, len(emb)),
        |           i -> emb[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END)
        |  FROM e WHERE vec_id % 25 = 0),
@@ -1625,8 +1655,11 @@ object Similarity {
   def qSemdedupSweep(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // planted ids start at max(vec_id)+1 — a hard-coded offset would
+    // collide with real ids once the corpus outgrows it (ScaleUp runs)
     val dups = e.filter(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 100000L).as("vec_id"),
+      .crossJoin(broadcast(e.agg((max("vec_id") + 1).as("planted_off"))))
+      .select((col("vec_id") + col("planted_off")).as("vec_id"),
         transform(col("emb"), (v, i) =>
           v + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("emb"))
     val corpus = e.unionByName(dups)
@@ -1661,7 +1694,7 @@ object Similarity {
        |e2 AS (
        |  SELECT vec_id, emb FROM e
        |  UNION ALL
-       |  SELECT vec_id + 100000,
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM e),
        |         list_transform(generate_series(1, len(emb)),
        |           i -> emb[i] + CASE WHEN i = 1 THEN 0.05 ELSE 0.0 END)
        |  FROM e WHERE vec_id % 25 = 0),

@@ -768,11 +768,25 @@ object StreamOps {
   def upsertTableRead(s: SparkSession, tableDir: String): DataFrame = {
     val ptr = new java.io.File(tableDir, "_CURRENT")
     if (ptr.exists()) {
-      val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim
+      val v = currentPointer(tableDir).get._1
       s.read.parquet(s"$tableDir/$v")
     } else {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("key BIGINT, value DOUBLE"))
+    }
+  }
+
+  /** `_CURRENT` pointer, parsed: (version dir name, owning streaming
+    * query id if the marker carries one). The pointer's first token is
+    * the version — older tables wrote the bare version with no owner,
+    * and both forms stay readable. */
+  private def currentPointer(tableDir: String): Option[(String, Option[String])] = {
+    val ptr = new java.io.File(tableDir, "_CURRENT")
+    if (!ptr.exists()) None
+    else {
+      val toks = new String(java.nio.file.Files.readAllBytes(ptr.toPath))
+        .trim.split("\\s+")
+      Some((toks(0), toks.lift(1)))
     }
   }
 
@@ -789,6 +803,12 @@ object StreamOps {
     * same inputs and re-points `_CURRENT` at it — idempotent by
     * construction, no transaction log needed. Readers see only
     * committed versions (the pointer flips after the version lands).
+    * The pointer also records the owning streaming-query id (stable
+    * across restarts from one checkpoint): a replay is recognized only
+    * when BOTH batchId and owner match, and a different owner — a fresh
+    * checkpoint attached to a live table, whose restarted batchIds would
+    * collide with committed versions — is refused loudly instead of
+    * silently dropping its first batch.
     * At 100 TB the merge co-partitions on key (bucketed table versions
     * make it zero-exchange) and old versions retire by any vacuum
     * policy; the pointer-swap commit is O(1) regardless of table size.
@@ -798,19 +818,38 @@ object StreamOps {
     */
   def upsertStream(changes: DataFrame, tableDir: String): DataStreamWriter[Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      // Replay short-circuit: if `_CURRENT` already names v<batchId>, the
-      // crash happened AFTER the pointer flip but BEFORE the offsets
-      // commit. The version is fully committed — re-running the merge
-      // would read v<batchId> via upsertTableRead and overwrite the same
-      // path in one job, which Spark rejects ("Cannot overwrite a path
-      // that is also being read from") and would crash-loop recovery.
-      // Skipping is exactly-once-correct: the committed state IS the
-      // deterministic merge of this batch.
-      val alreadyCommitted = {
-        val ptr = new java.io.File(tableDir, "_CURRENT")
-        ptr.exists() &&
-          new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim ==
-            s"v$batchId"
+      // Spark sets the streaming query id (STABLE across restarts from
+      // the same checkpoint, unlike runId) as a local property on the
+      // thread running the batch; it is the table's ownership token.
+      val queryId = Option(batch.sparkSession.sparkContext
+        .getLocalProperty("sql.streaming.queryId"))
+      // Replay short-circuit: if `_CURRENT` already names v<batchId> AND
+      // the pointer's owner is this same streaming query, the crash
+      // happened AFTER the pointer flip but BEFORE the offsets commit.
+      // The version is fully committed — re-running the merge would read
+      // v<batchId> via upsertTableRead and overwrite the same path in one
+      // job, which Spark rejects ("Cannot overwrite a path that is also
+      // being read from") and would crash-loop recovery. Skipping is
+      // exactly-once-correct: the committed state IS the deterministic
+      // merge of this batch. Matching on version alone is NOT enough: a
+      // fresh checkpoint attached to an existing table restarts batchIds
+      // at 0 while `_CURRENT` still names v0, and skipping there silently
+      // discards the first real batch — so a foreign owner is a refusal,
+      // not a skip.
+      val pointer = currentPointer(tableDir)
+      val alreadyCommitted = pointer.exists { case (v, owner) =>
+        v == s"v$batchId" &&
+          (owner.isEmpty || queryId.isEmpty || owner == queryId)
+      }
+      pointer.foreach { case (_, owner) =>
+        if (!alreadyCommitted &&
+            owner.isDefined && queryId.isDefined && owner != queryId)
+          throw new IllegalStateException(
+            s"upsert table $tableDir is owned by streaming query " +
+              s"${owner.get} but this batch comes from ${queryId.get}: " +
+              "attaching a fresh checkpoint to a live table would collide " +
+              "its restarted batchIds with committed versions. Resume the " +
+              "original checkpoint, or rebuild the table dir.")
       }
       if (!batch.isEmpty && !alreadyCommitted) {
         val s = batch.sparkSession
@@ -825,8 +864,11 @@ object StreamOps {
           .select(coalesce(col("t_key"), col("key")).as("key"),
             when(col("op") === "U", col("cv")).otherwise(col("t_value")).as("value"))
         merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+        // Version and owner flip together in ONE atomic move, so there is
+        // no window where the commit marker and the ownership disagree.
+        val marker = s"v$batchId${queryId.map(" " + _).getOrElse("")}"
         val tmp = new java.io.File(tableDir, s"_CURRENT.tmp$batchId")
-        java.nio.file.Files.write(tmp.toPath, s"v$batchId".getBytes)
+        java.nio.file.Files.write(tmp.toPath, marker.getBytes)
         java.nio.file.Files.move(tmp.toPath,
           new java.io.File(tableDir, "_CURRENT").toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -861,12 +903,7 @@ object StreamOps {
     * flips the pointer forward. */
   def vacuumUpsertTable(tableDir: String, keep: Int): Seq[Long] = {
     require(keep >= 1, "retention must keep at least one version")
-    val current: Option[String] = {
-      val ptr = new java.io.File(tableDir, "_CURRENT")
-      if (ptr.exists())
-        Some(new String(java.nio.file.Files.readAllBytes(ptr.toPath)).trim)
-      else None
-    }
+    val current: Option[String] = currentPointer(tableDir).map(_._1)
     val doomed = upsertTableVersions(tableDir).dropRight(keep)
       .filterNot(v => current.contains(s"v$v"))
     doomed.foreach { v =>

@@ -30,6 +30,27 @@ class DedupShareSpec extends AnyFunSpec with SparkTestBase {
       "re-reading the verdict recomputed the CC pipeline")
   }
 
+  it("a dataset regenerated in place invalidates the memo instead of serving stale rows") {
+    withTempDir { dir =>
+      val src = new java.io.File(sfDir, "documents.parquet").toPath
+      val dst = new java.io.File(dir, "documents.parquet").toPath
+      java.nio.file.Files.copy(src, dst)
+      val before = Dedup.ccRuns.get()
+      val n1 = Dedup.qDedupVerdict(spark, dir.getAbsolutePath).count()
+      assert(Dedup.ccRuns.get() - before == 1)
+      // rewrite the file in place (same path, new mtime) — the memo key's
+      // fingerprint changes, so the next read recomputes
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+      val n2 = Dedup.qDedupVerdict(spark, dir.getAbsolutePath).count()
+      assert(Dedup.ccRuns.get() - before == 2,
+        "an in-place rewrite must invalidate the memoized verdict")
+      assert(n1 == n2)
+    }
+  }
+
   it("consumers agree with the materialized verdict") {
     val verdict = Dedup.qDedupVerdict(spark, sfDir)
     val dropped = verdict.filter(org.apache.spark.sql.functions.col("keep") === 0).count()

@@ -331,6 +331,39 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       assert(violations.isEmpty, violations.mkString("\n"))
     }
 
+    it("no query ranks via a window partitioned only by constant-cardinality keys") {
+      // The r10 escape hatch from the ban above: a window partitioned by
+      // a CONSTANT-cardinality key (the RECALL_QS sampled query ids, a
+      // probe-width enum) is "partitioned", yet each of its ~10
+      // partitions is corpus-proportional and sorts in one task — same
+      // single-task killer, different disguise. Cardinality is invisible
+      // in a static plan, so the heuristic bans windows whose partition
+      // keys all come from the known constant-key names the gauges group
+      // on; rankings over those keys must run through the O(k)
+      // map-side-combinable MinKPair aggregates (Similarity.topKByGroup)
+      // instead. A window here is only acceptable when its INPUT frame
+      // is bounded by construction — whitelist with the bound.
+      val constantKeys = Set("qid", "nprobe", "method", "tau", "dow", "band")
+      val boundedInput: Map[String, String] = Map.empty
+      val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) if !boundedInput.contains(name) =>
+          val plan = fn(spark, sfDir).queryExecution.sparkPlan
+          val hits = plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+                  case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                    constantKeys.contains(a.name)
+                  case _ => false
+                } => w.partitionSpec.map(_.sql).mkString(",")
+          }
+          if (hits.isEmpty) Nil
+          else Seq(s"$name: window(s) partitioned by constant-cardinality " +
+            s"key(s) ${hits.mkString(" | ")}")
+        case _ => Nil
+      }
+      assert(violations.isEmpty, violations.mkString("\n"))
+    }
+
     it("q_ngram_novelty keeps the split materialized and the hash out of the lambda") {
       // the r9 perf lesson: an inline split(text) inside the trigram HOF
       // lambda re-splits the document per element_at reference

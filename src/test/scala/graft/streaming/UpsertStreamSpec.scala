@@ -77,4 +77,43 @@ class UpsertStreamSpec extends AnyFunSpec with SparkTestBase {
       }
     }
   }
+
+  it("refuses a FRESH checkpoint attached to a live table instead of dropping its first batch") {
+    implicit val sql = spark.sqlContext
+    withTempDir { dir =>
+      withTempDir { ckpt1 =>
+        val s1 = MemoryStream[Ch]
+        val q1 = StreamOps.upsertStream(
+            s1.toDF().toDF("key", "op", "value", "seq"), dir.getAbsolutePath)
+          .option("checkpointLocation", ckpt1.getAbsolutePath).start()
+        try {
+          s1.addData((1L, "U", 1.0, 1L))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        val committed = table(dir)
+        assert(committed == Map(1L -> 1.0))
+        // A brand-new checkpoint restarts batchIds at 0 while _CURRENT
+        // still names v0. Pre-fix this skipped "replay" and silently
+        // discarded the batch; now the foreign owner is refused and the
+        // committed state is untouched.
+        withTempDir { ckpt2 =>
+          val s2 = MemoryStream[Ch]
+          val q2 = StreamOps.upsertStream(
+              s2.toDF().toDF("key", "op", "value", "seq"), dir.getAbsolutePath)
+            .option("checkpointLocation", ckpt2.getAbsolutePath).start()
+          s2.addData((9L, "U", 9.0, 1L))
+          val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            q2.processAllAvailable()
+            q2.awaitTermination()
+          }
+          def causes(t: Throwable): Seq[Throwable] =
+            Option(t).toSeq.flatMap(c => c +: causes(c.getCause))
+          assert(causes(failed).exists(_.isInstanceOf[IllegalStateException]),
+            s"expected ownership refusal, got: $failed")
+          assert(table(dir) == committed,
+            "a refused foreign stream must not mutate the table")
+        }
+      }
+    }
+  }
 }

@@ -132,5 +132,49 @@ class DedupScaleSpec extends AnyFunSpec with SparkTestBase {
         .groupBy("sh").count().agg(max("count")).collect().head.getLong(0)
       assert(collapsedMaxDf == 1L)
     }
+
+    it("the df-cap never materializes a hot shingle's occurrence list in one task") {
+      import org.apache.spark.sql.functions._
+      // a boilerplate shingle shared by MANY DISTINCT texts survives the
+      // exact-collapse and hits the df-cap as a hot key. The r10 verdict
+      // finding: count().over(Window.partitionBy("sh")) dragged all its
+      // occurrences into ONE window task before the filter could drop
+      // them. Pin the fixed shape on the real query plan: zero WindowExec
+      // anywhere, and the cap realized as a broadcast anti-join (the hot
+      // set is N/cap distinct values — broadcastable at any real scale).
+      // the capped frame is .cache()d, so the cap's join lives inside an
+      // InMemoryRelation — traverse into cached plans too
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val cached = p match {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            allNodes(s.relation.cachedPlan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allNodes(a.inputPlan) // AQE wraps cached plans; subtree not in children
+          case _ => Nil
+        }
+        p +: (p.children.flatMap(allNodes) ++ cached)
+      }
+      val nodes = allNodes(
+        Dedup.qDedupNgramJaccard(spark, sfDir).queryExecution.sparkPlan)
+      val windows = nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"df-cap regressed to a window: ${windows.map(_.partitionSpec.map(_.sql))}")
+      val bcastAnti = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.sql == "LEFT ANTI" => j
+      }
+      assert(bcastAnti.nonEmpty, "hot-key drop must be a broadcast anti-join")
+      // and behaviorally: a corpus where >MAX_SHINGLE_DF distinct texts
+      // share one boilerplate shingle still caps it (no pair survives on
+      // the shared shingle alone) without any single-task window
+      val n = Dedup.MAX_SHINGLE_DF.toInt + 50
+      val hotDocs = spark.range(n).selectExpr("id AS doc_id",
+        "concat('common boiler plate ', 'tail', id, ' filler', id) AS text")
+      val pairs = Dedup.containmentPairs(hotDocs)
+      assert(pairs.count() == 0L,
+        "pairs must not form through a shingle past the df cap")
+    }
   }
 }

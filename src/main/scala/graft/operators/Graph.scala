@@ -152,14 +152,21 @@ object Graph {
   }
 
   val oracleGraphTriangles: String =
-    """WITH pairs AS (
-      |  SELECT least(c_nationkey, s_nationkey) AS a,
-      |    greatest(c_nationkey, s_nationkey) AS b, count(*) AS w
-      |  FROM lineitem
-      |    JOIN orders ON l_orderkey = o_orderkey
-      |    JOIN customer ON o_custkey = c_custkey
-      |    JOIN supplier ON l_suppkey = s_suppkey
-      |  WHERE c_nationkey <> s_nationkey
+    """WITH ord AS MATERIALIZED (
+      |  -- each dim joins ITS fact side first, materialized: given the
+      |  -- flat 4-way join, DuckDB's reorderer treated c_nationkey <>
+      |  -- s_nationkey as a join predicate and planned customer
+      |  -- NESTED_LOOP supplier (1.5e9 pairs at sf1 — >900 s); this
+      |  -- shape pins the equality joins and leaves <> as a post-filter
+      |  SELECT o_orderkey, c_nationkey AS cn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |li AS MATERIALIZED (
+      |  SELECT l_orderkey, s_nationkey AS sn
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      |pairs AS (
+      |  SELECT least(cn, sn) AS a, greatest(cn, sn) AS b, count(*) AS w
+      |  FROM li JOIN ord ON l_orderkey = o_orderkey
+      |  WHERE cn <> sn
       |  GROUP BY 1, 2),
       |edges AS (SELECT a, b FROM pairs WHERE w >= (SELECT avg(w) FROM pairs)),
       |deg AS (

@@ -50,6 +50,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val started = java.time.Instant.now()
     val loadStart = loadavg()
+    // default protocol: 1 warmup + 3 timed runs, median reported. The
+    // sf1 (10x) sweep overrides to 0/1 — a ~3 h four-pass protocol is a
+    // worse noise tradeoff than one pass with the load context recorded.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
@@ -63,19 +68,20 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warmup
-      val runs = Seq(once(), once(), once()).sorted
+      (1 to warmups).foreach(_ => once())
+      val runs = Seq.fill(timedRuns)(once()).sorted
       (name, runs, failed, loadavg())
     }
     val ok = results.filterNot(_._3)
     val errors = results.filter(_._3).map(_._1)
-    val qs = ok.map { case (k, runs, _, _) => "\"" + k + "\":" + runs(1) }.mkString("{", ",", "}")
+    def med(runs: Seq[Double]): Double = runs(runs.size / 2)
+    val qs = ok.map { case (k, runs, _, _) => "\"" + k + "\":" + med(runs) }.mkString("{", ",", "}")
     val stats = ok.map { case (k, runs, _, load) =>
-      "\"" + k + "\":{\"median\":" + runs(1) + ",\"min\":" + runs(0) +
-        ",\"max\":" + runs(2) + ",\"load\":" + load + "}"
+      "\"" + k + "\":{\"median\":" + med(runs) + ",\"min\":" + runs.head +
+        ",\"max\":" + runs.last + ",\"load\":" + load + "}"
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2(1)).sum
+    val total = ok.map(r => med(r._2)).sum
     val env = s"""{"started":"$started","ended":"${java.time.Instant.now()}",""" +
       s""""load_start":$loadStart,"load_end":${loadavg()},"cpus":$cpus}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"env":$env,"sf":"$sfDir"}""")

@@ -45,9 +45,16 @@ object PlanExtractor {
             val kind = if (lr.catalogTable.isDefined) "table" else "path"
             InputEntity(kind, name, Some(fs.fileFormat.toString.toLowerCase), cols)
           case other =>
-            InputEntity("table",
-              lr.catalogTable.map(_.identifier.unquotedString).getOrElse(other.toString),
-              None, cols)
+            org.apache.spark.sql.GraftBridge.jdbcIdentity(other) match {
+              case Some((url, table)) =>
+                // stable, credential-free identity: scheme://host/db!table
+                InputEntity("jdbc", s"${scrubJdbcUrl(url)}!$table",
+                  Some("jdbc"), cols)
+              case None =>
+                InputEntity("table",
+                  lr.catalogTable.map(_.identifier.unquotedString).getOrElse(other.toString),
+                  None, cols)
+            }
         }
       case dv2: DataSourceV2Relation =>
         InputEntity("v2", dv2.name, None, readColumns(dv2.output, referenced))
@@ -58,6 +65,14 @@ object PlanExtractor {
         InputEntity("inline", "local", None, Nil)
     }
   }
+
+  /** Credential-free JDBC url: drops the query string and any
+    * user:password@ userinfo — secrets travel in url params
+    * (`?user=u&password=p`) or userinfo, never in the scheme/host/db
+    * path a catalog needs for identity. */
+  private[lineage] def scrubJdbcUrl(url: String): String =
+    url.split('?').head.split(';').head
+      .replaceAll("//[^/@]*@", "//")
 
   private def readColumns(
       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
@@ -99,6 +114,22 @@ object PlanExtractor {
       Some(OutputEntity("v2", v2IdentName(c.name), None, Some("create")))
     case r: ReplaceTableAsSelect =>
       Some(OutputEntity("v2", v2IdentName(r.name), None, Some("replace")))
+    // row-level V2 commands: the analyzed forms (DELETE/UPDATE/MERGE) and
+    // the optimizer's row-level rewrites for tables that support them
+    // (group-based ReplaceData, delta-based WriteDelta) — a MERGE-heavy
+    // lakehouse writes through these, not AppendData
+    case d: DeleteFromTable =>
+      Some(OutputEntity("v2", v2TargetName(d.table), None, Some("delete")))
+    case u: UpdateTable =>
+      Some(OutputEntity("v2", v2TargetName(u.table), None, Some("update")))
+    case m: MergeIntoTable =>
+      Some(OutputEntity("v2", v2TargetName(m.targetTable), None, Some("merge")))
+    case r: ReplaceData =>
+      Some(OutputEntity("v2", v2TargetName(r.originalTable), None,
+        Some("replace_data")))
+    case w: WriteDelta =>
+      Some(OutputEntity("v2", v2TargetName(w.originalTable), None,
+        Some("write_delta")))
     case other =>
       other.children.iterator.map(output).collectFirst { case Some(o) => o }
   }
@@ -112,6 +143,12 @@ object PlanExtractor {
     case o => o.toString
   }
 
+  /** Target name of a row-level command: the V2 relation under the
+    * (possibly aliased) target plan. */
+  private def v2TargetName(target: LogicalPlan): String =
+    target.collectFirst { case dv2: DataSourceV2Relation => dv2.name }
+      .getOrElse(leafName(target))
+
   /** The "query body" below any write command — what column lineage and
     * output columns should be computed against. */
   def queryBody(plan: LogicalPlan): LogicalPlan = plan match {
@@ -123,6 +160,13 @@ object PlanExtractor {
     case o: OverwritePartitionsDynamic         => o.query
     case c: CreateTableAsSelect                => c.query
     case r: ReplaceTableAsSelect               => r.query
+    // MERGE's "query" for lineage purposes is its source side; DELETE /
+    // UPDATE have no separate query (conditions/assignments read the
+    // target itself, which inputs() already walks). The row-level
+    // rewrites carry a real replacement query.
+    case m: MergeIntoTable                     => m.sourceTable
+    case r: ReplaceData                        => r.query
+    case w: WriteDelta                         => w.query
     // streaming write wrappers (a micro-batch's analyzed plan root)
     case w: org.apache.spark.sql.catalyst.streaming.WriteToStream => queryBody(w.inputQuery)
     case w: org.apache.spark.sql.execution.streaming.sources.WriteToMicroBatchDataSource => queryBody(w.child)
@@ -135,7 +179,9 @@ object PlanExtractor {
     case lr: LogicalRelation =>
       lr.catalogTable.map(_.identifier.unquotedString).getOrElse(lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).mkString(",")
-        case o => o.toString
+        case o => org.apache.spark.sql.GraftBridge.jdbcIdentity(o)
+          .map { case (url, t) => s"${scrubJdbcUrl(url)}!$t" }
+          .getOrElse(o.toString)
       })
     case dv2: DataSourceV2Relation => dv2.name
     case ht: HiveTableRelation => ht.tableMeta.identifier.unquotedString

@@ -15,4 +15,14 @@ object GraftBridge {
 
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** (connection url, table-or-query) of a JDBC relation, if `rel` is
+    * one — `JDBCRelation` and `JDBCOptions` are private[sql], so the
+    * lineage extractor names JDBC inputs through this door. */
+  def jdbcIdentity(rel: sources.BaseRelation): Option[(String, String)] =
+    rel match {
+      case j: execution.datasources.jdbc.JDBCRelation =>
+        Some((j.jdbcOptions.url, j.jdbcOptions.tableOrQuery))
+      case _ => None
+    }
 }

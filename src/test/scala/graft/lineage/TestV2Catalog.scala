@@ -58,14 +58,36 @@ class TestV2Catalog extends TableCatalog {
 }
 
 class TestV2Table(ident: Identifier, tableSchema: StructType)
-  extends Table with SupportsWrite {
+  extends Table with SupportsWrite with SupportsRead {
 
   val rowsWritten = new java.util.concurrent.atomic.AtomicLong()
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // empty batch read — enough for the analyzer's capability check and
+  // relation resolution, so DELETE/UPDATE/MERGE plans analyze against
+  // this table (V2CommandLineageSpec never executes them)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = tableSchema
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            new org.apache.spark.sql.connector.read.Batch {
+              override def planInputPartitions()
+                  : Array[org.apache.spark.sql.connector.read.InputPartition] =
+                Array.empty
+              override def createReaderFactory()
+                  : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+                throw new UnsupportedOperationException("write-only test table")
+            }
+        }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

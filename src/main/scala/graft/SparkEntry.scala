@@ -161,6 +161,7 @@ object SparkEntry {
     "q_zipf_fit"          -> TextAnalysis.qZipfFit _,
     "q_chi2_terms"        -> TextAnalysis.qChi2Terms _,
     "q_dedup_winnow"      -> Dedup.qDedupWinnow _,
+    "q_lsh_tune"          -> Dedup.qLshTune _,
     "q_pii_redact"        -> Privacy.qPiiRedact _,
     "q_k_anonymity"       -> Privacy.qKAnonymity _,
     "q_t_closeness"       -> Privacy.qTCloseness _,
@@ -204,6 +205,7 @@ object SparkEntry {
     "q_sample_balanced"   -> Pipeline.qSampleBalanced _,
     "q_sample_importance" -> Pipeline.qSampleImportance _,
     "q_sample_fixed"      -> Pipeline.qSampleFixed _,
+    "q_sample_reservoir"  -> Pipeline.qSampleReservoir _,
     "q_corpus_drift"      -> Pipeline.qCorpusDrift _,
     "q_js_divergence"     -> Pipeline.qJsDivergence _,
     "q_psi"               -> Pipeline.qPsi _,
@@ -467,6 +469,7 @@ object SparkEntry {
     "q_zipf_fit"          -> TextAnalysis.oracleZipfFit,
     "q_chi2_terms"        -> TextAnalysis.oracleChi2Terms,
     "q_dedup_winnow"      -> Dedup.oracleWinnow,
+    "q_lsh_tune"          -> Dedup.oracleLshTune,
     "q_pii_redact"        -> Privacy.oraclePiiRedact,
     "q_k_anonymity"       -> Privacy.oracleKAnonymity,
     "q_t_closeness"       -> Privacy.oracleTCloseness,
@@ -508,6 +511,7 @@ object SparkEntry {
     "q_sample_balanced"   -> Pipeline.oracleSampleBalanced,
     "q_sample_importance" -> Pipeline.oracleSampleImportance,
     "q_sample_fixed"      -> Pipeline.oracleSampleFixed,
+    "q_sample_reservoir"  -> Pipeline.oracleSampleReservoir,
     "q_corpus_drift"      -> Pipeline.oracleCorpusDrift,
     "q_js_divergence"     -> Pipeline.oracleJsDivergence,
     "q_psi"               -> Pipeline.oraclePsi,

@@ -947,6 +947,91 @@ object Dedup {
        |JOIN keepers k ON k.rep = m.rep
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ lsh tuning
+  /** Banding geometries the sweep measures: every (bands, rows/band)
+    * factorization of the [[MINHASH_K]]-hash signature. */
+  private[graft] val LSH_CONFIGS: Seq[(Int, Int)] =
+    Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+  /** LSH banding-geometry sweep (`q_lsh_tune`) — the b×r dial for
+    * [[qDedupMinhashLsh]], measured instead of guessed: for every
+    * factorization of the 12-hash signature, the candidate-pair count
+    * the banding emits, how many of those survive the est-Jaccard ≥ 0.5
+    * verify, and the S-curve 50 % threshold t50 = (1/b)^(1/r) — the
+    * Jaccard level at which a pair has even odds of colliding. Wide
+    * bands (r=12) catch only near-identical signatures; single-row
+    * bands (r=1) cast the widest net and pay the largest verify bill.
+    * This is [[qKnnNprobe]]'s recall/cost curve translated to the
+    * MinHash family.
+    *
+    * Scale shape: ONE signature pass (shingle → 12 min-aggregates over
+    * collapsed reps, cached), then per-geometry band-equality joins —
+    * each the standard LSH candidate join, bucket-bounded by distinct
+    * texts; the verify joins touch only candidate rows. t50 is a
+    * driver-computed literal injected VERBATIM into both engines, so
+    * pow() ulp drift cannot appear.
+    */
+  def qLshTune(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(
+      shingleTable(collapseExact(Tables.documents(s, dir)))).cache()
+    val eq = (0 until MINHASH_K).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0)).reduce(_ + _)
+    val perCfg = LSH_CONFIGS.map { case (b, r) =>
+      val bandCols = (0 until b).map { j =>
+        struct(lit(j).as("band"),
+          array((0 until r).map(k => col(s"mh${j * r + k}")): _*).as("key"))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.band").as("band"), col("bd.key").as("key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(when(eq >= MINHASH_K / 2.0, 1L).otherwise(0L).as("kept"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("kept")), lit(0L)).as("n_kept"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_kept"), lit(t50(b, r)).as("t50"))
+    }
+    perCfg.reduce(_.unionByName(_)).orderBy("bands")
+  }
+
+  /** (1/b)^(1/r) at 6dp, as the identical string literal both engines
+    * parse — never computed in-engine. */
+  private def t50(b: Int, r: Int): Double =
+    BigDecimal(math.pow(1.0 / b, 1.0 / r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  val oracleLshTune: String = {
+    val eqSql = (0 until MINHASH_K).map(i =>
+      s"CASE WHEN a.mh$i = c.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    val cfgs = LSH_CONFIGS.map { case (b, r) =>
+      val bandSel = (0 until b).map { j =>
+        val key = (0 until r).map(k => s"mh${j * r + k}").mkString("[", ", ", "]")
+        s"SELECT doc_id, $j AS band, $key AS key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  count(*) AS n_candidates,
+         |  CAST(coalesce(sum(CASE WHEN ($eqSql) >= ${MINHASH_K / 2.0} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+         |  CAST(${t50(b, r)} AS DOUBLE) AS t50
+         |FROM (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM ($bandSel) x JOIN ($bandSel) y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) p
+         |JOIN sig a ON p.doc_a = a.doc_id
+         |JOIN sig c ON p.doc_b = c.doc_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $repsCte,
+       |$shingleCte,
+       |$sigCte
+       |$cfgs
+       |ORDER BY bands""".stripMargin
+  }
+
   // -------------------------------------------------------------- simhash
   /** (doc_id, simhash) over the given docs frame: bit i is set when at
     * least half the words have bit i set in h60(word). */

@@ -631,6 +631,56 @@ object Pipeline {
        |FROM documents
        |ORDER BY hk, doc_id LIMIT $FIXED_K""".stripMargin
 
+  // --------------------------------------------------- per-stratum reservoir
+
+  private val RES_K = 10
+
+  /** Exact-k per-STRATUM deterministic reservoir (`q_sample_reservoir`):
+    * precisely RES_K documents from every source, the k smallest
+    * hash-order keys within the stratum — [[qSampleFixed]]'s exact-count
+    * guarantee delivered per group. Rate-based stratified sampling
+    * yields binomial counts; a per-group sort-and-rank window sorts
+    * whole strata in single tasks. This uses the O(k)
+    * map-side-combinable [[graft.functions.MinKPairAggregator]] (the
+    * ANN gauges' ranker): k pairs of state per stratum per partial, no
+    * task ever holds a stratum. The hash key is folded to 50 bits so
+    * its double-encoded aggregator form stays EXACT (2^50 < 2^53; the
+    * raw 60-bit key would round in double and could disagree with the
+    * oracle's exact bigint ordering near ulp-adjacent keys).
+    */
+  def qSampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    val minK = udaf(new graft.functions.MinKPairAggregator(RES_K))
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (h60(concat(lit("res:"), col("doc_id").cast("string")))
+          % lit(1125899906842624L)).as("hk"), // 2^50
+        col("doc_id"))
+      .groupBy("source")
+      .agg(minK(col("hk").cast("double"), col("doc_id")).as("take"),
+        count(lit(1)).as("n_source"))
+      .select(col("source"), col("n_source"),
+        posexplode(arrays_zip(col("take.ds"), col("take.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("source"), col("n_source"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("z.ids").as("doc_id"), col("z.ds").cast("long").as("hk"))
+      .orderBy("source", "rank")
+  }
+
+  val oracleSampleReservoir: String =
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id,
+       |    ${h60Sql("'res:' || doc_id")} % 1125899906842624 AS hk
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, hk,
+       |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank,
+       |    count(*) OVER (PARTITION BY source) AS n_source
+       |  FROM keyed)
+       |SELECT source, n_source, CAST(rank AS INT) AS rank, doc_id, hk
+       |FROM ranked WHERE rank <= $RES_K
+       |ORDER BY source, rank""".stripMargin
+
   // ------------------------------------------------- overlapping chunks
 
   /** Chunk window (tokens) and stride; overlap = CHUNK_W - CHUNK_STRIDE. */

@@ -38,6 +38,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split scans at 8 MB, not the 128 MB default: the testdata ships
+      // one file per table, and at sf1 (80 MB lineitem) the default left
+      // every first-stage scan in 1-2 tasks — partitions must track the
+      // corpus, not the file count (the 100 TB knob the brief names)
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       // nanosAsLong is a no-op on TIMESTAMP(MICROS) data but kept so a
       // regenerated TIMESTAMP(NANOS) events file still reads (the vectorized

@@ -63,7 +63,16 @@ object ScaleUp {
 
     def write(df: DataFrame, name: String): Unit = {
       val tmp = s"$dest/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // Small row groups (8 MB), NOT the 128 MB default: a single-file
+      // table with one row group cannot be split, so every first-stage
+      // scan of the amplified data ran in ONE task — the r11 sf1 bench
+      // measured 24-109 s on queries whose heavy work sat before the
+      // first exchange. Multiple row groups restore byte-range splits
+      // (the true 100 TB setting: thousands of row groups per table)
+      // while keeping the single-file layout Verify/check.py expect.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file for $name"))

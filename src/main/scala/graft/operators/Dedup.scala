@@ -1125,13 +1125,12 @@ object Dedup {
     * quadratic work by construction. Vectors whose bands collide with no
     * other vector emit no row — the documented ANN-dedup semantics.
     */
-  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
-    Similarity.lshCandidates(s, dir)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    // duplicate-collapsed candidate generation (Similarity.lshTopK):
+    // verbatim-copy groups would otherwise emit m² band pairs each
+    Similarity.lshTopK(s, dir, 1)
       .select(col("vec_id"), col("cand_id").as("nn_id"), round(col("cos"), 6).as("cos"))
       .orderBy("vec_id")
-  }
 
   val oracleEmbedding: String =
     s"""WITH ${Similarity.lshCandidatesSql},

@@ -59,20 +59,25 @@ object Graph {
     var pr = nodes.crossJoin(broadcast(nN))
       .select(col("node"), round(lit(1.0) / col("n"), 9).as("pr"), col("n"))
     for (_ <- 1 to PR_ITERS) {
-      // rank and inflow frames are VERTEX-sized — dim-sized for this
-      // bipartite graph, so broadcast them and the edge set never
-      // re-shuffles per round (bench: 9.5 s → the shuffle-join shape's
-      // per-round stage overhead dominated a 150k-edge graph). On a
-      // billion-vertex graph the same two joins run as shuffle joins —
-      // only the hints change, not the plan shape.
-      val inflow = trans.join(broadcast(pr.select(col("node").as("src"), col("pr"))), "src")
+      // rank and inflow frames are VERTEX-sized: small enough that AQE
+      // broadcasts them on the base data, too big to FORCE — the r11
+      // 10x sweep measured the explicit hints collecting a 1.6M-row
+      // vertex frame to the driver ten times (34 s); unhinted, AQE
+      // broadcasts under its size threshold and shuffle-joins past it,
+      // the correct call at every scale.
+      val inflow = trans.join(pr.select(col("node").as("src"), col("pr")), "src")
         .groupBy("dst").agg(sum(col("pr") * col("p")).as("inflow"))
+      // checkpoint each round (qLabelProp/qHits discipline): without it,
+      // round r's broadcast plan nests round r-1's broadcast and every
+      // materialization replays the whole chain — 63 s at sf1 vs ~10 s
+      // for the checkpointed iterators on the same graph
       pr = nodes.crossJoin(broadcast(nN))
-        .join(broadcast(inflow), col("node") === col("dst"), "left")
+        .join(inflow, col("node") === col("dst"), "left")
         .select(col("node"),
           round(expr(PR_BASE) / col("n") +
             expr(PR_D) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"),
           col("n"))
+        .localCheckpoint()
     }
     pr
   }

@@ -188,18 +188,83 @@ object Similarity {
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.vec_id <> y.vec_id)""".stripMargin
   }
 
+  /** Exact per-vector LSH top-k with EXACT-DUPLICATE COLLAPSE — the
+    * member-level twin of [[lshCandidates]] that survives duplicated
+    * corpora. A web-scale embedding table carries exact copies (mirrored
+    * pages, re-crawls; ScaleUp's verbatim ×F amplification models this),
+    * and copies share every band, so member-level banding emits m² pairs
+    * per m-copy group — the 10× battery measured q_knn_lsh at 183 s for
+    * exactly this reason. Here banding and cosine scoring run over ONE
+    * representative per distinct embedding; each rep carries its k+1
+    * smallest member ids (an O(k) MinKPair aggregate), which provably
+    * suffice to reconstruct every member's exact top-k:
+    *  - own-copy candidates (cos(x,x), computed with the same kernel as
+    *    the naive pair so ranking and 6dp output stay bit-identical):
+    *    any member's top-k own-copy ids are among the group's k+1
+    *    smallest ids (at worst it IS one of them and excludes itself);
+    *  - cross-rep candidates at cos(ra,rb): a member of rb can enter a
+    *    top-k only if it is one of rb's k smallest ids (ties break by
+    *    id ascending).
+    * The result equals the naive rank over [[lshCandidates]] row for
+    * row — on a duplicate-free corpus the collapse is the identity — so
+    * the DuckDB oracle keeps the naive formulation.
+    */
+  private[graft] def lshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val minIds = udaf(new graft.functions.MinKPairAggregator(k + 1))
+    val reps = e.groupBy("emb")
+      .agg(minIds(col("vec_id").cast("double"), col("vec_id")).as("mk"),
+        count(lit(1)).as("m"))
+      .select(col("emb"), col("mk.ids").as("own_ids"), col("m"),
+        col("mk.ids")(0).as("rep"))
+      .cache()
+    val ws = planeWeights
+    val bandCols = (0 until BANDS).map { b =>
+      val bv = (0 until BITS).map { i =>
+        val w = array(ws(b * BITS + i).map(lit): _*)
+        when(dot(col("emb"), w) > 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bv.as("bv"))
+    }
+    val bands = reps
+      .select(col("rep"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("rep"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val repPairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.rep") =!= col("y.rep"))
+      .select(col("x.rep").as("ra"), col("y.rep").as("rb"))
+      .distinct()
+    val scored = repPairs
+      .join(reps.select(col("rep").as("ra"), col("emb").as("ea")), "ra")
+      .join(reps.select(col("rep").as("rb"), col("emb").as("eb"),
+        col("own_ids").as("nb_ids")), "rb")
+      .select(col("ra"), cosine(s, "ea", "eb").as("cos"),
+        slice(col("nb_ids"), 1, k).as("cand_ids"))
+    val own = reps.filter(col("m") >= 2)
+      .select(col("rep").as("ra"), cosine(s, "emb", "emb").as("cos"),
+        col("own_ids").as("cand_ids"))
+    val pool = scored.unionByName(own)
+      .select(col("ra"), col("cos"), explode(col("cand_ids")).as("cand_id"))
+    val members = e.join(reps.select(col("emb"), col("rep")), Seq("emb"))
+      .select(col("vec_id"), col("rep"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
+    members.join(pool, col("rep") === col("ra"))
+      .filter(col("cand_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("cand_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** LSH-banded ANN: per-band sign signatures → band-equality join →
     * exact top-3 re-rank within candidates. Approximate by construction
     * but fully deterministic, so the oracle reproduces it exactly.
+    * Candidate generation runs duplicate-collapsed ([[lshTopK]]).
     */
-  def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("cand_id"))
-    lshCandidates(s, dir)
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+  def qKnnLsh(s: SparkSession, dir: String): DataFrame =
+    lshTopK(s, dir, 3)
       .select(col("vec_id"), col("cand_id").as("nn_id"), col("rnk"),
         round(col("cos"), 6).as("cos"))
       .orderBy("vec_id", "rnk")
-  }
 
   val oracleKnnLsh: String =
     s"""WITH $lshCandidatesSql,
@@ -368,7 +433,10 @@ object Similarity {
           .select(col("qid"), col("vec_id"), cosine(s, "emb", "qemb").as("cos")),
         Seq("qid"), col("cos"), col("vec_id"), RECALL_K)
       .select(col("qid"), col("_id").as("vec_id"))
-    // LSH top-3 (same candidates qKnnLsh ranks, restricted to the sample)
+    // LSH top-3 (same candidates qKnnLsh ranks, restricted to the sample
+    // BEFORE candidate generation — the vec_id filter pushes into the
+    // band join's probe side, so only the RECALL_QS query vectors rank;
+    // full-corpus lshTopK here would rank everyone to keep 10)
     val lshTop = topKByGroup(
         lshCandidates(s, dir).filter(col("vec_id") < RECALL_QS)
           .select(col("vec_id").as("qid"), col("cand_id"), col("cos")),
@@ -1333,22 +1401,63 @@ object Similarity {
   def qKnnOutlier(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // quantizer trains on the FULL corpus (copies legitimately weight the
+    // centroids — must match the oracle), but the in-cell pair scan runs
+    // DUPLICATE-COLLAPSED: m verbatim copies of a vector share a cell
+    // and every cosine, so member-level pairing costs m² per copy group
+    // (the 10× battery measured 95-216 s here) while the k-th-neighbor
+    // VALUE per member is fully determined by rep-level data: the
+    // multiset of neighbor cosines is {(m−1) × cos(x,x)} ∪
+    // {m_S × cos(R,S) per in-cell rep S}, and its 3rd-largest element
+    // lies within the top-OUT_K distinct rep entries (each contributes
+    // ≥1), reconstructed by a counted walk — exactly the naive
+    // (cos desc, id) MinK value stream, which ids cannot reorder.
     val cent = trainedCentroids(s, e).cache()
-    val assigned = assignCells(s, e, cent)
-    val minK = udaf(new graft.functions.MinKPairAggregator(OUT_K))
-    val kth = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
-        (-round(cosine(s, "a.emb", "b.emb"), 9)).as("nc"),
-        col("b.vec_id").as("nb_id"))
-      .groupBy("vec_id")
-      .agg(first("cell").as("cell"),
-        minK(col("nc"), col("nb_id")).as("nbs"))
-      .filter(size(col("nbs.ds")) >= OUT_K) // k-th exists; element_at in range
+    val reps = e.groupBy("emb")
+      .agg(min("vec_id").as("rep"), count(lit(1)).as("m"))
+      .cache()
+    val assignedReps = assignCells(s,
+        reps.select(col("rep").as("vec_id"), col("emb")), cent)
+      .select(col("vec_id").as("rep"), col("emb"), col("cell"))
+      .join(reps.select(col("rep"), col("m")), "rep")
+    val pairCos = assignedReps.as("a")
+      .join(assignedReps.as("b"),
+        col("a.cell") === col("b.cell") && col("a.rep") =!= col("b.rep"))
+      .select(col("a.rep").as("rep"),
+        round(cosine(s, "a.emb", "b.emb"), 9).as("cos"),
+        col("b.rep").as("nb_rep"), col("b.m").as("cnt"))
+    val top = topKByGroup(
+        pairCos.select(col("rep"), col("cos"), col("nb_rep")),
+        Seq("rep"), col("cos"), col("nb_rep"), OUT_K)
+      .join(reps.select(col("rep").as("_id"), col("m").as("cnt")), "_id")
+      .select(col("rep"), col("_value").as("cos"), col("cnt"))
+    val own = assignedReps.filter(col("m") >= 2)
+      .select(col("rep"), round(cosine(s, "emb", "emb"), 9).as("cos"),
+        (col("m") - 1).as("cnt"))
+    val walkT = "struct<rem:bigint,ans:double>"
+    val kthByRep = top.unionByName(own)
+      .groupBy("rep")
+      .agg(collect_list(struct((-col("cos")).as("negc"), col("cnt"))).as("es"))
+      .select(col("rep"), aggregate(
+        array_sort(col("es")), // asc by negc = cos descending
+        struct(lit(OUT_K.toLong).as("rem"), lit(null).cast("double").as("ans"))
+          .cast(walkT),
+        (acc, x) =>
+          when(acc.getField("ans").isNotNull, acc)
+            .when(x.getField("cnt") >= acc.getField("rem"),
+              struct(lit(0L).as("rem"), (-x.getField("negc")).as("ans")).cast(walkT))
+            .otherwise(struct((acc.getField("rem") - x.getField("cnt")).as("rem"),
+              lit(null).cast("double").as("ans")).cast(walkT)))
+        .getField("ans").as("kth"))
+      .filter(col("kth").isNotNull)
+    val members = e.join(reps.select(col("emb"), col("rep")), Seq("emb"))
+      .select(col("vec_id"), col("rep"))
+    members
+      .join(kthByRep, "rep")
+      .join(assignedReps.select(col("rep"), col("cell")), "rep")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
-        round(-element_at(col("nbs.ds"), OUT_K), 6).as("knn_cos"))
-    kth.orderBy(col("knn_cos").asc, col("vec_id")).limit(OUT_TOP)
+        round(col("kth"), 6).as("knn_cos"))
+      .orderBy(col("knn_cos").asc, col("vec_id")).limit(OUT_TOP)
   }
 
   val oracleKnnOutlier: String =

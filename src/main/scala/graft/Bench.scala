@@ -43,6 +43,13 @@ object Bench {
       // every first-stage scan in 1-2 tasks — partitions must track the
       // corpus, not the file count (the 100 TB knob the brief names)
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+      // default openCostInBytes (4 MB) floors the split target at 4 MB,
+      // so a byte-light CPU-heavy table (sf1 documents: 1 MB of text
+      // feeding regex-per-row pipelines) still scanned in ONE task even
+      // with many row groups. 128 KB lets the split target follow
+      // bytes/parallelism down to row-group granularity; dims keep one
+      // row group and are unaffected.
+      .config("spark.sql.files.openCostInBytes", s"${128 * 1024}")
       .config("spark.ui.enabled", "false")
       // nanosAsLong is a no-op on TIMESTAMP(MICROS) data but kept so a
       // regenerated TIMESTAMP(NANOS) events file still reads (the vectorized
@@ -60,8 +67,14 @@ object Bench {
     // worse noise tradeoff than one pass with the load context recorded.
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // comma-separated subset for targeted re-timing (scale triage); empty = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       def once(): Double = {
         spark.catalog.clearCache() // each run recomputes; no cross-run reuse

@@ -63,15 +63,24 @@ object ScaleUp {
 
     def write(df: DataFrame, name: String): Unit = {
       val tmp = s"$dest/_tmp_$name"
-      // Small row groups (8 MB), NOT the 128 MB default: a single-file
+      // Small row groups (4 MB; 128 KB for the byte-light CPU-heavy
+      // text/embedding tables), NOT the 128 MB default: a single-file
       // table with one row group cannot be split, so every first-stage
       // scan of the amplified data ran in ONE task — the r11 sf1 bench
       // measured 24-109 s on queries whose heavy work sat before the
       // first exchange. Multiple row groups restore byte-range splits
       // (the true 100 TB setting: thousands of row groups per table)
       // while keeping the single-file layout Verify/check.py expect.
+      // documents/embeddings compress to ~1 MB at sf1 yet carry the
+      // engine's heaviest per-row work (regex text passes, 64-dim
+      // cosine kernels) — at 4 MB they were back to one row group, one
+      // task; 128 KB gives them the ~8-way split a multi-file corpus
+      // would have natively.
+      val blockBytes =
+        if (name == "documents" || name == "embeddings") 128L * 1024
+        else 4L * 1024 * 1024
       df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", 4L * 1024 * 1024)
+        .option("parquet.block.size", blockBytes)
         .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

@@ -210,6 +210,7 @@ object SparkEntry {
     "q_js_divergence"     -> Pipeline.qJsDivergence _,
     "q_psi"               -> Pipeline.qPsi _,
     "q_quality_sweep"     -> Pipeline.qQualitySweep _,
+    "q_quality_probe"     -> Pipeline.qQualityProbe _,
     "q_corpus_mixture"    -> Pipeline.qCorpusMixture _,
     "q_sample_temperature" -> Pipeline.qSampleTemperature _,
     "q_curriculum"        -> Pipeline.qCurriculum _,
@@ -516,6 +517,7 @@ object SparkEntry {
     "q_js_divergence"     -> Pipeline.oracleJsDivergence,
     "q_psi"               -> Pipeline.oraclePsi,
     "q_quality_sweep"     -> Pipeline.oracleQualitySweep,
+    "q_quality_probe"     -> Pipeline.oracleQualityProbe,
     "q_corpus_mixture"    -> Pipeline.oracleCorpusMixture,
     "q_sample_temperature" -> Pipeline.oracleSampleTemperature,
     "q_curriculum"        -> Pipeline.oracleCurriculum,

@@ -1636,24 +1636,50 @@ object Dedup {
     * word census and the cleaned text's fingerprint.
     *
     * Scale shape: everything flows from the one 12-byte window-hash
-    * stream: ownership is a map-side-combinable min per hash, coverage
-    * explodes the (bounded) SUB_N position span of foreign windows
-    * only, the kept-word reassembly is per-doc bounded (the
-    * segmentScrub precedent), and the anti-join on (doc, pos) is an
-    * equality join. Nothing pairwise.
+    * stream (computed ONCE — cached across its two consumers, the
+    * ownership agg and the coverage join; uncached it re-runs the
+    * per-position md5 build twice, the dominant cost at 10×):
+    * ownership is a map-side-combinable min per hash; coverage merges
+    * foreign window starts into maximal DISJOINT intervals per doc
+    * (running-max-end island scan — the same gaps-and-islands family
+    * as [[spansOf]], frame bounded by doc length) and explodes each
+    * merged interval's positions exactly once. A wholesale-copied
+    * W-word document therefore contributes ONE interval and W covered
+    * positions — not 8·W pre-distinct rows — and the distinct shuffle
+    * disappears entirely (disjoint intervals cannot collide). The
+    * kept-word reassembly is per-doc bounded (the segmentScrub
+    * precedent), and the anti-join on (doc, pos) is an equality join.
+    * Nothing pairwise.
     */
   def qSpanScrub(s: SparkSession, dir: String): DataFrame =
     spanScrubOf(Tables.documents(s, dir))
 
   private[graft] def spanScrubOf(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val wins = windowTable(docs)
+    val wins = windowTable(docs).cache()
     val owner = wins.groupBy("sh").agg(min("doc_id").as("own"))
-    val covered = wins.join(owner, Seq("sh"))
+    // Foreign-owned shared window starts; (doc_id, i) is unique by
+    // construction (one windowTable row per position, one owner per sh).
+    val foreign = wins.join(owner, Seq("sh"))
       .filter(col("doc_id") > col("own"))
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (SUB_N - 1))).as("pos"))
-      .distinct()
+      .select(col("doc_id"), col("i"))
+    // Interval union per doc: each start i covers [i, i+SUB_N-1]; ends
+    // are monotone in i, so the running max end over PRECEDING starts
+    // decides whether this interval extends the current island (i <=
+    // prev_end + 1: positions stay contiguous) or opens a new one
+    // (i > prev_end + 1: a genuine uncovered gap). Islands are maximal
+    // disjoint non-adjacent covered intervals, so their exploded
+    // positions are the exact covered set with no duplicates.
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val preceding = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val covered = foreign
+      .withColumn("pend", max(col("i") + (SUB_N - 1)).over(preceding))
+      .withColumn("cut",
+        when(col("pend").isNull || col("i") > col("pend") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("cut")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("i").as("s"), (max(col("i")) + (SUB_N - 1)).as("e"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
     val words = base
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "wd")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("wd"))

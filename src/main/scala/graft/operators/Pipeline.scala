@@ -813,4 +813,132 @@ object Pipeline {
        |  round(sum((p - q) * ln(p / q)), 6) > $PSI_T AS drifted
        |FROM grid GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ------------------------------------------- trained quality classifier
+
+  /** GD hyperparameters for the TEXT-feature quality probe — same
+    * protocol as the embedding probe (`Similarity.probeWeights`):
+    * full-batch logistic steps, weights rounded 6dp after every step so
+    * cross-engine libm drift cannot accumulate through the recursion. */
+  private[graft] val QP_ITERS = 3
+  private val QP_LR = "4.0" // literal text, shared by both plans
+
+  /** Left-to-right double fold, matching the oracle's
+    * list_sum(list_transform(...)) order. */
+  private def qpDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Bias-extended text feature vector, every derived ratio rounded 6dp
+    * BEFORE training so both engines feed the GD identical doubles:
+    * [1, stopword ratio, punctuation ratio, length signal, mean-word-
+    * length signal] — the [[qualityScore]] heuristic's raw inputs,
+    * handed to a trained model instead of fixed weights. */
+  private def qpX: org.apache.spark.sql.Column = {
+    val words   = split(col("text"), " ")
+    val nWords  = size(words).cast("double")
+    val nChars  = length(col("text")).cast("double")
+    val noSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val punct   = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double")
+    val nStop   = size(expr("filter(split(text, ' '), w -> w IN ('the','a','or','and','of'))")).cast("double")
+    array(lit(1.0),
+      round(nStop / nWords, 6),
+      round(punct / nChars, 6),
+      round(least(nWords / 100.0, lit(1.0)), 6),
+      round(noSpace / nWords / 10.0, 6))
+  }
+
+  /** DuckDB transliteration of [[qpX]] (same 6dp rounds, same order). */
+  private val qpXSql: String =
+    """list_prepend(1.0, [
+      |   round(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','or','and','of')))::DOUBLE / len(string_split(text, ' ')), 6),
+      |   round(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text), 6),
+      |   round(least(len(string_split(text, ' ')) / 100.0, 1.0), 6),
+      |   round(length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) / 10.0, 6)])""".stripMargin
+
+  /** Trained text-quality weights: [[QP_ITERS]] full-batch logistic GD
+    * steps over ([[qpX]], y = lang=='en') — the weak-supervision setup
+    * every corpus quality filter uses (positives from a trusted slice,
+    * here the language the stopword lexicon is for, so the signal is
+    * genuinely learnable). One posexplode aggregate per step; the
+    * feature frame is computed once and cached across the steps. */
+  private[graft] def qpWeights(docs: DataFrame): DataFrame = {
+    val feat = docs.select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"), qpX.as("x"))
+      .cache()
+    var w = docs.sparkSession.range(1).select(
+      transform(sequence(lit(1), lit(5)), _ => lit(0.0)).as("w"))
+    for (_ <- 1 to QP_ITERS) {
+      val d = lit(1.0) / (lit(1.0) + exp(-qpDot(col("x"), col("w")))) - col("y")
+      w = feat.crossJoin(broadcast(w))
+        .select(d.as("d"), col("x"), col("w"))
+        .select(col("d"), posexplode(col("x")).as(Seq("pos", "v")), col("w"))
+        .groupBy("pos")
+        .agg(round(
+          element_at(first("w"), col("pos") + 1) - expr(QP_LR) * avg(col("d") * col("v")),
+          6).as("wj"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("wj")))),
+          x => x.getField("wj")).as("w"))
+    }
+    w
+  }
+
+  /** In-engine trained quality classifier (`q_quality_probe`) — the
+    * fastText-style curation filter: train a logistic probe on cheap
+    * text features against a weak label, score every document, report
+    * per-language doc counts, mean score and predicted positives. The
+    * mean is an integer-micros sum of the 6dp-rounded scores (exact,
+    * order-free — the cent-sum discipline), never a float partial agg.
+    *
+    * Scale shape: training is [[QP_ITERS]] map-side-combinable
+    * aggregates over a cached 6-double feature frame; scoring is one
+    * codegen projection against the broadcast 1-row weight frame; the
+    * output is enum-sized (one row per language).
+    */
+  def qQualityProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = qpWeights(docs).localCheckpoint()
+    docs.select(col("lang"), qpX.as("x"))
+      .crossJoin(broadcast(w))
+      .select(col("lang"),
+        round(lit(1.0) / (lit(1.0) + exp(-qpDot(col("x"), col("w")))), 6).as("sc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("sc") * 1e6).cast("long")).as("micro"),
+        sum((col("sc") >= 0.5).cast("long")).as("n_pos"))
+      .select(col("lang"), col("n_docs"),
+        round(col("micro") / 1e6 / col("n_docs"), 6).as("mean_score"),
+        col("n_pos"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB replay of the probe training + scoring: `eq` (features +
+    * label), `wq0` (zero weights), `wq1..wqN` GD steps — the
+    * probeTrainSql shape with the text feature vector. */
+  val oracleQualityProbe: String = {
+    val dotXW = "list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * w[i]))"
+    def stepCte(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT list(wj ORDER BY pos) AS w FROM (
+         |    SELECT pos, round(any_value(w)[pos] - $QP_LR * avg(d * v), 6) AS wj FROM (
+         |      SELECT 1.0 / (1.0 + exp(-($dotXW))) - y AS d,
+         |             unnest(x) AS v, unnest(generate_series(1, len(x))) AS pos, w
+         |      FROM eq, $prev)
+         |    GROUP BY pos))""".stripMargin
+    val steps = (1 to QP_ITERS).map(i =>
+      stepCte(if (i == 1) "wq0" else s"wq${i - 1}", s"wq$i")).mkString(",\n")
+    s"""WITH eq AS (
+       |  SELECT lang, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |         $qpXSql AS x
+       |  FROM documents),
+       |wq0 AS (SELECT list_transform(generate_series(1, 5), i -> 0.0) AS w),
+       |$steps,
+       |scored AS (
+       |  SELECT lang, round(1.0 / (1.0 + exp(-($dotXW))), 6) AS sc
+       |  FROM eq, wq$QP_ITERS)
+       |SELECT lang, count(*) AS n_docs,
+       |  round(CAST(sum(CAST(round(sc * 1000000) AS BIGINT)) AS BIGINT)
+       |        / 1000000.0 / count(*), 6) AS mean_score,
+       |  CAST(sum(CASE WHEN sc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

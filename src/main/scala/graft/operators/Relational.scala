@@ -197,7 +197,12 @@ object Relational {
     * group, oracle-pinning the exact values and a ±2% relative verdict.
     * At 100 TB exact quantiles need a full sort per group; the sketch is
     * one narrow pass. The approx value is asserted, not emitted (the
-    * sketch element is engine-specific). */
+    * sketch element is engine-specific). Both requested quantiles are
+    * pulled from ONE sketch via the array form — two scalar
+    * `percentile_approx` calls each build their own accuracy-10000 GK
+    * summary over the full column (the sketch, not the scan, dominates
+    * at this accuracy: the split halved nothing map-side and doubled
+    * the per-row update work; measured 2× on the 10× battery). */
   private[graft] val QSKETCH_ACC = 10000
   private[graft] val QSKETCH_TOL = 0.02
 
@@ -205,13 +210,13 @@ object Relational {
     val exact = qPercentiles(s, dir)
     val approx = Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(QSKETCH_ACC)).as("a50"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(QSKETCH_ACC)).as("a90"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9)), lit(QSKETCH_ACC)).as("aq"))
     exact.join(approx, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p50"), col("p90"),
-        (abs(col("a50") - col("p50")) <= col("p50") * QSKETCH_TOL &&
-          abs(col("a90") - col("p90")) <= col("p90") * QSKETCH_TOL).as("within_tol"))
+        (abs(element_at(col("aq"), 1) - col("p50")) <= col("p50") * QSKETCH_TOL &&
+          abs(element_at(col("aq"), 2) - col("p90")) <= col("p90") * QSKETCH_TOL)
+          .as("within_tol"))
       .orderBy("l_returnflag")
   }
 

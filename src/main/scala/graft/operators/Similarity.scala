@@ -1675,13 +1675,59 @@ object Similarity {
     * over the candidate stream, no global top-k. Anchors whose cell
     * holds no other label are honestly absent (a cell purity signal in
     * itself).
+    *
+    * Exact-duplicate collapse (the [[lshTopK]] lesson, and the last
+    * member-level within-cell pair scan the 10× battery flagged): a
+    * re-crawled corpus carries verbatim copies, and copies share
+    * (emb, label), so member-level cell pairs grow ×m² per m-copy
+    * group. The pair scan runs over ONE representative per distinct
+    * (emb, label) and the result fans back to members by equality
+    * join. This is the EXACT member answer, not an approximation:
+    * every member of a group shares its group's (nc, …) candidates;
+    * within a candidate group the struct-min's neg_id tie-break picks
+    * the group's min member id, which IS its representative; and ids
+    * are unique so the cross-group tie-break never reaches neg_label
+    * differently than the naive scan. The quantizer still trains on
+    * the full member corpus — copies legitimately weight centroids —
+    * and the oracle keeps the naive member-level formulation
+    * (HardNegCollapseSpec pins row-for-row equality on a duplicated
+    * corpus).
     */
-  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesOf(s, Tables.embeddings(s, dir))
+
+  private[graft] def hardNegativesOf(s: SparkSession, emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"), col("label"))
+    val grp = e.groupBy("emb", "label").agg(min("vec_id").as("rep")).cache()
+    val cent = trainedCentroids(s, e.select(col("vec_id"), col("emb"))).cache()
+    val reps = assignCells(s, grp.select(col("rep").as("vec_id"), col("emb")), cent)
+      .join(grp.select(col("rep").as("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id").as("rep"), col("cell"), col("emb"), col("label"))
+    val best = reps.as("a").join(reps.as("b"),
+        col("a.cell") === col("b.cell") && col("a.label") =!= col("b.label"))
+      .select(col("a.rep").as("rep"),
+        struct((-cosine(s, "a.emb", "b.emb")).as("nc"),
+          col("b.rep").as("neg_id"), col("b.label").as("neg_label")).as("sc"))
+      .groupBy("rep")
+      .agg(min("sc").as("m"))
+    e.join(grp, Seq("emb", "label"))
+      .select(col("vec_id"), col("label"), col("rep"))
+      .join(best, "rep")
+      .select(col("vec_id"), col("label"),
+        col("m.neg_id").as("neg_id"), col("m.neg_label").as("neg_label"),
+        round(-col("m.nc"), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Member-level reference implementation of [[qHardNegatives]] —
+    * kept ONLY as the spec baseline for the duplicate collapse
+    * (HardNegCollapseSpec); never registered. */
+  private[graft] def hardNegativesNaive(s: SparkSession, emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cent = trainedCentroids(s, e).cache()
     val assigned = assignCells(s, e, cent)
-      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
     assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.label") =!= col("b.label"))

@@ -216,8 +216,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_link_predict broadcasts the 1-row mean-weight frame
         // (q_graph_triangles' shape)
         "q_erasure_audit", "q_link_predict",
-        // q_label_noise broadcasts the 1-row trained-weight frame
-        "q_label_noise",
+        // q_label_noise broadcasts the 1-row trained-weight frame;
+        // q_quality_probe broadcasts the 1-row trained-weight frame
+        // for both the per-step gradient and the scoring projection
+        // (q_auc_probe's shape over text features)
+        "q_label_noise", "q_quality_probe",
         // q_order_gaps / q_curriculum (ntileExact): two 1-row frames
         // crossJoin onto the checkpointed source snapshot — range stats
         // (referenced by both the histogram and boundary-rank branches)

@@ -37,6 +37,21 @@ class SpanScrubSpec extends AnyFunSpec with SparkTestBase {
     assert(got == Map(1L -> 0L, 2L -> 0L), s"nothing shared -> nothing cut: $got")
   }
 
+  it("overlapping shared windows merge into one covered interval (no double-cut)") {
+    // doc2's shared window starts are {1, 4}: intervals [1,8] and [4,11]
+    // overlap, so the island scan must merge them into ONE covered span
+    // 1..11 — doc2 (11 words) is cut in full, exactly once per word.
+    val s = (1 to 8).map(i => s"s$i").mkString(" ")
+    val owner = s"$s X ${(4 to 8).map(i => s"s$i").mkString(" ")} t1 t2 t3"
+    val copier = s"$s t1 t2 t3"
+    val docs = Seq((1L, owner), (2L, copier)).toDF("doc_id", "text")
+    val got = Dedup.spanScrubOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._3 == 0L, s"owner keeps all: ${got(1L)}")
+    assert(got(2L) == ((11L, 0L, 11L)),
+      s"both overlapping spans cut, each word once: ${got(2L)}")
+  }
+
   it("full copies collapse to the canonical text; cut totals match the span report") {
     val t = words(16, "s")
     val docs = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")

@@ -141,6 +141,8 @@ object SparkEntry {
     "q_uncertainty_sample" -> Similarity.qUncertaintySample _,
     "q_gains_curve"     -> Similarity.qGainsCurve _,
     "q_embedding_sq"    -> Similarity.qEmbeddingSq _,
+    "q_kmeans_profile"  -> Similarity.qKmeansProfile _,
+    "q_embedding_pca"   -> Similarity.qEmbeddingPca _,
     // §2.5 text analysis
     "q_text_tokens"       -> TextAnalysis.qTextTokens _,
     "q_text_quality"      -> TextAnalysis.qTextQuality _,
@@ -450,6 +452,8 @@ object SparkEntry {
     "q_uncertainty_sample" -> Similarity.oracleUncertaintySample,
     "q_gains_curve"     -> Similarity.oracleGainsCurve,
     "q_embedding_sq"    -> Similarity.oracleEmbeddingSq,
+    "q_kmeans_profile"  -> Similarity.oracleKmeansProfile,
+    "q_embedding_pca"   -> Similarity.oracleEmbeddingPca,
 
     "q_text_tokens"       -> TextAnalysis.oracleTokens,
     "q_text_quality"      -> TextAnalysis.oracleQuality,

@@ -2119,4 +2119,225 @@ object Similarity {
        |  round(avg(err / $DIM), 6) AS mse,
        |  round(max(err), 6) AS max_vec_err
        |FROM sc GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------ cluster profile
+
+  /** Cluster-quality profile of the trained IVF quantizer
+    * (`q_kmeans_profile`) — the operational answer to "are my K cells
+    * any good before I hang an ANN index off them": per cell, the
+    * member count, corpus share, mean cosine-to-own-centroid
+    * (cohesion) and the worst-assigned member's cosine (the cell's
+    * fringe — where IVF recall dies first). The mean is an
+    * integer-micros sum of 6dp-rounded cosines (exact, order-free);
+    * the share divides by the 1-row total frame, never a global
+    * window.
+    *
+    * Scale shape: training and assignment are the [[trainedCentroids]]
+    * / [[assignCells]] plans (per-iteration broadcast of K centroids +
+    * map-side-combinable argmin); the profile itself is one K-row
+    * aggregate re-joined against the broadcast K-row centroid frame.
+    * Nothing here changes shape with the corpus.
+    */
+  def qKmeansProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = trainedCentroids(s, e).cache()
+    val per = assignCells(s, e, cent)
+      .join(broadcast(cent), "cell")
+      .select(col("cell"), round(cosine(s, "emb", "centroid"), 6).as("c"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("c") * 1e6).cast("long")).as("micro"),
+        min(col("c")).as("min_cos"))
+    val tot = per.agg(sum("n").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n"),
+        round(col("n") / col("tot"), 6).as("share"),
+        round(col("micro") / 1e6 / col("n"), 6).as("mean_cos"),
+        col("min_cos"))
+      .orderBy("cell")
+  }
+
+  val oracleKmeansProfile: String =
+    s"""WITH $kmeansCtes,
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.emb", "c.centroid")} DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |per AS (
+       |  SELECT cell, count(*) AS n,
+       |    sum(CAST(round(round(${cosSql("a.emb", "c.centroid")}, 6) * 1000000) AS BIGINT)) AS micro,
+       |    min(round(${cosSql("a.emb", "c.centroid")}, 6)) AS min_cos
+       |  FROM assigned a JOIN cent c USING (cell)
+       |  GROUP BY cell),
+       |t AS (SELECT sum(n) AS tot FROM per)
+       |SELECT CAST(cell AS INT) AS cell, n,
+       |  round(n / tot, 6) AS share,
+       |  round(CAST(micro AS BIGINT) / 1000000.0 / n, 6) AS mean_cos,
+       |  min_cos
+       |FROM per, t ORDER BY cell""".stripMargin
+
+  // --------------------------------------------------- principal component
+
+  /** Power-iteration count for [[qEmbeddingPca]]. The start vector is
+    * uniform 1/8 over DIM=64 dims — exactly unit norm with no sqrt, so
+    * both engines begin from literally identical doubles. */
+  private[graft] val PCA_ITERS = 3
+
+  /** Trained PCA state: (1-row covariance-matrix frame, 1-row unit
+    * eigvec-estimate frame after [[PCA_ITERS]] power steps). Split out
+    * so the spec can pin the full weight vector against a local
+    * reference replay, not just the reported top-5 loadings. */
+  private[graft] def pcaParts(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    // per-dim means (map-side combinable, DIM-bounded output) + corpus n
+    val stats = e.select(posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(round(avg("v"), 6).as("m"), count(lit(1)).as("cnt"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("mu"),
+        max("cnt").as("n"))
+      .localCheckpoint()
+    // centered coordinates rounded 6dp BEFORE any product, so the
+    // covariance sums below fold identical doubles in both engines
+    val xc = e.crossJoin(broadcast(stats.select("mu")))
+      .select(transform(zip_with(col("emb"), col("mu"), (a, b) => a - b),
+        v => round(v, 6)).as("x"))
+    // DIM² covariance as ONE map-side-combinable 4096-key aggregate:
+    // two chained position explodes keep the per-pair product in pure
+    // codegen (no HOF lambda on the corpus-proportional path, no
+    // self-join), and the entry sums are integer micros — exact and
+    // summation-order-free. |x·x·1e6| ≤ ~4e6 per row keeps the long
+    // sum safe past 1e12 vectors.
+    val prods = xc
+      .select(posexplode(col("x")).as(Seq("i", "xi")), col("x"))
+      .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
+      .select(col("i"), col("j"),
+        round(col("xi") * col("xj") * 1e6).cast("long").as("m"))
+      .groupBy("i", "j").agg(sum("m").as("micro"))
+    // the enum-sized (DIM×DIM) matrix collapses to a 1-row nested
+    // array; checkpointed because every power step below re-reads it —
+    // uncheckpointed, each step would replay the corpus pass
+    val covm = prods.crossJoin(broadcast(stats.select("n")))
+      .select(col("i"), col("j"),
+        round(col("micro") / 1e6 / col("n"), 6).as("c"))
+      .groupBy("i")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        x => x.getField("c")).as("rw"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("rw")))),
+        x => x.getField("rw")).as("cm"))
+      .localCheckpoint()
+    var w = s.range(1).select(
+      transform(sequence(lit(1), lit(DIM)), _ => lit(0.125)).as("w"))
+    for (_ <- 1 to PCA_ITERS) {
+      // y = C·w (left-to-right fold per row, 6dp), then w = y/|y| (6dp):
+      // every step runs on the 1-row matrix frame, entirely off-corpus
+      val y = covm.crossJoin(broadcast(w))
+        .select(transform(col("cm"), rw =>
+          round(aggregate(zip_with(rw, col("w"), (a, b) => a * b),
+            lit(0.0), (acc, v) => acc + v), 6)).as("y"))
+      w = y.select(transform(col("y"), v =>
+        round(v / sqrt(aggregate(col("y"), lit(0.0), (acc, u) => acc + u * u)),
+          6)).as("w"))
+    }
+    (covm, w)
+  }
+
+  /** Top principal component of the embedding corpus
+    * (`q_embedding_pca`) — distributed PCA the way a 100 TB pipeline
+    * actually runs it: ONE corpus pass builds the DIM×DIM covariance
+    * ([[pcaParts]]), then power iteration runs on the enum-sized
+    * matrix frame. Reports the top-5 loading dims, the eigenvalue
+    * (Rayleigh quotient wᵀCw) and the explained-variance share
+    * (λ / trace C) — the "is one direction eating my embedding
+    * space" diagnostic that decides whether JL/SQ compression
+    * ([[qEmbeddingJl]]/[[qEmbeddingSq]]) is safe.
+    *
+    * Determinism: per-dim means and centered values round 6dp before
+    * any product, covariance entries are integer-micros sums of
+    * identical doubles, and each power step rounds y and w 6dp — the
+    * probeWeights discipline applied to linear algebra, so the DuckDB
+    * replay walks bit-identical state through all [[PCA_ITERS]]
+    * iterations.
+    */
+  def qEmbeddingPca(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val (covm, w) = pcaParts(s, e)
+    val fin = covm.crossJoin(broadcast(w))
+      .select(col("cm"), col("w"),
+        transform(col("cm"), rw =>
+          round(aggregate(zip_with(rw, col("w"), (a, b) => a * b),
+            lit(0.0), (acc, v) => acc + v), 6)).as("y"))
+      .select(col("w"),
+        round(aggregate(zip_with(col("w"), col("y"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v), 6).as("lambda"),
+        round(aggregate(sequence(lit(1), lit(DIM)), lit(0.0),
+          (acc, i) => acc + element_at(element_at(col("cm"), i), i)), 6)
+          .as("tr"))
+    fin.select(col("lambda"),
+        round(col("lambda") / col("tr"), 6).as("explained_share"),
+        posexplode(slice(array_sort(transform(sequence(lit(1), lit(DIM)), i =>
+          struct((-abs(element_at(col("w"), i))).as("na"),
+            i.cast("long").as("dim"),
+            element_at(col("w"), i).as("ld")))), 1, 5)).as(Seq("p", "t")))
+      .select((col("p") + 1).cast("long").as("rank"),
+        col("t.dim").as("dim"), col("t.ld").as("loading"),
+        col("lambda"), col("explained_share"))
+      .orderBy("rank")
+  }
+
+  val oracleEmbeddingPca: String = {
+    val cw = s"round(list_sum(list_transform(generate_series(1, $DIM), " +
+      "i -> rw[i] * w[i])), 6)"
+    def step(prevW: String, k: Int): String =
+      s"""y$k AS (
+         |  SELECT list_transform(cm, rw -> $cw) AS y FROM cm, $prevW),
+         |w$k AS (
+         |  SELECT list_transform(y, v ->
+         |    round(v / sqrt(list_sum(list_transform(y, u -> u * u))), 6)) AS w
+         |  FROM y$k)""".stripMargin
+    val steps = (1 to PCA_ITERS)
+      .map(k => step(if (k == 1) "w0" else s"w${k - 1}", k)).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, v -> v::DOUBLE) AS emb FROM embeddings),
+       |st AS (
+       |  SELECT list(m ORDER BY pos) AS mu, max(cnt) AS n FROM (
+       |    SELECT pos, round(avg(v), 6) AS m, count(*) AS cnt FROM (
+       |      SELECT unnest(emb) AS v,
+       |             unnest(generate_series(1, len(emb))) AS pos FROM e)
+       |    GROUP BY pos)),
+       |xc AS (
+       |  SELECT list_transform(generate_series(1, $DIM),
+       |    i -> round(emb[i] - mu[i], 6)) AS x
+       |  FROM e, st),
+       |pr AS (
+       |  SELECT i, j, sum(CAST(round(x[i] * x[j] * 1000000) AS BIGINT)) AS micro
+       |  FROM xc, generate_series(1, $DIM) gi(i), generate_series(1, $DIM) gj(j)
+       |  GROUP BY i, j),
+       |cmr AS (
+       |  SELECT i, list(round(CAST(micro AS BIGINT) / 1000000.0 / n, 6)
+       |                 ORDER BY j) AS rw
+       |  FROM pr, st GROUP BY i, n),
+       |cm AS (SELECT list(rw ORDER BY i) AS cm FROM cmr),
+       |w0 AS (SELECT list_transform(generate_series(1, $DIM), i -> 0.125) AS w),
+       |$steps,
+       |fy AS (
+       |  SELECT w, cm, list_transform(cm, rw -> $cw) AS y
+       |  FROM cm, w$PCA_ITERS),
+       |mets AS (
+       |  SELECT w,
+       |    round(list_sum(list_transform(generate_series(1, $DIM),
+       |      i -> w[i] * y[i])), 6) AS lambda,
+       |    round(list_sum(list_transform(generate_series(1, $DIM),
+       |      i -> cm[i][i])), 6) AS tr
+       |  FROM fy),
+       |tops AS (
+       |  SELECT row_number() OVER (ORDER BY abs(w[i]) DESC, i) AS rank,
+       |    i AS dim, w[i] AS loading, lambda,
+       |    round(lambda / tr, 6) AS explained_share
+       |  FROM mets, generate_series(1, $DIM) g(i))
+       |SELECT rank, dim, loading, lambda, explained_share
+       |FROM tops WHERE rank <= 5 ORDER BY rank""".stripMargin
+  }
 }

@@ -195,6 +195,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // same quantizer plus a 1-row corpus-count crossJoin — its tau
         // replay is an explode, not a join
         "q_dedup_semantic", "q_semdedup_sweep",
+        // q_kmeans_profile broadcasts the IVF_K-row trained centroids
+        // (assignCells) and crossJoins the 1-row total frame;
+        // q_embedding_pca crossJoins only 1-row frames (per-dim stats,
+        // the DIM x DIM matrix row, the weight vector)
+        "q_kmeans_profile", "q_embedding_pca",
         // q_knn_nprobe crossJoins the RECALL_QS-row query sample for its
         // one brute truth pass (q_knn_recall's documented shape); the
         // probe replay itself is an explode, not a join

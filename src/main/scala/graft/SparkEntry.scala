@@ -118,6 +118,7 @@ object SparkEntry {
     "q_split_leakage"       -> Dedup.qSplitLeakage _,
     "q_segment_dedup"       -> Dedup.qSegmentDedup _,
     "q_dedup_by_source"     -> Dedup.qDedupBySource _,
+    "q_source_overlap"      -> Dedup.qSourceOverlap _,
     "q_dedup_soft"          -> Dedup.qDedupSoft _,
     "q_dedup_substring"     -> Dedup.qDedupSubstring _,
     "q_dedup_spans"         -> Dedup.qDedupSpans _,
@@ -429,6 +430,7 @@ object SparkEntry {
     "q_split_leakage"       -> Dedup.oracleSplitLeakage,
     "q_segment_dedup"       -> Dedup.oracleSegmentDedup,
     "q_dedup_by_source"     -> Dedup.oracleDedupBySource,
+    "q_source_overlap"      -> Dedup.oracleSourceOverlap,
     "q_dedup_soft"          -> Dedup.oracleDedupSoft,
     "q_dedup_substring"     -> Dedup.oracleDedupSubstring,
     "q_dedup_spans"         -> Dedup.oracleDedupSpans,

@@ -1259,6 +1259,69 @@ object Dedup {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ cross-source overlap
+
+  /** Cross-source contamination matrix (`q_source_overlap`) — which
+    * acquisition sources carry each other's text. For every source
+    * pair: the number of distinct shared [[DECON_N]]-word grams and
+    * the gram-set Jaccard — the report that catches one crawl
+    * re-ingesting another (or a mirror) before dedup quietly eats the
+    * double-counted tokens.
+    *
+    * Scale shape: ONE shuffle. The hashed gram stream aggregates
+    * straight into per-gram source SETS (map-side-combinable
+    * collect_set, bounded by the source enum — a gram in a million
+    * docs still carries ≤|sources| entries), pairs explode from each
+    * set's sorted array (≤ C(|sources|,2) rows per gram, corpus-
+    * independent), and the per-source gram totals reduce from the
+    * same frame. No gram-stream self-join, no distinct pre-pass.
+    */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val bySh = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), explode(shinglesFromWords(col("w"), DECON_N)).as("gr"))
+      .select(h60(col("gr")).as("sh"), col("source"))
+      .groupBy("sh").agg(sort_array(collect_set("source")).as("ss"))
+      .cache()
+    val sizes = bySh.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = bySh.filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+          struct(a.as("sa"), b.as("sb")))))).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** The oracle phrases the same matrix as a distinct-gram self-join —
+    * row-identical because each per-gram sorted source set enumerates
+    * exactly the a < b pairs the join's inequality keeps. */
+  val oracleSourceOverlap: String = {
+    val grams = wordShinglesNSql("text", DECON_N)
+    s"""WITH g AS (
+       |  SELECT DISTINCT source, ${h60Sql("g")} AS sh
+       |  FROM (SELECT source, unnest($grams) AS g FROM documents)),
+       |sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+       |  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, shared,
+       |  round(shared / (na.n + nb.n - shared), 6) AS jaccard
+       |FROM p JOIN sizes na ON na.source = p.source_a
+       |       JOIN sizes nb ON nb.source = p.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   // ------------------------------------------------- duplication by source
 
   /** Duplication rate per SOURCE (`q_dedup_by_source`) — the curation

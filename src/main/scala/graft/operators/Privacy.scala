@@ -431,4 +431,57 @@ object Privacy {
        |  round(CAST(n_erased AS DOUBLE) / n_total, 6) AS erased_frac,
        |  CAST(n_residual AS BIGINT) AS n_residual
        |FROM rows_ ORDER BY tbl""".stripMargin
+
+  /** Re-identification risk profile per generalization level: the three
+    * standard attacker models over the (nationkey, mktsegment, balance
+    * band) quasi-identifier —
+    *   - prosecutor risk: 1 / min group size (attacker knows the target
+    *     IS in the data; worst-case record),
+    *   - journalist/uniqueness: count and fraction of sample-unique rows
+    *     (equivalence class of size 1),
+    *   - marketer risk: n_groups / N (expected fraction re-identified
+    *     when every record is matched to its class).
+    * Complements `q_k_anonymity` (which gates on a fixed k): this is the
+    * continuous risk readout a release reviewer reads.
+    *
+    * All ratios are exact-integer until the 6dp output edge. Scale: one
+    * shuffle to class counts, then a second aggregate over the already-
+    * reduced |classes|-row frame — the same two-stage reduction as
+    * `q_cust_order_dist`.
+    */
+  def qReidentRisk(s: SparkSession, dir: String): DataFrame = {
+    val levels = ANON_BANDS.map { case (level, width) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / width).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum("sz").as("n_rows"),
+          min("sz").as("min_sz"),
+          sum((col("sz") === 1).cast("long")).as("n_unique"))
+        .select(
+          lit(level).as("gen_level"),
+          col("n_groups"), col("min_sz"), col("n_unique"),
+          round(col("n_unique") / col("n_rows").cast("double"), 6).as("uniq_frac"),
+          round(lit(1.0) / col("min_sz"), 6).as("prosecutor_risk"),
+          round(col("n_groups") / col("n_rows").cast("double"), 6).as("marketer_risk"))
+    }
+    levels.reduce(_.union(_)).orderBy("gen_level")
+  }
+
+  val oracleReidentRisk: String = {
+    val perLevel = ANON_BANDS.map { case (level, width) =>
+      s"""SELECT $level AS gen_level, count(*) AS n_groups, min(sz) AS min_sz,
+         |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  round(CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    / CAST(CAST(sum(sz) AS BIGINT) AS DOUBLE), 6) AS uniq_frac,
+         |  round(CAST(1.0 AS DOUBLE) / min(sz), 6) AS prosecutor_risk,
+         |  round(count(*) / CAST(CAST(sum(sz) AS BIGINT) AS DOUBLE), 6) AS marketer_risk
+         |FROM (SELECT count(*) AS sz FROM customer
+         |      GROUP BY c_nationkey, c_mktsegment,
+         |        CAST(floor(c_acctbal / $width) AS BIGINT)) g""".stripMargin
+    }
+    perLevel.mkString("", "\nUNION ALL\n", "\nORDER BY gen_level")
+  }
 }

@@ -1613,4 +1613,347 @@ object Relational {
        |  round(CAST(sum(is_focal * cents) AS BIGINT) /
        |    CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE), 6) AS mkt_share
        |FROM l GROUP BY order_year ORDER BY order_year""".stripMargin
+
+  /** Q11-style important-stock share: parts whose total revenue exceeds
+    * a fixed fraction (1 bp) of corpus revenue, with their share.
+    *
+    * Exactness: per-row revenue is cent-rounded to BIGINT, summed
+    * exactly; the threshold compare is pure integer
+    * (`part_cents * 10000 > total_cents` via decimal(38,0) so the
+    * multiply can never overflow at scale) — no double enters until the
+    * 6dp share at the output edge.
+    *
+    * Scale: one shuffle on `l_partkey` with map-side partial sums; the
+    * 1-row grand total re-aggregates the ALREADY-REDUCED per-part frame
+    * (|parts| rows, not |lineitem|) and broadcasts back as a cross join.
+    */
+  def qValueShare(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+      .cast("long")
+    val perPart = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), cents.as("cents"))
+      .groupBy("l_partkey")
+      .agg(sum("cents").as("part_cents"))
+    val total = perPart.agg(sum("part_cents").as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_cents").cast("decimal(38,0)") * 10000 > col("total_cents"))
+      .select(
+        col("l_partkey"),
+        (col("part_cents") / 100.0).as("part_value"),
+        round(col("part_cents") / col("total_cents").cast("double"), 6).as("rev_share"))
+      .orderBy(desc("part_value"), col("l_partkey"))
+  }
+
+  val oracleValueShare: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS part_cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |t AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents FROM pp)
+      |SELECT l_partkey,
+      |  part_cents / 100.0 AS part_value,
+      |  round(part_cents / CAST(total_cents AS DOUBLE), 6) AS rev_share
+      |FROM pp, t
+      |WHERE part_cents * 10000 > total_cents
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** Q22-style lapsed high-balance customers: customers whose balance
+    * beats the positive-balance average but who placed NO order in the
+    * data's final year — per nation, how many and how much capital.
+    *
+    * Exactness: the average-balance threshold is compared as integers —
+    * `c_cents * n_pos > sum_pos_cents` — so no double division ever
+    * happens; nation sums are exact cent BIGINTs.
+    *
+    * Scale: the threshold is a 1-row aggregate broadcast back; the
+    * anti-join's right side is the recent-orders projection (custkey
+    * only), which AQE can broadcast when it is small after pushdown.
+    */
+  def qLapsedBalance(s: SparkSession, dir: String): DataFrame = {
+    val custCents = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val thresh = custCents.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("sum_pos_cents"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1998)
+      .select("o_custkey")
+    custCents.crossJoin(broadcast(thresh))
+      .filter(col("bal_cents").cast("decimal(38,0)") * col("n_pos") > col("sum_pos_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        (sum("bal_cents") / 100.0).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val oracleLapsedBalance: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |t AS (
+      |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos_cents,
+      |    count(*) AS n_pos
+      |  FROM c WHERE bal_cents > 0)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(sum(bal_cents) AS BIGINT) / 100.0 AS totacctbal
+      |FROM c, t
+      |WHERE bal_cents * n_pos > sum_pos_cents
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Q15-style top supplier: per ship quarter, the supplier(s) whose
+    * revenue equals the quarter's maximum — ties kept, exactly as Q15's
+    * view formulation demands (a top-1-with-ties that `row_number` would
+    * get wrong and `rank` would pay a sort for).
+    *
+    * Exactness: revenue folds as cent BIGINTs; the max-compare is
+    * integer equality, so ties are exact, never float-adjacent.
+    *
+    * Scale: ONE suppkey×quarter shuffle with map-side partials; the
+    * per-quarter max re-aggregates the already-reduced frame
+    * (|suppliers|·|quarters| rows) and broadcasts back on an equality
+    * key — no window, no sort, no second fact pass.
+    */
+  def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+      .cast("long")
+    val perSupp = Tables.lineitem(s, dir)
+      .select((year(col("l_shipdate")) * 10 + quarter(col("l_shipdate"))).as("ship_q"),
+        col("l_suppkey"), cents.as("cents"))
+      .groupBy("ship_q", "l_suppkey")
+      .agg(sum("cents").as("rev_cents"))
+    val maxQ = perSupp.groupBy("ship_q").agg(max("rev_cents").as("max_cents"))
+    perSupp
+      .join(broadcast(maxQ), Seq("ship_q"))
+      .filter(col("rev_cents") === col("max_cents"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("ship_q"), col("s_suppkey"), col("s_name"),
+        (col("rev_cents") / 100.0).as("total_revenue"))
+      .orderBy("ship_q", "s_suppkey")
+  }
+
+  val oracleTopSupplier: String =
+    """WITH ps AS (
+      |  SELECT CAST(year(l_shipdate) * 10 + quarter(l_shipdate) AS INT) AS ship_q,
+      |    l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (SELECT ship_q, max(rev_cents) AS max_cents FROM ps GROUP BY ship_q)
+      |SELECT ps.ship_q AS ship_q, s_suppkey, s_name,
+      |  rev_cents / 100.0 AS total_revenue
+      |FROM ps
+      |JOIN m ON ps.ship_q = m.ship_q AND ps.rev_cents = m.max_cents
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY ps.ship_q, s_suppkey""".stripMargin
+
+  /** Q16-style supplier breadth: distinct suppliers shipping parts per
+    * (type, size band), excluding flagged suppliers (negative balance —
+    * the schema's stand-in for Q16's complaint predicate).
+    *
+    * Scale: the exclusion list is dim-sized → broadcast left_anti; part
+    * attributes broadcast onto the fact; the distinct reduces map-side
+    * on (type, band, suppkey) before the final enum-sized count. Output
+    * bounded by |types|·|bands|.
+    */
+  def qSupplierBreadth(s: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_type"),
+      floor((col("p_size") - 1) / lit(10.0)).cast("long").as("size_band"))
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select("p_type", "size_band", "l_suppkey")
+      .distinct()
+      .groupBy("p_type", "size_band")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_type"), col("size_band"))
+  }
+
+  val oracleSupplierBreadth: String =
+    """SELECT p_type,
+      |  CAST(floor((p_size - 1) / 10.0) AS BIGINT) AS size_band,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_type, size_band""".stripMargin
+
+  /** Q19-style disjunctive-predicate revenue: three OR'd
+    * (brand, size-range, quantity-range) branches, reported per branch.
+    * The shape that stresses OR pushdown: brands are disjoint so the
+    * branches partition the hits and a single CASE tags them.
+    *
+    * Scale: the union quantity bound (1–30) filters the FACT before the
+    * join — the only predicate that can push to the scan prunes there;
+    * the brand/size legs ride the broadcast part dim. One enum-keyed
+    * aggregate after; no shuffle beyond it.
+    */
+  def qDisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val branch =
+      when(col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 11), 1)
+      .when(col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(10, 20), 2)
+      .when(col("p_brand") === "Brand#5" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(20, 30), 3)
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .select(branch.as("branch"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .filter(col("branch").isNotNull)
+      .groupBy("branch")
+      .agg(count(lit(1)).as("n_items"), (sum("cents") / 100.0).as("revenue"))
+      .orderBy("branch")
+  }
+
+  val oracleDisjunctiveRevenue: String =
+    """SELECT branch, count(*) AS n_items,
+      |  CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+      |FROM (
+      |  SELECT CASE
+      |      WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity BETWEEN 1 AND 11 THEN 1
+      |      WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 10 AND 20 THEN 2
+      |      WHEN p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 25
+      |        AND l_quantity BETWEEN 20 AND 30 THEN 3 END AS branch,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_quantity BETWEEN 1 AND 30)
+      |WHERE branch IS NOT NULL
+      |GROUP BY branch ORDER BY branch""".stripMargin
+
+  /** Q20-in-spirit supply concentration: per supplier, how many parts
+    * it LEADS — holds at least twice the part's fair share of shipped
+    * quantity (share ≥ 2/n_suppliers-of-part). Fair-share-relative
+    * dominance survives scale-up: an absolute share bar degenerates as
+    * supplier fan-out grows, the fair-share multiple doesn't.
+    *
+    * Exactness: the dominance gate is the pure-integer cross-multiply
+    * `supp_qty · n_supp ≥ 2 · tot_qty` — no division anywhere.
+    *
+    * Scale: ONE (part, supp) shuffle; the per-part total+fanout
+    * re-aggregates the reduced frame and joins back on the SAME
+    * partitioning key (co-partitioned, AQE plans no extra exchange);
+    * output is supplier-dim-sized.
+    */
+  def qDominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("q").as("supp_qty"))
+    val tot = ps.groupBy("l_partkey")
+      .agg(sum("supp_qty").as("tot_qty"), count(lit(1)).as("n_supp"))
+    ps.join(tot, Seq("l_partkey"))
+      .filter(col("supp_qty") * col("n_supp") >= col("tot_qty") * 2)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts_led"), sum("supp_qty").as("qty_led"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts_led"), col("qty_led"))
+      .orderBy(desc("n_parts_led"), col("s_suppkey"))
+  }
+
+  val oracleDominantSupplier: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS supp_qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (
+      |  SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS tot_qty,
+      |    count(*) AS n_supp
+      |  FROM ps GROUP BY 1)
+      |SELECT s_suppkey, s_name,
+      |  count(*) AS n_parts_led,
+      |  CAST(sum(supp_qty) AS BIGINT) AS qty_led
+      |FROM ps
+      |JOIN t USING (l_partkey)
+      |JOIN supplier ON ps.l_suppkey = s_suppkey
+      |WHERE supp_qty * n_supp >= tot_qty * 2
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY n_parts_led DESC, s_suppkey""".stripMargin
+
+  /** Mix-shift (Oaxaca-style) decomposition of the year-over-year
+    * change in mean order value, by market segment: per segment,
+    * Δ = mix_effect (composition moved) + rate_effect (within-segment
+    * value moved), with Σ_seg (mix + rate) = the overall mean delta —
+    * the decomposition that tells a metrics reviewer whether "orders
+    * got smaller" or "the mix shifted toward small-order segments".
+    *
+    * Cross-engine exactness: weights and means derive from exact BIGINT
+    * counts/cent-sums; the double expressions are mirrored token-for-
+    * token in the oracle so IEEE evaluation is bit-identical; 6dp at
+    * the output edge only.
+    *
+    * Scale: one (segment, year) aggregate with map-side partials
+    * (customer dim broadcast); year totals re-aggregate the enum-sized
+    * frame and crossJoin back as a 1-row broadcast.
+    */
+  def qMixShift(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1997, 1998))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("segment", "yr")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val pivoted = base.groupBy("segment").agg(
+      sum(when(col("yr") === 1997, col("n")).otherwise(0L)).as("n1"),
+      sum(when(col("yr") === 1998, col("n")).otherwise(0L)).as("n2"),
+      sum(when(col("yr") === 1997, col("cents")).otherwise(0L)).as("c1"),
+      sum(when(col("yr") === 1998, col("cents")).otherwise(0L)).as("c2"))
+    // totals named apart from n1/n2: Spark resolution is case-insensitive,
+    // so "N1" would collide with "n1" after the crossJoin
+    val totals = pivoted.agg(sum("n1").as("tot_n1"), sum("n2").as("tot_n2"))
+    val w1 = col("n1") / col("tot_n1").cast("double")
+    val w2 = col("n2") / col("tot_n2").cast("double")
+    val m1 = col("c1") / col("n1").cast("double") / lit(100.0)
+    val m2 = col("c2") / col("n2").cast("double") / lit(100.0)
+    pivoted.crossJoin(broadcast(totals))
+      .select(col("segment"), col("n1"), col("n2"),
+        round(w1, 6).as("w1"), round(w2, 6).as("w2"),
+        round(m1, 6).as("m1"), round(m2, 6).as("m2"),
+        round((w2 - w1) * m1, 6).as("mix_effect"),
+        round(w2 * (m2 - m1), 6).as("rate_effect"))
+      .orderBy("segment")
+  }
+
+  val oracleMixShift: String =
+    """WITH b AS (
+      |  SELECT c_mktsegment AS segment, CAST(year(o_orderdate) AS INT) AS yr,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) IN (1997, 1998)
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT segment,
+      |    CAST(sum(CASE WHEN yr = 1997 THEN n ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN yr = 1998 THEN n ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN yr = 1998 THEN cents ELSE 0 END) AS BIGINT) AS c2
+      |  FROM b GROUP BY segment),
+      |t AS (SELECT CAST(sum(n1) AS BIGINT) AS tot_n1, CAST(sum(n2) AS BIGINT) AS tot_n2 FROM p)
+      |SELECT segment, n1, n2,
+      |  round(n1 / CAST(tot_n1 AS DOUBLE), 6) AS w1,
+      |  round(n2 / CAST(tot_n2 AS DOUBLE), 6) AS w2,
+      |  round(c1 / CAST(n1 AS DOUBLE) / 100.0, 6) AS m1,
+      |  round(c2 / CAST(n2 AS DOUBLE) / 100.0, 6) AS m2,
+      |  round((n2 / CAST(tot_n2 AS DOUBLE) - n1 / CAST(tot_n1 AS DOUBLE))
+      |    * (c1 / CAST(n1 AS DOUBLE) / 100.0), 6) AS mix_effect,
+      |  round(n2 / CAST(tot_n2 AS DOUBLE)
+      |    * (c2 / CAST(n2 AS DOUBLE) / 100.0 - c1 / CAST(n1 AS DOUBLE) / 100.0), 6) AS rate_effect
+      |FROM p, t ORDER BY segment""".stripMargin
 }

@@ -1156,4 +1156,190 @@ object TextAnalysis {
        |  FROM scored)
        |SELECT source, rank, word, c, wc, round(chi2, 4) AS chi2
        |FROM r WHERE rank <= $CHI2_TOP ORDER BY source, rank""".stripMargin
+
+  // ------------------------------------------------------ vocab coverage
+  /** Tokenizer-vocabulary size for the coverage gauge: the driver corpus
+    * has ~31 distinct whitespace tokens, so a top-16 vocabulary leaves a
+    * real OOV tail (a production V of 32k-plus would be vacuously
+    * complete here; the PLAN is identical either way). */
+  private[graft] val VOCAB_V = 16
+
+  /** Per-source out-of-vocabulary rate against the corpus top-V
+    * vocabulary — the gauge run before committing to a tokenizer vocab:
+    * which sources will fragment into unknown tokens.
+    *
+    * Scale: ONE wide shuffle reduces raw tokens to the (source, token)
+    * count frame; the corpus vocabulary re-aggregates THAT reduced frame
+    * (|types| rows) and its top-V is a bounded TakeOrdered broadcast back
+    * — the raw token stream is never shuffled twice, and no window
+    * touches a data-proportional frame.
+    */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c"))
+    val vocab = st.groupBy("tok").agg(sum("c").as("cc"))
+      .orderBy(desc("cc"), col("tok"))
+      .limit(VOCAB_V)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    st.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_toks"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L))).as("oov_toks"),
+        sum(when(col("in_vocab").isNull, lit(1L)).otherwise(lit(0L))).as("oov_types"),
+        round(sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L)))
+          / sum("c").cast("double"), 6).as("oov_rate"))
+      .orderBy("source")
+  }
+
+  val oracleVocabCoverage: String =
+    s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |st AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+       |vocab AS (
+       |  SELECT tok FROM (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY tok)
+       |  ORDER BY cc DESC, tok LIMIT $VOCAB_V)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_toks, count(*) AS n_types,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT) AS oov_toks,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+       |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT)
+       |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 6) AS oov_rate
+       |FROM st LEFT JOIN vocab v ON st.tok = v.tok
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ prefix dedup
+  private[graft] val PREFIX_LEN = 48
+
+  /** Boilerplate-prefix clusters: documents sharing the same normalized
+    * leading 48 characters (alnum-only). Catches templated headers /
+    * mirrored page intros that full-document exact dedup misses when the
+    * tails differ — the cheap first pass before shingle-level dedup.
+    *
+    * Scale: narrow projection to a fixed-width key, one count shuffle,
+    * HAVING-style filter AFTER map-side partial aggregation. The keeper
+    * id rides the same aggregate (min), so no second pass or window.
+    */
+  def qPrefixDup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[^a-z0-9]", ""), 1, PREFIX_LEN).as("pfx"))
+      .groupBy("pfx")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .select(col("pfx"), col("n_docs"), col("keep_id"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy(desc("n_docs"), col("pfx"))
+
+  val oraclePrefixDup: String =
+    s"""SELECT pfx, count(*) AS n_docs, min(doc_id) AS keep_id,
+       |  count(*) - 1 AS n_dropped
+       |FROM (SELECT doc_id,
+       |        substr(regexp_replace(text, '[^a-z0-9]', '', 'g'), 1, $PREFIX_LEN) AS pfx
+       |      FROM documents)
+       |GROUP BY pfx HAVING count(*) > 1
+       |ORDER BY n_docs DESC, pfx""".stripMargin
+
+  // ------------------------------------------------ negative sampling
+  private[graft] val NEG_TOP = 20
+
+  /** Word2vec-style negative-sampling table: unigram counts smoothed by
+    * the standard 3/4 power, normalized to a sampling distribution.
+    *
+    * Cross-engine exactness: `c^0.75` is computed as
+    * `sqrt(c * sqrt(c))` — both sqrt calls are IEEE-correctly-rounded in
+    * both engines, so the double is bit-identical — then rounded to
+    * integer MICROS before the normalizing sum (BIGINT-exact; a raw
+    * double sum would be order-dependent).
+    *
+    * Scale: token-count shuffle with map-side combine, then the top-N is
+    * a bounded TakeOrdered; the normalizer is a 1-row broadcast over the
+    * already-reduced |types| frame.
+    */
+  def qNegSampling(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    val weighted = counts.select(col("tok"), col("c"),
+      round(sqrt(cd * sqrt(cd)) * 1e6).cast("long").as("w_micro"))
+    val tot = weighted.agg(sum("w_micro").as("tot_micro"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c"), col("w_micro"),
+        round(col("w_micro") / col("tot_micro").cast("double"), 6).as("p_neg"))
+      .orderBy(desc("w_micro"), col("tok"))
+      .limit(NEG_TOP)
+  }
+
+  val oracleNegSampling: String =
+    s"""WITH counts AS (
+       |  SELECT tok, count(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |w AS (
+       |  SELECT tok, c,
+       |    CAST(round(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) * 1000000) AS BIGINT) AS w_micro
+       |  FROM counts),
+       |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_micro FROM w)
+       |SELECT tok, c, w_micro,
+       |  round(w_micro / CAST(tot_micro AS DOUBLE), 6) AS p_neg
+       |FROM w, t
+       |ORDER BY w_micro DESC, tok LIMIT $NEG_TOP""".stripMargin
+
+  // ------------------------------------------------ corpus diversity
+  /** Per-source lexical-diversity profile: type-token ratio, Simpson
+    * concentration (unbiased `sum c(c-1) / N(N-1)`), Gini-Simpson and
+    * inverse-Simpson ("effective vocabulary") — the corpus-mix dashboard
+    * row that flags a source collapsing onto few tokens.
+    *
+    * All indices are ratios of exact BIGINT count-pair sums (the c(c-1)
+    * products accumulate in decimal(38,0) so no scale overflows them);
+    * doubles appear only at the 6dp output edge — no transcendentals, so
+    * the hashes are engine-independent.
+    *
+    * Scale: raw tokens reduce once to (source, token) counts; every
+    * index then aggregates that reduced frame. Same two-stage reduction
+    * discipline as `q_vocab_coverage`.
+    */
+  def qCorpusDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_toks"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("pairs"))
+      .select(
+        col("source"), col("n_toks"), col("n_types"),
+        round(col("n_types") / col("n_toks").cast("double"), 6).as("ttr"),
+        round(col("pairs").cast("double")
+          / (col("n_toks").cast("double") * (col("n_toks") - 1).cast("double")), 6).as("simpson"),
+        round(lit(1.0) - col("pairs").cast("double")
+          / (col("n_toks").cast("double") * (col("n_toks") - 1).cast("double")), 6).as("gini_simpson"),
+        round(col("n_toks").cast("double") * (col("n_toks") - 1).cast("double")
+          / col("pairs").cast("double"), 4).as("inv_simpson"))
+      .orderBy("source")
+
+  val oracleCorpusDiversity: String =
+    """WITH st AS (
+      |  SELECT source, tok, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY source, tok),
+      |agg AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_toks, count(*) AS n_types,
+      |    CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS pairs
+      |  FROM st GROUP BY source)
+      |SELECT source, n_toks, n_types,
+      |  round(n_types / CAST(n_toks AS DOUBLE), 6) AS ttr,
+      |  round(CAST(pairs AS DOUBLE)
+      |    / (CAST(n_toks AS DOUBLE) * CAST(n_toks - 1 AS DOUBLE)), 6) AS simpson,
+      |  round(CAST(1.0 AS DOUBLE) - CAST(pairs AS DOUBLE)
+      |    / (CAST(n_toks AS DOUBLE) * CAST(n_toks - 1 AS DOUBLE)), 6) AS gini_simpson,
+      |  round(CAST(n_toks AS DOUBLE) * CAST(n_toks - 1 AS DOUBLE)
+      |    / CAST(pairs AS DOUBLE), 4) AS inv_simpson
+      |FROM agg ORDER BY source""".stripMargin
 }

@@ -260,7 +260,15 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_gains_curve: ntileExact's two 1-row frames + 1-row weights
         "q_hits", "q_bootstrap_ci", "q_ab_welch", "q_cuped", "q_survival_km",
         // q_forecast_backtest crossJoins the 1-row max-month and fit frames
-        "q_gains_curve", "q_forecast_backtest")
+        "q_gains_curve", "q_forecast_backtest",
+        // q_value_share / q_neg_sampling crossJoin a 1-row grand-total
+        // frame computed from the ALREADY-REDUCED per-key frame;
+        // q_lapsed_balance crossJoins the 1-row positive-balance
+        // threshold frame (q_target_encode's shape)
+        "q_value_share", "q_neg_sampling", "q_lapsed_balance",
+        // q_mix_shift crossJoins the 1-row year-totals frame computed
+        // from the enum-sized (segment, year) aggregate
+        "q_mix_shift")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

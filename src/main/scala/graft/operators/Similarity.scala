@@ -2217,6 +2217,80 @@ object Similarity {
        |  min_cos
        |FROM per, t ORDER BY cell""".stripMargin
 
+  // ------------------------------------------------------------- silhouette
+  /** Simplified (centroid-based) silhouette per trained cluster: for
+    * each vector, a = distance to its own centroid, b = distance to the
+    * best OTHER centroid; with cosine distance d = 1 − cos this
+    * simplifies to s = (cos₁ − cos₂)/(1 − cos₂). The separation gauge
+    * [[qKmeansProfile]] lacks: mean_cos says how TIGHT a cell is, the
+    * silhouette says whether its members would rather live elsewhere
+    * (negative s ⇒ the quantizer's cell boundary cuts a natural
+    * cluster — the signal to raise IVF_K before trusting cell-confined
+    * semantic dedup).
+    *
+    * The full-silhouette-vs-simplified tradeoff is deliberate: exact
+    * silhouette is all-pairs within cells (O(Σ n_c²) — the quadratic
+    * this codebase bans); the centroid form is one K-bounded broadcast
+    * per row and is the standard approximation at scale.
+    *
+    * Exactness: cosines round to 6dp before the top-2 sort (identical
+    * doubles both engines, ties to the lower cell id); per-cell means
+    * fold as integer micros.
+    *
+    * Scale: |corpus|×K scored rows reduce in ONE map-side-combinable
+    * aggregate (collect_list is K-bounded per group); no window, no
+    * per-cell materialization.
+    */
+  def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cent = trainedCentroidsFor(s, dir)
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        round(cosine(s, "emb", "centroid"), 6).as("c"))
+    val top2 = scored
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(
+        struct((-col("c")).as("nc"), col("cell").as("cl")))).as("arr"))
+      .select(
+        col("arr")(0)("cl").as("cell"),
+        (-col("arr")(0)("nc")).as("c1"),
+        (-col("arr")(1)("nc")).as("c2"))
+    val sil = top2.select(col("cell"),
+      when(lit(1.0) - col("c2") =!= 0.0,
+        round((col("c1") - col("c2")) / (lit(1.0) - col("c2")), 6)).as("sil"))
+    sil.groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        count(col("sil")).as("n_scored"),
+        round(sum(round(col("sil") * 1e6).cast("long")) / 1e6
+          / count(col("sil")), 6).as("mean_sil"),
+        min(col("sil")).as("min_sil"),
+        sum((col("sil") < 0).cast("long")).as("n_neg"))
+      .orderBy("cell")
+  }
+
+  val oracleSilhouette: String =
+    s"""WITH $kmeansCtes,
+       |sc AS (
+       |  SELECT e.vec_id, c.cell, round(${cosSql("e.emb", "c.centroid")}, 6) AS c
+       |  FROM e CROSS JOIN cent c),
+       |top2 AS (
+       |  SELECT vec_id,
+       |    (list(cell ORDER BY c DESC, cell))[1] AS cell,
+       |    (list(c ORDER BY c DESC, cell))[1] AS c1,
+       |    (list(c ORDER BY c DESC, cell))[2] AS c2
+       |  FROM sc GROUP BY vec_id),
+       |s AS (
+       |  SELECT cell,
+       |    CASE WHEN 1.0 - c2 <> 0 THEN round((c1 - c2) / (1.0 - c2), 6) END AS sil
+       |  FROM top2)
+       |SELECT CAST(cell AS INT) AS cell, count(*) AS n, count(sil) AS n_scored,
+       |  round(CAST(sum(CAST(round(sil * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0
+       |    / count(sil), 6) AS mean_sil,
+       |  min(sil) AS min_sil,
+       |  CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       |FROM s GROUP BY cell ORDER BY cell""".stripMargin
+
   // --------------------------------------------------- principal component
 
   /** Power-iteration count for [[qEmbeddingPca]]. The start vector is

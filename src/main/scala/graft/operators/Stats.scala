@@ -966,4 +966,75 @@ object Stats {
        |    / ${BOOT_B - 1}), 4) AS boot_se
        |FROM mm, pt""".stripMargin
   }
+
+  // ------------------------------------------------------------ Theil index
+  /** Theil-T inequality decomposition of positive customer balances into
+    * BETWEEN-nation and WITHIN-nation components — the property the
+    * inequality family's other members lack (`q_hhi` has no grouping
+    * decomposition; `q_gini_binned` is not additively decomposable at
+    * all): T_total = Σ_g between_term_g + Σ_g share_g · T_g, so a
+    * reviewer reads exactly how much inequality nations explain.
+    *
+    * Cross-engine exactness: per-row `x·ln(x)` is rounded to integer
+    * MILLIS before the group sum (BIGINT-exact fold — a raw double sum
+    * is order-dependent and Spark/DuckDB aggregate in different orders);
+    * a 1-ulp libm `ln` disagreement can flip a row's milli by 1, which
+    * moves T by ~1e-11 — far under the 6dp edge. Group/total counts and
+    * cent sums are exact BIGINTs; every double expression mirrors the
+    * oracle token-for-token.
+    *
+    * Scale: one nation-keyed aggregate with map-side partials; totals
+    * re-aggregate the nation-sized frame and crossJoin back as a 1-row
+    * broadcast.
+    */
+  def qTheil(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        round(col("c_acctbal") * 100).cast("long").as("x"))
+      .filter(col("x") > 0)
+    val xd = col("x").cast("double")
+    val per = cust
+      .select(col("nation"), col("x"),
+        round(xd * log(xd) * 1000).cast("long").as("w_milli"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_cust"), sum("x").as("xg"),
+        sum("w_milli").as("w_milli"))
+    val tot = per.agg(sum("n_cust").as("tot_n"), sum("xg").as("tot_x"))
+    // T_g = (Σ x ln x)/X_g + ln(n_g) − ln(X_g); scale cancels, so cents
+    // give the same Theil as dollars
+    val tg = col("w_milli") / lit(1000.0) / col("xg") +
+      log(col("n_cust").cast("double")) - log(col("xg").cast("double"))
+    val share = col("xg") / col("tot_x").cast("double")
+    val nshare = col("n_cust") / col("tot_n").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("nation"), col("n_cust"),
+        (col("xg") / 100.0).as("balance"),
+        round(tg, 6).as("theil_within"),
+        round(share, 6).as("share"),
+        round(share * (log(share) - log(nshare)), 6).as("between_term"),
+        round(share * tg, 6).as("within_contrib"))
+      .orderBy("nation")
+  }
+
+  val oracleTheil: String =
+    """WITH cust AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS x
+      |  FROM customer WHERE round(c_acctbal * 100) > 0),
+      |per AS (
+      |  SELECT nation, count(*) AS n_cust, CAST(sum(x) AS BIGINT) AS xg,
+      |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)) * 1000) AS BIGINT)) AS BIGINT) AS w_milli
+      |  FROM cust GROUP BY nation),
+      |t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS tot_n,
+      |  CAST(sum(xg) AS BIGINT) AS tot_x FROM per)
+      |SELECT nation, n_cust, xg / 100.0 AS balance,
+      |  round(w_milli / 1000.0 / xg
+      |    + ln(CAST(n_cust AS DOUBLE)) - ln(CAST(xg AS DOUBLE)), 6) AS theil_within,
+      |  round(xg / CAST(tot_x AS DOUBLE), 6) AS share,
+      |  round(xg / CAST(tot_x AS DOUBLE)
+      |    * (ln(xg / CAST(tot_x AS DOUBLE)) - ln(n_cust / CAST(tot_n AS DOUBLE))), 6) AS between_term,
+      |  round(xg / CAST(tot_x AS DOUBLE)
+      |    * (w_milli / 1000.0 / xg
+      |       + ln(CAST(n_cust AS DOUBLE)) - ln(CAST(xg AS DOUBLE))), 6) AS within_contrib
+      |FROM per, t ORDER BY nation""".stripMargin
 }

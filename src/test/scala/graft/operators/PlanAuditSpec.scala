@@ -267,8 +267,13 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // threshold frame (q_target_encode's shape)
         "q_value_share", "q_neg_sampling", "q_lapsed_balance",
         // q_mix_shift crossJoins the 1-row year-totals frame computed
-        // from the enum-sized (segment, year) aggregate
-        "q_mix_shift")
+        // from the enum-sized (segment, year) aggregate; q_theil
+        // crossJoins the 1-row corpus-totals frame over the
+        // nation-sized per-group frame
+        "q_mix_shift", "q_theil",
+        // q_silhouette broadcasts the IVF_K-row trained centroids
+        // (q_dedup_semantic's shape)
+        "q_silhouette")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -1615,13 +1615,17 @@ object Relational {
        |FROM l GROUP BY order_year ORDER BY order_year""".stripMargin
 
   /** Q11-style important-stock share: parts whose total revenue exceeds
-    * a fixed fraction (1 bp) of corpus revenue, with their share.
+    * 1.5× the MEAN part revenue, with their corpus share. The threshold
+    * is mean-relative (not an absolute fraction) so the screen survives
+    * scale-up: a fixed "1 bp of corpus revenue" bar empties as the part
+    * catalog grows (verified empirically at the 10× battery), while
+    * "1.5× the average part" selects a stable tail at every SF.
     *
     * Exactness: per-row revenue is cent-rounded to BIGINT, summed
     * exactly; the threshold compare is pure integer
-    * (`part_cents * 10000 > total_cents` via decimal(38,0) so the
-    * multiply can never overflow at scale) — no double enters until the
-    * 6dp share at the output edge.
+    * (`2·part_cents·n_parts > 3·total_cents` via decimal(38,0) /
+    * HUGEINT so the cross-multiply can never overflow at scale) — no
+    * double enters until the 6dp share at the output edge.
     *
     * Scale: one shuffle on `l_partkey` with map-side partial sums; the
     * 1-row grand total re-aggregates the ALREADY-REDUCED per-part frame
@@ -1634,9 +1638,11 @@ object Relational {
       .select(col("l_partkey"), cents.as("cents"))
       .groupBy("l_partkey")
       .agg(sum("cents").as("part_cents"))
-    val total = perPart.agg(sum("part_cents").as("total_cents"))
+    val total = perPart.agg(sum("part_cents").as("total_cents"),
+      count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("part_cents").cast("decimal(38,0)") * 10000 > col("total_cents"))
+      .filter(col("part_cents").cast("decimal(38,0)") * col("n_parts") * 2 >
+        col("total_cents").cast("decimal(38,0)") * 3)
       .select(
         col("l_partkey"),
         (col("part_cents") / 100.0).as("part_value"),
@@ -1649,12 +1655,13 @@ object Relational {
       |  SELECT l_partkey,
       |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS part_cents
       |  FROM lineitem GROUP BY l_partkey),
-      |t AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents FROM pp)
+      |t AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents,
+      |  count(*) AS n_parts FROM pp)
       |SELECT l_partkey,
       |  part_cents / 100.0 AS part_value,
       |  round(part_cents / CAST(total_cents AS DOUBLE), 6) AS rev_share
       |FROM pp, t
-      |WHERE part_cents * 10000 > total_cents
+      |WHERE CAST(part_cents AS HUGEINT) * n_parts * 2 > CAST(total_cents AS HUGEINT) * 3
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 
   /** Q22-style lapsed high-balance customers: customers whose balance

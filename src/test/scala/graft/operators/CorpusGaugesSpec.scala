@@ -21,11 +21,14 @@ class CorpusGaugesSpec extends AnyFunSpec with SparkTestBase {
         .cast("long").as("c"))
       .agg(sum("c")).head.getLong(0)
 
-    it("admits exactly the parts whose value exceeds 1bp of corpus revenue") {
+    lazy val nParts = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+
+    it("admits exactly the parts whose value exceeds 1.5x the mean part") {
       assert(rows.nonEmpty, "vacuous: no important parts")
       rows.foreach { r =>
         val partCents = math.round(r.getDouble(1) * 100)
-        assert(partCents * 10000L > totalCents,
+        assert(BigInt(partCents) * nParts * 2 > BigInt(totalCents) * 3,
           s"part ${r.getLong(0)} below threshold")
       }
     }
@@ -51,8 +54,8 @@ class CorpusGaugesSpec extends AnyFunSpec with SparkTestBase {
         .agg(max("pc")).head
       if (!excludedRow.isNullAt(0)) { // at tiny SF every part can qualify
         val bestExcluded = excludedRow.getLong(0)
-        assert(bestExcluded * 10000L <= totalCents,
-          "an excluded part passes the 1bp threshold")
+        assert(BigInt(bestExcluded) * nParts * 2 <= BigInt(totalCents) * 3,
+          "an excluded part passes the mean-relative threshold")
         assert(bestExcluded <= floor)
       }
     }

@@ -941,4 +941,85 @@ object Pipeline {
        |  CAST(sum(CASE WHEN sc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  // ------------------------------------------------------ filter ablation
+  /** Quality-rule ablation: for each curation filter, how many docs it
+    * flags and — the number that actually matters when tuning a filter
+    * stack — how many it flags ALONE (its marginal contribution: drop
+    * the rule and exactly n_only docs come back). `q_quality_sweep`
+    * varies ONE threshold; this attributes the drop set across RULES,
+    * which is how a curation reviewer decides what to relax.
+    *
+    * Rules (calibrated to fire distinctly on the driver corpus):
+    * short (< 20 words), low_stop (stopword ratio < 2%), low_ttr
+    * (type-token ratio < 0.33 — templated/repetitive), long_words
+    * (mean word length > 4.75 — code/gibberish proxy).
+    *
+    * All counts are exact integers; rates are one division at the 6dp
+    * edge. Scale: ONE corpus pass reduces to a 1-row flag-sum frame
+    * (map-side combinable), localCheckpointed so the four per-rule
+    * output branches read one cached row instead of re-planning four
+    * corpus scans (the q_corr_matrix lesson); output is |rules| rows.
+    */
+  def qFilterAblation(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nw = size(words).cast("double")
+    val nStop = size(expr(
+      "filter(split(text, ' '), w -> w IN ('the','a','or','and','of'))")).cast("double")
+    val ttr = size(array_distinct(words)).cast("double") / nw
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") / nw
+    val flags = Tables.documents(s, dir).select(
+      (nw < 20).cast("long").as("f1"),
+      (nStop / nw < 0.02).cast("long").as("f2"),
+      (ttr < 0.33).cast("long").as("f3"),
+      (mwl > 4.75).cast("long").as("f4"))
+    def only(i: Int): org.apache.spark.sql.Column = {
+      val others = (1 to 4).filter(_ != i).map(j => col(s"f$j")).reduce(_ + _)
+      sum(when(col(s"f$i") === 1 && others === 0, 1L).otherwise(0L))
+    }
+    val agg = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum("f1").as("n1"), sum("f2").as("n2"),
+      sum("f3").as("n3"), sum("f4").as("n4"),
+      only(1).as("o1"), only(2).as("o2"), only(3).as("o3"), only(4).as("o4"),
+      sum(when(col("f1") + col("f2") + col("f3") + col("f4") > 0, 1L)
+        .otherwise(0L)).as("n_any"))
+      .localCheckpoint()
+    val rules = Seq("short" -> 1, "low_stop" -> 2, "low_ttr" -> 3, "long_words" -> 4)
+    rules.map { case (name, i) =>
+      agg.select(lit(name).as("rule"),
+        col(s"n$i").as("n_flagged"), col(s"o$i").as("n_only"),
+        round(col(s"n$i") / col("n_docs").cast("double"), 6).as("flag_rate"),
+        round(col(s"o$i") / col("n_docs").cast("double"), 6).as("only_rate"),
+        col("n_any"))
+    }.reduce(_.union(_)).orderBy("rule")
+  }
+
+  val oracleFilterAblation: String = {
+    val f = Seq(
+      "CASE WHEN len(string_split(text,' ')) < 20 THEN 1 ELSE 0 END",
+      "CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a','or','and','of')))::DOUBLE / len(string_split(text,' ')) < 0.02 THEN 1 ELSE 0 END",
+      "CASE WHEN len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' ')) < 0.33 THEN 1 ELSE 0 END",
+      "CASE WHEN length(replace(text,' ',''))::DOUBLE / len(string_split(text,' ')) > 4.75 THEN 1 ELSE 0 END")
+    def only(i: Int): String = {
+      val others = (1 to 4).filter(_ != i).map(j => s"f$j").mkString(" + ")
+      s"CAST(sum(CASE WHEN f$i = 1 AND $others = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    }
+    val rules = Seq("short" -> 1, "low_stop" -> 2, "low_ttr" -> 3, "long_words" -> 4)
+    val branches = rules.map { case (name, i) =>
+      s"""SELECT '$name' AS rule, n$i AS n_flagged, o$i AS n_only,
+         |  round(n$i / CAST(n_docs AS DOUBLE), 6) AS flag_rate,
+         |  round(o$i / CAST(n_docs AS DOUBLE), 6) AS only_rate, n_any
+         |FROM a""".stripMargin
+    }
+    s"""WITH fl AS (SELECT ${f.zipWithIndex.map { case (e, i) => s"$e AS f${i + 1}" }.mkString(", ")}
+       |  FROM documents),
+       |a AS (SELECT count(*) AS n_docs,
+       |  ${(1 to 4).map(i => s"CAST(sum(f$i) AS BIGINT) AS n$i").mkString(", ")},
+       |  ${(1 to 4).map(i => s"${only(i)} AS o$i").mkString(", ")},
+       |  CAST(sum(CASE WHEN f1 + f2 + f3 + f4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+       |  FROM fl)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY rule""".stripMargin
+  }
 }

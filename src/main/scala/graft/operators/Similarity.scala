@@ -2291,6 +2291,73 @@ object Similarity {
        |  CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
        |FROM s GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ---------------------------------------------------------- OOD scoring
+  private[graft] val OOD_TOP = 20
+
+  /** Diagonal-covariance Mahalanobis OOD screen: per-dimension corpus
+    * mean/stddev, each vector scored by √Σ((v−μ)/σ)², top-[[OOD_TOP]]
+    * reported. The DISTRIBUTIONAL outlier complement to
+    * [[qKnnOutlier]]'s kNN-distance screen: kNN flags points far from
+    * their neighbors (local density), Mahalanobis flags points whose
+    * coordinates are jointly implausible under the corpus distribution
+    * (global shape) — a vector can be OOD while sitting in a tight
+    * cluster of fellow outliers, which kNN misses by construction.
+    * Diagonal covariance chosen over full-matrix deliberately: a
+    * DIM×DIM inverse is a driver-side dense solve that doesn't
+    * distribute; the diagonal form is one broadcast and is the standard
+    * embedding-monitoring approximation.
+    *
+    * Exactness: per-dim μ/σ round to 6dp before use (identical doubles
+    * both engines); each z² term rounds to integer micros so the
+    * per-vector sum folds BIGINT-exact in any order; constant dims
+    * (σ=0) null out and drop from the sum identically.
+    *
+    * Scale: the per-dim stats are ONE map-side-combinable DIM-keyed
+    * aggregate (the q_embedding_pca shape); scoring is a DIM-row
+    * broadcast join + one vec-keyed combine; the report is a bounded
+    * TakeOrdered on the rounded score with vec_id ties — no global
+    * sort, no window.
+    */
+  def qOodScore(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val x = e.select(col("vec_id"), col("label"),
+      posexplode(col("emb")).as(Seq("pos", "v")))
+    val stats = x.groupBy("pos")
+      .agg(round(avg("v"), 6).as("mu"), round(stddev_pop("v"), 6).as("sd"))
+    val z = (col("v") - col("mu")) / col("sd")
+    x.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("label"),
+        when(col("sd") =!= 0.0, round(z * z * 1e6).cast("long")).as("z2_micro"))
+      .groupBy("vec_id", "label")
+      .agg(sum("z2_micro").as("md2_micro"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(col("md2_micro") / 1e6), 6).as("mahal"))
+      .orderBy(desc("mahal"), col("vec_id"))
+      .limit(OOD_TOP)
+  }
+
+  val oracleOodScore: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding AS emb FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, label, i AS pos, emb[i]::DOUBLE AS v
+       |  FROM e, unnest(generate_series(1, len(emb))) AS t(i)),
+       |st AS (
+       |  SELECT pos, round(avg(v), 6) AS mu, round(stddev_pop(v), 6) AS sd
+       |  FROM x GROUP BY pos),
+       |tm AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN sd <> 0.0
+       |      THEN CAST(round(((v - mu) / sd) * ((v - mu) / sd) * 1000000) AS BIGINT)
+       |    END AS z2
+       |  FROM x JOIN st USING (pos)),
+       |md AS (
+       |  SELECT vec_id, label, CAST(sum(z2) AS BIGINT) AS m
+       |  FROM tm GROUP BY vec_id, label)
+       |SELECT vec_id, label, round(sqrt(m / 1000000.0), 6) AS mahal
+       |FROM md ORDER BY mahal DESC, vec_id LIMIT $OOD_TOP""".stripMargin
+
   // --------------------------------------------------- principal component
 
   /** Power-iteration count for [[qEmbeddingPca]]. The start vector is

@@ -798,4 +798,75 @@ object Graph {
       |SELECT side, CAST(length(bin(deg)) - 1 AS BIGINT) AS bin,
       |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
       |FROM deg GROUP BY 1, 2 ORDER BY side, bin""".stripMargin
+
+  // -------------------------------------------------------- assortativity
+  /** Degree assortativity of the customer–supplier trade graph: the
+    * Pearson correlation of (customer degree, supplier degree) across
+    * distinct edges — the one-number answer to "do busy customers trade
+    * with busy suppliers?" that `q_degree_dist`'s per-side histograms
+    * cannot give (bipartite graphs are typically DISassortative: hubs
+    * connect to the broad base, r < 0 — a positive r here would flag a
+    * synthetic-data generation bug).
+    *
+    * Exactness: degrees are exact edge counts; all five moments fold as
+    * decimal(38,0)/HUGEINT with the operand cast BEFORE the multiply
+    * (the q_corr_matrix overflow rule: deg² reaches ~1e12 per edge and
+    * BIGINT partials overflow within one partition at scale); doubles
+    * appear only in the final Pearson quotient at the 6dp edge.
+    *
+    * Scale: the edge list reduces ONCE (distinct); each side's degree
+    * re-aggregates that reduced frame and joins back on its own key —
+    * two fact-frame shuffles total, both on join keys Catalyst can
+    * co-partition with the degree aggregates; the moment fold is one
+    * map-side-combinable 1-row aggregate.
+    */
+  def qGraphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .distinct()
+    val cdeg = edges.groupBy("c").agg(count(lit(1)).as("dc"))
+    val sdeg = edges.groupBy("p").agg(count(lit(1)).as("ds"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    edges.join(cdeg, "c").join(sdeg, "p")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(dec(col("dc"))).as("sx"), sum(dec(col("ds"))).as("sy"),
+        sum(dec(col("dc")) * col("dc")).as("sxx"),
+        sum(dec(col("ds")) * col("ds")).as("syy"),
+        sum(dec(col("dc")) * col("ds")).as("sxy"))
+      .select(col("n_edges"),
+        round(col("sx").cast("double") / col("n_edges"), 6).as("mean_cdeg"),
+        round(col("sy").cast("double") / col("n_edges"), 6).as("mean_sdeg"),
+        round((col("n_edges") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n_edges") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n_edges") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+  }
+
+  val oracleGraphAssortativity: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |cdeg AS (SELECT c, count(*) AS dc FROM edges GROUP BY c),
+      |sdeg AS (SELECT p, count(*) AS ds FROM edges GROUP BY p),
+      |m AS (
+      |  SELECT count(*) AS n_edges,
+      |    CAST(sum(CAST(dc AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(ds AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(dc AS HUGEINT) * dc) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(ds AS HUGEINT) * ds) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(dc AS HUGEINT) * ds) AS HUGEINT) AS sxy
+      |  FROM edges JOIN cdeg USING (c) JOIN sdeg USING (p))
+      |SELECT n_edges,
+      |  round(CAST(sx AS DOUBLE) / n_edges, 6) AS mean_cdeg,
+      |  round(CAST(sy AS DOUBLE) / n_edges, 6) AS mean_sdeg,
+      |  round((n_edges * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(n_edges * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(n_edges * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS assortativity
+      |FROM m""".stripMargin
 }

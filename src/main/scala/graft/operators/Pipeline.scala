@@ -1022,4 +1022,82 @@ object Pipeline {
        |${branches.mkString("\nUNION ALL\n")}
        |ORDER BY rule""".stripMargin
   }
+
+  // ---------------------------------------------------------- SRM check
+  /** Expected split shares for the 80/10/10 assignment — doubles with
+    * exact binary representations are NOT guaranteed here (0.8/0.1
+    * aren't dyadic), but both engines parse the identical literal to
+    * the identical double, which is all the hash compare needs. */
+  private[graft] val SRM_SHARES = Seq("train" -> "0.8", "val" -> "0.1", "test" -> "0.1")
+  /** χ² critical value at df=2, α=0.001 — the guardrail threshold the
+    * experimentation literature recommends for SRM gates (false SRM
+    * alarms at 5% would page every few runs at fleet scale). */
+  private[graft] val SRM_CRIT = "13.8155"
+
+  /** Sample-ratio-mismatch audit of the deterministic train/val/test
+    * split: observed vs expected counts, per-split χ² contribution, and
+    * the df=2 verdict — the FIRST check an experimentation/data
+    * platform runs before trusting anything downstream of an
+    * assignment (a biased split silently invalidates `q_ab_welch` and
+    * `q_cuped`, which assume it). Counts are exact integers; E = N·p
+    * and the (O−E)²/E terms are mirrored double expressions; the total
+    * and verdict ride a second 1-row crossJoin over the 3-row frame.
+    *
+    * Scale: one enum-keyed count aggregate (map-side combinable), then
+    * arithmetic on ≤3-row frames — nothing downstream grows with the
+    * corpus.
+    */
+  def qSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir)
+      .select(splitCol.as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum("n_obs").as("n_total"))
+    // bare 0.8/0.1 literals are DECIMAL in both engines (the recursive-CTE
+    // anchor-typing lesson) — cast the share to DOUBLE before any use
+    val expShare = SRM_SHARES.tail.foldLeft(
+      when(col("split") === SRM_SHARES.head._1, expr(SRM_SHARES.head._2))) {
+      case (c, (k, v)) => c.when(col("split") === k, expr(v))
+    }.cast("double")
+    val terms = obs.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_obs"), col("n_total"),
+        expShare.as("p"),
+        (col("n_total").cast("double") * expShare).as("expected"))
+      .select(col("split"), col("n_obs"),
+        round(col("n_obs") / col("n_total").cast("double"), 6).as("obs_share"),
+        col("p").as("exp_share"),
+        round((col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+          / col("expected"), 6).as("chi2_term"))
+    val total = terms.agg(round(sum("chi2_term"), 6).as("chi2_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("split"), col("n_obs"), col("obs_share"), col("exp_share"),
+        col("chi2_term"), col("chi2_total"),
+        (col("chi2_total") > expr(SRM_CRIT)).cast("long").as("srm_flag"))
+      .orderBy("split")
+  }
+
+  val oracleSrmCheck: String = {
+    val h = graft.functions.HashFns.h60Sql("CAST(doc_id AS VARCHAR)")
+    val shareCase = SRM_SHARES.map { case (k, v) =>
+      s"WHEN split = '$k' THEN $v"
+    }.mkString("CAST(CASE ", " ", " END AS DOUBLE)")
+    s"""WITH assigned AS (
+       |  SELECT CASE WHEN $h % 100 < 80 THEN 'train'
+       |              WHEN $h % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents),
+       |obs AS (SELECT split, count(*) AS n_obs FROM assigned GROUP BY split),
+       |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+       |terms AS (
+       |  SELECT split, n_obs,
+       |    round(n_obs / CAST(n_total AS DOUBLE), 6) AS obs_share,
+       |    $shareCase AS exp_share,
+       |    round((n_obs - CAST(n_total AS DOUBLE) * ($shareCase))
+       |        * (n_obs - CAST(n_total AS DOUBLE) * ($shareCase))
+       |        / (CAST(n_total AS DOUBLE) * ($shareCase)), 6) AS chi2_term
+       |  FROM obs, t),
+       |ct AS (SELECT round(sum(chi2_term), 6) AS chi2_total FROM terms)
+       |SELECT split, n_obs, obs_share, exp_share, chi2_term, chi2_total,
+       |  CAST(CASE WHEN chi2_total > $SRM_CRIT THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+       |FROM terms, ct ORDER BY split""".stripMargin
+  }
 }

@@ -273,7 +273,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_mix_shift", "q_theil",
         // q_silhouette broadcasts the IVF_K-row trained centroids
         // (q_dedup_semantic's shape)
-        "q_silhouette")
+        "q_silhouette",
+        // q_srm_check crossJoins two 1-row frames (split total, chi2
+        // total) over the enum-sized split-count frame
+        "q_srm_check")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -256,6 +256,53 @@ object StreamOps {
         (round(psi, 6) > graft.operators.Pipeline.PSI_T).as("drifted"))
   }
 
+  /** Trained per-dimension embedding-stats artifact for [[oodMonitor]]
+    * — the batch side of the streaming OOD pair
+    * (`Similarity.qOodScore`'s per-dim μ/σ, collected once as the
+    * nightly artifact, 6dp-rounded like the batch query so the two
+    * paths score identically). One DIM-keyed map-side-combinable
+    * aggregate; the collect is DIM rows. */
+  def trainDimStats(embs: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = embs
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(round(avg("v"), 6).as("mu"), round(stddev_pop("v"), 6).as("sd"))
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Windowed embedding-OOD monitor — the EMBEDDING-space member of the
+    * drift family (`driftMonitor` watches content, `psiMonitor` watches
+    * the length population; this watches the representation): each
+    * arriving vector scores the diagonal Mahalanobis √Σ((v−μ)/σ)²
+    * against the trained artifact (a stateless zip_with fold over two
+    * literal arrays — constant dims σ=0 contribute 0, mirroring the
+    * batch query's null-drop), and per tumbling hour the monitor emits
+    * count, mean/max distance, and how many vectors crossed `thresh` —
+    * the alert a feature-store ingest watches for an upstream encoder
+    * change or corrupted batch. One stateful op (the windowed agg,
+    * append mode, state bounded by open windows); identical on a
+    * static frame (watermark no-op).
+    */
+  def oodMonitor(vecs: DataFrame, mu: Seq[Double], sd: Seq[Double],
+      thresh: Double, delay: String = "1 hour"): DataFrame = {
+    require(mu.length == sd.length && mu.nonEmpty, "artifact shape: per-dim mu/sd")
+    val diffs = zip_with(col("embedding").cast("array<double>"),
+      typedLit(mu), (v, m) => v - m)
+    val z2 = zip_with(diffs, typedLit(sd), (d, s) =>
+      when(s =!= 0.0, (d / s) * (d / s)).otherwise(lit(0.0)))
+    val md = round(sqrt(aggregate(z2, lit(0.0), (acc, x) => acc + x)), 6)
+    vecs.withColumn("__md", md)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("__md"), 6).as("mean_mahal"),
+        max("__md").as("max_mahal"),
+        sum((col("__md") > thresh).cast("long")).as("n_ood"))
+      .select(col("w.start").cast("timestamp_ntz").as("hour_start"),
+        col("n_vecs"), col("mean_mahal"), col("max_mahal"), col("n_ood"))
+  }
+
   /** Streaming incremental near-dup probe — the streaming twin of
     * `Dedup.qDedupIncremental`'s near channel: each arriving document's
     * K-minhash signature (one stateless projection, bit-identical to

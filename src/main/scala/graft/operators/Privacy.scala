@@ -484,4 +484,64 @@ object Privacy {
     }
     perLevel.mkString("", "\nUNION ALL\n", "\nORDER BY gen_level")
   }
+
+  // ------------------------------------------------- l-diversity
+  /** l-diversity audit (`q_l_diversity`) — the release gate BETWEEN
+    * [[qKAnonymity]] (group size) and [[qTCloseness]] (distributional
+    * distance): a QI group can be large (k-anonymous) yet still leak if
+    * every member shares one sensitive value. Per (segment, nation)
+    * quasi-identifier group over the customers' orders: distinct
+    * sensitive values (order priority), entropy l-diversity
+    * exp(−Σ p·ln p), and the distinct-l ≥ 3 release flag.
+    *
+    * Scale shape: one fact aggregate to the (QI × sensitive) cell frame
+    * (enum-bounded: ≤ |segments|·|nations|·|priorities|), everything
+    * after runs on that frame. The entropy fold runs in sorted sensitive
+    * order on BOTH engines (≤5 terms — the sorted-fold determinism
+    * discipline).
+    */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.dim(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    val x = Tables.orders(s, dir).select("o_custkey", "o_orderpriority")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("o_orderpriority").as("sensitive"))
+    val cells = x.groupBy("segment", "nation", "sensitive")
+      .agg(count(lit(1)).as("cnt"))
+    cells.groupBy("segment", "nation")
+      .agg(sum("cnt").as("n"),
+        count(lit(1)).as("l_distinct"),
+        collect_list(struct(col("sensitive"), col("cnt"))).as("parts"))
+      .withColumn("ent", aggregate(array_sort(col("parts")), lit(0.0d),
+        (acc, e) => acc
+          - (e.getField("cnt").cast("double") / col("n").cast("double"))
+            * log(e.getField("cnt").cast("double") / col("n").cast("double"))))
+      .select(col("segment"), col("nation"),
+        col("n").cast("long").as("n"),
+        col("l_distinct").cast("long").as("l_distinct"),
+        round(exp(col("ent")), 6).as("entropy_l"),
+        (col("l_distinct") >= 3).as("meets_l3"))
+      .orderBy("segment", "nation")
+  }
+
+  val oracleLDiversity: String =
+    """WITH x AS (
+      |  SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+      |    o_orderpriority AS sensitive
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT segment, nation, sensitive, count(*) AS cnt
+      |  FROM x GROUP BY segment, nation, sensitive),
+      |c2 AS (SELECT segment, nation, sensitive, cnt,
+      |  sum(cnt) OVER (PARTITION BY segment, nation) AS n FROM cells)
+      |SELECT segment, nation, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS l_distinct,
+      |  round(exp(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY sensitive)),
+      |    (acc, x) -> acc + x)), 6) AS entropy_l,
+      |  count(*) >= 3 AS meets_l3
+      |FROM c2 GROUP BY segment, nation
+      |ORDER BY segment, nation""".stripMargin
 }

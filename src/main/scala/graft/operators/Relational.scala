@@ -1963,4 +1963,135 @@ object Relational {
       |  round(n2 / CAST(tot_n2 AS DOUBLE)
       |    * (c2 / CAST(n2 AS DOUBLE) / 100.0 - c1 / CAST(n1 AS DOUBLE) / 100.0), 6) AS rate_effect
       |FROM p, t ORDER BY segment""".stripMargin
+
+  // ------------------------------------------------- Q2 shape
+  /** The part-size class [[qMinPriceSupplier]] prices — shared with the
+    * oracle. */
+  private val MINCOST_SIZE = 25
+
+  /** TPC-H Q2's correlated-minimum shape (`q_min_price_supplier`),
+    * adapted to this schema (no partsupp table): for every part in one
+    * size class, the supplier(s) whose observed unit price
+    * (extendedprice/quantity) is the minimum for that part, ranked by
+    * supplier account balance. The classic "row matching a per-group
+    * scalar subquery" pattern.
+    *
+    * Scale shape: part and supplier dims broadcast; the fact aggregates
+    * once per (part, supplier) — map-side combinable — then the
+    * per-part minimum joins back by equality (AQE decides broadcast vs
+    * shuffle on the part-sized frame). Unit prices fold to exact integer
+    * MICROS before the min/equality so the join key is never a raw
+    * float expression (the sf1 cross-engine divergence class).
+    */
+  def qMinPriceSupplier(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.dim(s, dir, "part")
+      .filter(col("p_size") === MINCOST_SIZE)
+      .select("p_partkey", "p_name")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") / col("l_quantity") * 1e6).cast("long").as("micros"))
+    val offer = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_name", "l_suppkey")
+      .agg(min("micros").as("offer_micros"))
+    val best = offer.groupBy("p_partkey").agg(min("offer_micros").as("best_micros"))
+    offer.join(best, Seq("p_partkey"))
+      .filter(col("offer_micros") === col("best_micros"))
+      .join(Tables.dim(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        round(col("s_acctbal"), 2).as("s_acctbal"),
+        (col("offer_micros") / 1e6).as("min_unit_price"))
+      .orderBy(desc("s_acctbal"), col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  val oracleMinPriceSupplier: String =
+    s"""WITH offer AS (
+       |  SELECT p_partkey, p_name, l_suppkey,
+       |    min(CAST(round(l_extendedprice / l_quantity * 1e6) AS BIGINT)) AS offer_micros
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_size = $MINCOST_SIZE
+       |  GROUP BY p_partkey, p_name, l_suppkey),
+       |best AS (SELECT p_partkey, min(offer_micros) AS best_micros
+       |  FROM offer GROUP BY p_partkey)
+       |SELECT o.p_partkey, o.p_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
+       |  o.offer_micros / 1e6 AS min_unit_price
+       |FROM offer o
+       |JOIN best b ON o.p_partkey = b.p_partkey AND o.offer_micros = b.best_micros
+       |JOIN supplier s ON o.l_suppkey = s.s_suppkey
+       |ORDER BY s_acctbal DESC, o.p_partkey, s.s_name
+       |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------- Q10 shape
+  /** TPC-H Q10 (`q_returned_customers`): customers ranked by revenue
+    * lost to returned items — the churn-risk report. Revenue folds as
+    * exact integer cents (the sf1 float-sum divergence class,
+    * engineered out up front).
+    *
+    * Scale shape: lineitem pre-aggregates per ORDER before the
+    * orders join (a 4:1 shuffle reduction the flat join-then-aggregate
+    * plan pays in full); customer and nation broadcast; final top-20 is
+    * a TakeOrdered, never a global sort.
+    */
+  def qReturnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val liAgg = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("l_orderkey")
+      .agg(sum("cents").as("cents"), count(lit(1)).as("items"))
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.dim(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.dim(s, dir, "nation").select("n_nationkey", "n_name")
+    liAgg.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum("cents").as("rev_cents"), sum("items").as("n_items"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        (col("rev_cents") / 100.0).as("revenue"), col("n_items"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  val oracleReturnedCustomers: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- Q6 shape
+  /** TPC-H Q6 (`q_revenue_delta`): what-if revenue from discounts in a
+    * band — trivially small output, but the canonical FULL-pushdown
+    * showcase: all three range predicates (date, discount band,
+    * quantity cap) must reach the parquet scan so row groups outside
+    * the year are never decoded. Discount revenue folds as exact cents.
+    */
+  def qRevenueDelta(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * col("l_discount") * 100).cast("long")) / 100.0)
+          .as("promo_revenue"))
+
+  val oracleRevenueDelta: String =
+    """SELECT count(*) AS n_items,
+      |  sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS promo_revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
 }

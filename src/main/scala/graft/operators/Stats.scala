@@ -1037,4 +1037,217 @@ object Stats {
       |    * (w_milli / 1000.0 / xg
       |       + ln(CAST(n_cust AS DOUBLE)) - ln(CAST(xg AS DOUBLE))), 6) AS within_contrib
       |FROM per, t ORDER BY nation""".stripMargin
+
+  // ------------------------------------------------- Mann-Whitney U
+  /** The two market segments [[qMannWhitney]] compares — shared with the
+    * oracle so both engines filter identically. */
+  private val MW_A = "BUILDING"
+  private val MW_B = "MACHINERY"
+
+  /** Mann-Whitney U rank-sum test (`q_mannwhitney`): does order value
+    * distribute differently between two market segments? The
+    * nonparametric sibling of [[qAbWelch]] — the test a curation pipeline
+    * reaches for when the metric is heavy-tailed and a mean-based t-test
+    * is driven by its outliers.
+    *
+    * Scale shape: ranks come from [[Ranks.avgRank2]] (range-partitioned
+    * two-pass ranking — no global sort, no single-task window), returned
+    * as exact integer `rank2 = 2·avg_rank`. Rank sums and the tie
+    * correction Σ(t³−t) fold as DECIMAL(38,0) — zero float error until
+    * the final z division, which both engines perform on identical
+    * integers. The fact never shuffles except for the rank join (a
+    * |distinct values|-row frame, AQE-broadcastable).
+    */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.dim(s, dir, "customer")
+      .filter(col("c_mktsegment").isin(MW_A, MW_B))
+      .select("c_custkey", "c_mktsegment")
+    val x = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+    val ranks = Ranks.avgRank2(s, x.select("v"))
+    val ties = ranks.agg(
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt") - col("cnt")).as("tsum"),
+      sum(col("cnt")).as("n_tot"),
+      sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("tie_vals"))
+    val byG = x.join(ranks.select("v", "rank2"), Seq("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("rank2").cast("decimal(38,0)")).as("rs2"))
+    // two 1-row frames crossJoin (whitelisted bounded shape)
+    val wide = byG.agg(
+      sum(when(col("g") === MW_A, col("n"))).as("n_a"),
+      sum(when(col("g") === MW_B, col("n"))).as("n_b"),
+      sum(when(col("g") === MW_A, col("rs2"))).as("rs2_a"))
+      .crossJoin(ties)
+    def d(c: String) = col(c).cast("double")
+    val u2a = (col("rs2_a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1))
+      .cast("double")
+    wide.select(
+      col("n_a").cast("long").as("n_a"),
+      col("n_b").cast("long").as("n_b"),
+      col("tie_vals").cast("long").as("tie_vals"),
+      (u2a / 2.0).as("u_a"),
+      (d("n_a") * d("n_b") - u2a / 2.0).as("u_b"),
+      round((u2a / 2.0 - d("n_a") * d("n_b") / 2.0)
+        / sqrt(d("n_a") * d("n_b") / 12.0
+          * ((d("n_tot") + 1.0) - d("tsum") / (d("n_tot") * (d("n_tot") - 1.0)))),
+        6).as("z"))
+  }
+
+  val oracleMannWhitney: String =
+    s"""WITH x AS (
+       |  SELECT c_mktsegment AS g, o_totalprice AS v
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment IN ('$MW_A', '$MW_B')),
+       |c AS (SELECT v, count(*) AS cnt FROM x GROUP BY v),
+       |r AS (SELECT v, cnt,
+       |  2 * (sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS rank2
+       |  FROM c),
+       |t AS (SELECT
+       |  sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum,
+       |  sum(cnt) AS n_tot,
+       |  sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS tie_vals FROM c),
+       |g AS (SELECT x.g, count(*) AS n, sum(CAST(r.rank2 AS HUGEINT)) AS rs2
+       |  FROM x JOIN r USING (v) GROUP BY x.g),
+       |w AS (SELECT
+       |  sum(CASE WHEN g = '$MW_A' THEN n END) AS n_a,
+       |  sum(CASE WHEN g = '$MW_B' THEN n END) AS n_b,
+       |  sum(CASE WHEN g = '$MW_A' THEN rs2 END) AS rs2_a FROM g)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(tie_vals AS BIGINT) AS tie_vals,
+       |  CAST(rs2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+       |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |    - CAST(rs2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0 AS u_b,
+       |  round((CAST(rs2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0
+       |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+       |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+       |      * ((CAST(n_tot AS DOUBLE) + 1.0)
+       |         - CAST(tsum AS DOUBLE) / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) - 1.0)))),
+       |    6) AS z
+       |FROM w, t""".stripMargin
+
+  // ------------------------------------------------- Spearman rho
+  /** Spearman rank correlation (`q_spearman`) between lineitem quantity
+    * and extended price — the monotone-association gauge that survives
+    * the heavy right tail Pearson ([[qCorrMatrix]]) is dragged by.
+    *
+    * Scale shape: both rank frames come from [[Ranks.avgRank2]]. The
+    * quantity rank frame is broadcast (the quantity DOMAIN is a bounded
+    * integer grid by construction); the price rank frame joins by
+    * shuffle (AQE may still broadcast it at small SF). All five moments
+    * fold as DECIMAL(38,0) over exact integer rank2 values; ρ is one
+    * double expression over the single moment row, identical in both
+    * engines.
+    */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_quantity").as("xq"), col("l_extendedprice").as("xp"))
+    val rq = Ranks.avgRank2(s, li.select("xq"))
+      .select(col("v").as("xq"), col("rank2").as("rq"))
+    val rp = Ranks.avgRank2(s, li.select("xp"))
+      .select(col("v").as("xp"), col("rank2").as("rp"))
+    val j = li.join(broadcast(rq), Seq("xq")).join(rp, Seq("xp"))
+      .select(col("rq").cast("decimal(38,0)").as("rq"),
+        col("rp").cast("decimal(38,0)").as("rp"))
+    val m = j.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("rq")).as("sq"), sum(col("rp")).as("sp"),
+      sum(col("rq") * col("rq")).as("sqq"),
+      sum(col("rp") * col("rp")).as("spp"),
+      sum(col("rq") * col("rp")).as("sqp"))
+    def d(c: String) = col(c).cast("double")
+    m.select(
+      col("n").cast("long").as("n"),
+      round((d("n") * d("sqp") - d("sq") * d("sp"))
+        / (sqrt(d("n") * d("sqq") - d("sq") * d("sq"))
+          * sqrt(d("n") * d("spp") - d("sp") * d("sp"))), 6).as("rho"))
+  }
+
+  val oracleSpearman: String =
+    """WITH li AS (SELECT l_quantity AS xq, l_extendedprice AS xp FROM lineitem),
+      |cq AS (SELECT xq AS v, count(*) AS cnt FROM li GROUP BY xq),
+      |rq AS (SELECT v,
+      |  2 * (sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS rq
+      |  FROM cq),
+      |cp AS (SELECT xp AS v, count(*) AS cnt FROM li GROUP BY xp),
+      |rp AS (SELECT v,
+      |  2 * (sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS rp
+      |  FROM cp),
+      |j AS (SELECT CAST(rq.rq AS HUGEINT) AS rq, CAST(rp.rp AS HUGEINT) AS rp
+      |  FROM li JOIN rq ON li.xq = rq.v JOIN rp ON li.xp = rp.v),
+      |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(rq) AS sq, sum(rp) AS sp,
+      |  sum(rq * rq) AS sqq, sum(rp * rp) AS spp, sum(rq * rp) AS sqp FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+      |    6) AS rho
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------- one-way ANOVA
+  /** One-way ANOVA F (`q_anova`) of order value across the five market
+    * segments — the k-group generalization of [[qAbWelch]] a pipeline
+    * runs before pairwise tests to gate on "does segment matter at all".
+    *
+    * Determinism: group moments fold exactly (cents as DECIMAL(38,0));
+    * the five per-group rational terms sc²/n — the only non-integer
+    * step — fold in sorted group order on BOTH engines (the
+    * qStlDecompose sorted-fold discipline) so a float addition-order
+    * difference cannot cross the rounding grain. One fact shuffle on the
+    * 5-value segment key; everything after runs on a 5-row frame.
+    */
+  def qAnova(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.dim(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val x = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"),
+        round(col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
+    val grp = x.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).as("sc"),
+      sum(col("cents") * col("cents")).as("scc"))
+    val qTerm = (col("sc").cast("double") * col("sc").cast("double")
+      / col("n").cast("double")).as("q")
+    val m = grp
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("n_tot"),
+        sum(col("sc")).as("s_tot"),
+        sum(col("scc")).as("scc_tot"),
+        collect_list(struct(col("g"), qTerm)).as("qs"))
+      .select(col("k"), col("n_tot"), col("s_tot"), col("scc_tot"),
+        aggregate(array_sort(col("qs")), lit(0.0d),
+          (acc, e) => acc + e.getField("q")).as("qsum"))
+    def d(c: String) = col(c).cast("double")
+    val ssb = col("qsum") - d("s_tot") * d("s_tot") / d("n_tot")
+    val ssw = d("scc_tot") - col("qsum")
+    m.select(
+      col("k").cast("long").as("k"),
+      col("n_tot").cast("long").as("n"),
+      round(ssb / 10000.0, 2).as("ss_between"),
+      round(ssw / 10000.0, 2).as("ss_within"),
+      round((ssb / (d("k") - 1.0)) / (ssw / (d("n_tot") - d("k"))), 6).as("f_stat"),
+      round(ssb / (ssb + ssw), 6).as("eta_sq"))
+  }
+
+  val oracleAnova: String =
+    """WITH x AS (
+      |  SELECT c_mktsegment AS g, CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |grp AS (SELECT g, count(*) AS n, sum(cents) AS sc, sum(cents * cents) AS scc
+      |  FROM x GROUP BY g),
+      |m AS (SELECT count(*) AS k, sum(n) AS n_tot, sum(sc) AS s_tot, sum(scc) AS scc_tot,
+      |  list_reduce(list_prepend(0.0::DOUBLE,
+      |    list(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY g)),
+      |    (acc, x) -> acc + x) AS qsum
+      |  FROM grp)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
+      |  round((qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) / 10000.0, 2) AS ss_between,
+      |  round((CAST(scc_tot AS DOUBLE) - qsum) / 10000.0, 2) AS ss_within,
+      |  round(((qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+      |    / ((CAST(scc_tot AS DOUBLE) - qsum) / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
+      |  round((qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+      |    / ((qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+      |       + (CAST(scc_tot AS DOUBLE) - qsum)), 6) AS eta_sq
+      |FROM m""".stripMargin
 }

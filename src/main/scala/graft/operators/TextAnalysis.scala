@@ -1342,4 +1342,59 @@ object TextAnalysis {
       |  round(CAST(n_toks AS DOUBLE) * CAST(n_toks - 1 AS DOUBLE)
       |    / CAST(pairs AS DOUBLE), 4) AS inv_simpson
       |FROM agg ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- readability
+  /** Per-source readability profile (`q_readability`) — the curation
+    * gauge that separates listy/boilerplate sources from prose before a
+    * quality filter sees them: words, sentences, vowel-group syllable
+    * estimate, long-word share, and the Flesch reading-ease score
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W).
+    *
+    * Scale shape: pure per-document projection (regexp_count passes,
+    * whole-stage codegen) into one enum-keyed aggregate — the
+    * qTextQuality plan shape. All per-doc counts are exact integers;
+    * the ratios are single double expressions over summed integers,
+    * identical in both engines.
+    */
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir).select(col("source"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("w"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L)).as("sen"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("syl"),
+      regexp_count(col("text"), lit("\\S{7,}")).cast("long").as("lw"))
+    def d(c: String) = col(c).cast("double")
+    per.groupBy("source").agg(
+        count(lit(1)).as("docs"),
+        sum("w").as("words"), sum("sen").as("sentences"),
+        sum("syl").as("syllables"), sum("lw").as("long_words"))
+      .select(col("source"), col("docs"),
+        col("words"), col("sentences"), col("syllables"), col("long_words"),
+        round(d("words") / d("sentences"), 4).as("avg_sentence_len"),
+        round(d("syllables") / d("words"), 4).as("syllables_per_word"),
+        round(d("long_words") / d("words"), 4).as("long_word_ratio"),
+        round(lit(206.835) - lit(1.015) * (d("words") / d("sentences"))
+          - lit(84.6) * (d("syllables") / d("words")), 4).as("flesch"))
+      .orderBy("source")
+  }
+
+  val oracleReadability: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sen,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl,
+      |    CAST(len(regexp_extract_all(text, '\S{7,}')) AS BIGINT) AS lw
+      |  FROM documents),
+      |g AS (SELECT source, count(*) AS docs, sum(w) AS words, sum(sen) AS sentences,
+      |  sum(syl) AS syllables, sum(lw) AS long_words
+      |  FROM per GROUP BY source)
+      |SELECT source, CAST(docs AS BIGINT) AS docs,
+      |  CAST(words AS BIGINT) AS words, CAST(sentences AS BIGINT) AS sentences,
+      |  CAST(syllables AS BIGINT) AS syllables, CAST(long_words AS BIGINT) AS long_words,
+      |  round(CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE), 4) AS avg_sentence_len,
+      |  round(CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE), 4) AS syllables_per_word,
+      |  round(CAST(long_words AS DOUBLE) / CAST(words AS DOUBLE), 4) AS long_word_ratio,
+      |  round(206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+      |    - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 4) AS flesch
+      |FROM g ORDER BY source""".stripMargin
 }

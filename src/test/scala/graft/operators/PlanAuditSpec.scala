@@ -276,7 +276,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_silhouette",
         // q_srm_check crossJoins two 1-row frames (split total, chi2
         // total) over the enum-sized split-count frame
-        "q_srm_check")
+        "q_srm_check",
+        // q_mannwhitney crossJoins two 1-row frames (the 2-group
+        // rank-sum pivot and the tie-correction totals)
+        "q_mannwhitney")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

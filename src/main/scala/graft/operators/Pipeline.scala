@@ -633,7 +633,7 @@ object Pipeline {
 
   // --------------------------------------------------- per-stratum reservoir
 
-  private val RES_K = 10
+  private[graft] val RES_K = 10
 
   /** Exact-k per-STRATUM deterministic reservoir (`q_sample_reservoir`):
     * precisely RES_K documents from every source, the k smallest
@@ -1099,5 +1099,102 @@ object Pipeline {
        |SELECT split, n_obs, obs_share, exp_share, chi2_term, chi2_total,
        |  CAST(CASE WHEN chi2_total > $SRM_CRIT THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
        |FROM terms, ct ORDER BY split""".stripMargin
+  }
+
+  // ------------------------------------------------- dataset card
+  /** Per-source dataset card (`q_dataset_card`) — the one-page corpus
+    * profile a release ships next to the data: volume (docs, tokens,
+    * chars), exact-duplicate ratio, mean quality score, English share,
+    * and language-mix entropy. One documents scan feeds two enum-keyed
+    * aggregates (the per-source profile and the language-mix cells);
+    * they join back on the enum source key.
+    *
+    * Determinism: the per-doc quality score (the [[TextAnalysis
+    * .qTextQuality]] formula) is rounded to integer MICROS before the
+    * source sum, so the mean folds exactly; the language entropy folds
+    * in sorted language order on both engines (the sorted-fold
+    * discipline). Exact-dup ratio uses count(DISTINCT md5(text)) — the
+    * same digest the dedup family collapses on.
+    */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val stopList = TextAnalysis.STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
+    val words  = split(col("text"), " ")
+    val nWords = size(words).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct  = regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("double")
+    val nStop = size(expr(s"filter(split(text, ' '), w -> w IN $stopList)")).cast("double")
+    val quality = lit(0.5) * (nStop / nWords) +
+      lit(0.3) * (lit(1.0) - punct / nChars) +
+      lit(0.2) * least(nWords / 100.0, lit(1.0))
+    val per = Tables.documents(s, dir).select(
+      col("source"), col("lang"),
+      size(words).cast("long").as("toks"),
+      col("n_chars"),
+      md5(col("text")).as("h"),
+      round(quality * 1e6).cast("long").as("q_micros"))
+    val bySource = per.groupBy("source").agg(
+      count(lit(1)).as("docs"),
+      countDistinct(col("h")).as("distinct_texts"),
+      sum("toks").as("tokens"),
+      sum("n_chars").as("chars"),
+      sum("q_micros").as("q_sum"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"))
+    val langEnt = per.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("nl"),
+        collect_list(struct(col("lang"), col("c"))).as("parts"))
+      .select(col("source"),
+        aggregate(array_sort(col("parts")), lit(0.0d),
+          (acc, e) => acc
+            - (e.getField("c").cast("double") / col("nl").cast("double"))
+              * log(e.getField("c").cast("double") / col("nl").cast("double")))
+          .as("lang_ent"))
+    def d(c: String) = col(c).cast("double")
+    bySource.join(langEnt, Seq("source"))
+      .select(col("source"), col("docs"), col("distinct_texts"),
+        round(lit(1.0) - d("distinct_texts") / d("docs"), 6).as("dup_ratio"),
+        col("tokens"), col("chars"),
+        round(d("tokens") / d("docs"), 4).as("avg_tokens"),
+        round(d("q_sum") / d("docs") / 1000000.0, 6).as("avg_quality"),
+        round(d("en_docs") / d("docs"), 4).as("en_share"),
+        round(col("lang_ent"), 6).as("lang_entropy"))
+      .orderBy("source")
+  }
+
+  val oracleDatasetCard: String = {
+    val stopList = TextAnalysis.STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
+    s"""WITH per AS (
+       |  SELECT source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    n_chars, md5(text) AS h,
+       |    CAST(round((0.5 * (len(list_filter(string_split(text, ' '), w -> w IN $stopList))::DOUBLE / len(string_split(text, ' ')))
+       |      + 0.3 * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text))
+       |      + 0.2 * least(len(string_split(text, ' ')) / 100.0, 1.0)) * 1e6) AS BIGINT) AS q_micros
+       |  FROM documents),
+       |by_source AS (
+       |  SELECT source, count(*) AS docs, count(DISTINCT h) AS distinct_texts,
+       |    CAST(sum(toks) AS BIGINT) AS tokens, CAST(sum(n_chars) AS BIGINT) AS chars,
+       |    CAST(sum(q_micros) AS BIGINT) AS q_sum,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs
+       |  FROM per GROUP BY source),
+       |cells AS (SELECT source, lang, count(*) AS c FROM per GROUP BY source, lang),
+       |c2 AS (SELECT source, lang, c,
+       |  sum(c) OVER (PARTITION BY source) AS nl FROM cells),
+       |ent AS (SELECT source,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list(-(CAST(c AS DOUBLE) / CAST(nl AS DOUBLE))
+       |         * ln(CAST(c AS DOUBLE) / CAST(nl AS DOUBLE)) ORDER BY lang)),
+       |    (acc, x) -> acc + x) AS lang_ent
+       |  FROM c2 GROUP BY source)
+       |SELECT b.source, CAST(b.docs AS BIGINT) AS docs,
+       |  CAST(b.distinct_texts AS BIGINT) AS distinct_texts,
+       |  round(1.0 - CAST(b.distinct_texts AS DOUBLE) / CAST(b.docs AS DOUBLE), 6) AS dup_ratio,
+       |  b.tokens, b.chars,
+       |  round(CAST(b.tokens AS DOUBLE) / CAST(b.docs AS DOUBLE), 4) AS avg_tokens,
+       |  round(CAST(b.q_sum AS DOUBLE) / CAST(b.docs AS DOUBLE) / 1000000.0, 6) AS avg_quality,
+       |  round(CAST(b.en_docs AS DOUBLE) / CAST(b.docs AS DOUBLE), 4) AS en_share,
+       |  round(ent.lang_ent, 6) AS lang_entropy
+       |FROM by_source b JOIN ent ON b.source = ent.source
+       |ORDER BY b.source""".stripMargin
   }
 }

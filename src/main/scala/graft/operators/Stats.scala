@@ -1250,4 +1250,177 @@ object Stats {
       |    / ((qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
       |       + (CAST(scc_tot AS DOUBLE) - qsum)), 6) AS eta_sq
       |FROM m""".stripMargin
+
+  // ------------------------------------------------- Kendall tau-b
+  /** Kendall tau-b (`q_kendall`) between lineitem quantity and discount —
+    * the third member of the association family: Pearson
+    * ([[qCorrMatrix]]) for linearity, Spearman ([[qSpearman]]) for
+    * monotonicity on continuous domains, Kendall for ordinal pairs on
+    * SMALL domains where tie mass dominates.
+    *
+    * Scale shape: both columns live on bounded domains (integer quantity
+    * grid × the 11-value discount grid), so the contingency frame is
+    * enum-sized BY CONSTRUCTION. One fact aggregate builds it
+    * (map-side combinable); the pair census is a theta self-join of
+    * that bounded frame (whitelisted bounded nested-loop — never
+    * data-proportional); concordant/discordant mass folds as
+    * DECIMAL(38,0) products of exact cell counts. The frame is
+    * localCheckpointed once for its four consumers (pairs, two
+    * marginals, totals).
+    */
+  def qKendall(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .localCheckpoint()
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"), col("c").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+    val pairs = a.join(b, col("xa") < col("xb"))
+      .agg(
+        sum(when(col("ya") < col("yb"), col("ca") * col("cb"))).as("conc"),
+        sum(when(col("ya") > col("yb"), col("ca") * col("cb"))).as("disc"))
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("tx2"))
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("ty2"))
+    val tot = cells.agg(sum("c").as("n"), count(lit(1)).as("cells"))
+    def d(c: String) = col(c).cast("double")
+    pairs.crossJoin(tx).crossJoin(ty).crossJoin(tot)
+      .select(
+        col("n").cast("long").as("n"),
+        col("cells").cast("long").as("cells"),
+        d("conc").as("conc"),
+        d("disc").as("disc"),
+        round((d("conc") - d("disc"))
+          / (sqrt((d("n") * (d("n") - 1.0) - d("tx2")) / 2.0)
+            * sqrt((d("n") * (d("n") - 1.0) - d("ty2")) / 2.0)), 6).as("tau_b"))
+  }
+
+  val oracleKendall: String =
+    """WITH cells AS (
+      |  SELECT l_quantity AS x, l_discount AS y, CAST(count(*) AS HUGEINT) AS c
+      |  FROM lineitem GROUP BY l_quantity, l_discount),
+      |p AS (SELECT
+      |  sum(CASE WHEN a.y < b.y THEN a.c * b.c END) AS conc,
+      |  sum(CASE WHEN a.y > b.y THEN a.c * b.c END) AS disc
+      |  FROM cells a JOIN cells b ON a.x < b.x),
+      |tx AS (SELECT sum(t * (t - 1)) AS tx2
+      |  FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+      |ty AS (SELECT sum(t * (t - 1)) AS ty2
+      |  FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
+      |tot AS (SELECT sum(c) AS n, count(*) AS n_cells FROM cells)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS cells,
+      |  CAST(conc AS DOUBLE) AS conc, CAST(disc AS DOUBLE) AS disc,
+      |  round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+      |    / (sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) - CAST(tx2 AS DOUBLE)) / 2.0)
+      |      * sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) - CAST(ty2 AS DOUBLE)) / 2.0)),
+      |    6) AS tau_b
+      |FROM p, tx, ty, tot""".stripMargin
+
+  // ------------------------------------------------- permutation test
+  /** Permutation replicates for [[qPermTest]]. */
+  private[graft] val PERM_B = 64
+
+  /** Permutation test (`q_perm_test`) for the BUILDING-vs-MACHINERY
+    * order-value mean difference — the assumption-free companion to
+    * [[qAbWelch]] (no normality) and [[qMannWhitney]] (tests the MEAN,
+    * not stochastic dominance). Labels are re-drawn [[PERM_B]] times at
+    * the observed group rate (binomial relabeling — the at-scale
+    * permutation scheme; exact fixed-margin permutation needs a global
+    * shuffle per replicate) from the deterministic two-round LCG of
+    * (orderkey, replicate) — the [[qBootstrapCi]] discipline, so both
+    * engines draw identical relabelings. p = (#extreme + 1)/(B + 1).
+    *
+    * Scale shape: one constant PERM_B× fan-out into a map-side
+    * combinable per-replicate aggregate; everything downstream runs on
+    * B rows. Cent sums exact; per-replicate means are single double
+    * divisions.
+    */
+  def qPermTest(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.dim(s, dir, "customer")
+      .filter(col("c_mktsegment").isin(MW_A, MW_B))
+      .select("c_custkey", "c_mktsegment")
+    val rows = Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), (col("c_mktsegment") === MW_A).as("is_a"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val obs = rows.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("is_a"), col("cents"))).as("sa"),
+      sum(when(!col("is_a"), col("cents"))).as("sb")).localCheckpoint()
+    def d(c: String) = col(c).cast("double")
+    val h1 = ((col("o_orderkey") % LCG_M) * 1103515245L +
+      col("b") * 2654435761L + 54321L) % LCG_M
+    val h2 = (h1 * 1103515245L + 12345L) % LCG_M
+    val u = (((h2 / 2048L).cast("long")) % 1000000L).cast("double") / 1000000d
+    val reps = rows
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(PERM_B - 1))).as("b"))
+      .crossJoin(broadcast(obs.select(
+        (d("n_a") / (d("n_a") + d("n_b"))).as("p_a"))))
+      .withColumn("to_a", u < col("p_a"))
+      .groupBy("b")
+      .agg(
+        sum(when(col("to_a"), col("cents"))).as("rsa"),
+        sum(when(col("to_a"), 1L).otherwise(0L)).as("rna"),
+        sum(when(!col("to_a"), col("cents"))).as("rsb"),
+        sum(when(!col("to_a"), 1L).otherwise(0L)).as("rnb"))
+      .select((col("rsa").cast("double") / when(col("rna") =!= 0, col("rna"))
+        - col("rsb").cast("double") / when(col("rnb") =!= 0, col("rnb"))).as("diff_b"))
+    val obsD = obs.select(col("n_a"), col("n_b"),
+      (d("sa") / d("n_a") - d("sb") / d("n_b")).as("dobs"))
+    reps.crossJoin(broadcast(obsD))
+      .agg(
+        max("n_a").as("n_a"), max("n_b").as("n_b"), max("dobs").as("dobs"),
+        sum(when(abs(col("diff_b")) >= abs(col("dobs")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("n_a"), col("n_b"),
+        round(col("dobs") / 100.0, 4).as("diff_obs"),
+        lit(PERM_B.toLong).as("b_reps"),
+        col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") / (PERM_B + 1).toDouble, 6)
+          .as("p_value"))
+  }
+
+  val oraclePermTest: String = {
+    val h1Sql = s"(((o_orderkey % $LCG_M) * 1103515245 + b * 2654435761 + 54321) % $LCG_M)"
+    val h2Sql = s"(($h1Sql * 1103515245 + 12345) % $LCG_M)"
+    val uSql = s"($h2Sql // 2048 % 1000000 / 1000000.0)"
+    s"""WITH r AS (
+       |  SELECT o_orderkey, c_mktsegment = '$MW_A' AS is_a,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment IN ('$MW_A', '$MW_B')),
+       |obs AS (SELECT
+       |  sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+       |  sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
+       |  CAST(sum(CASE WHEN is_a THEN cents END) AS BIGINT) AS sa,
+       |  CAST(sum(CASE WHEN NOT is_a THEN cents END) AS BIGINT) AS sb FROM r),
+       |x AS (SELECT o_orderkey, cents,
+       |  unnest(generate_series(0, ${PERM_B - 1})) AS b FROM r),
+       |lab AS (SELECT cents, b,
+       |  $uSql < (SELECT CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+       |           FROM obs) AS to_a
+       |  FROM x),
+       |reps AS (SELECT b,
+       |  CAST(sum(CASE WHEN to_a THEN cents END) AS BIGINT) AS rsa,
+       |  sum(CASE WHEN to_a THEN 1 ELSE 0 END) AS rna,
+       |  CAST(sum(CASE WHEN NOT to_a THEN cents END) AS BIGINT) AS rsb,
+       |  sum(CASE WHEN NOT to_a THEN 1 ELSE 0 END) AS rnb
+       |  FROM lab GROUP BY b),
+       |dd AS (SELECT CAST(rsa AS DOUBLE) / nullif(rna, 0)
+       |  - CAST(rsb AS DOUBLE) / nullif(rnb, 0) AS diff_b FROM reps),
+       |od AS (SELECT n_a, n_b,
+       |  CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |  - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS dobs FROM obs)
+       |SELECT CAST(od.n_a AS BIGINT) AS n_a, CAST(od.n_b AS BIGINT) AS n_b,
+       |  round(od.dobs / 100.0, 4) AS diff_obs,
+       |  CAST(${PERM_B} AS BIGINT) AS b_reps,
+       |  CAST(sum(CASE WHEN abs(diff_b) >= abs(od.dobs) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_extreme,
+       |  round((sum(CASE WHEN abs(diff_b) >= abs(od.dobs) THEN 1 ELSE 0 END) + 1)
+       |    / ${PERM_B + 1}.0, 6) AS p_value
+       |FROM dd, od GROUP BY od.n_a, od.n_b, od.dobs""".stripMargin
+  }
 }

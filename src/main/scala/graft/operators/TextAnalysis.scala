@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   private val TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
-  private val STOPWORDS = Seq("the", "a", "or", "and", "of")
+  private[graft] val STOPWORDS = Seq("the", "a", "or", "and", "of")
 
   /** Token counting: whitespace words + BPE-ish regex token runs. */
   def qTextTokens(s: SparkSession, dir: String): DataFrame =

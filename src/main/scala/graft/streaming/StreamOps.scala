@@ -837,6 +837,77 @@ object StreamOps {
     }
   }
 
+  // ---------------------------------------------- streaming reservoir
+
+  /** One document arrival for the streaming reservoir. */
+  case class DocArrival(source: String, doc_id: Long)
+
+  /** Reservoir snapshot per source per micro-batch: the current exact-k
+    * sample in hash order, plus the running source count. */
+  case class ReservoirSnapshot(source: String, rank: Int, doc_id: Long,
+      hk: Long, n_source: Long)
+
+  case class ReservoirState(hks: Seq[Long], ids: Seq[Long], n: Long)
+
+  /** Streaming exact-k reservoir on `transformWithState` — the online
+    * twin of `Pipeline.qSampleReservoir`, via the same determinization:
+    * "uniform k of n" becomes "the k smallest h60('res:'+id) keys", so
+    * the reservoir is a bounded-state MinK fold that is INVARIANT to
+    * arrival order and micro-batch partitioning — after any prefix of
+    * the stream, the state equals the batch query's answer on the same
+    * prefix (StreamReservoirSpec pins row-for-row parity). Classic
+    * Algorithm R matches batch sampling only in distribution; the
+    * hash-order reservoir matches it exactly, which is what an
+    * incremental curation pipeline needs to keep its published sample
+    * stable under replays and backfills.
+    *
+    * Scale shape: state is O(k) per source forever; each batch folds
+    * locally and writes k values — stream length never grows state.
+    */
+  class ReservoirProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DocArrival, ReservoirSnapshot] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var res: org.apache.spark.sql.streaming.ValueState[ReservoirState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      res = getHandle.getValueState[ReservoirState](
+        "res", Encoders.product[ReservoirState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        source: String,
+        rows: Iterator[DocArrival],
+        timerValues: TimerValues): Iterator[ReservoirSnapshot] = {
+      val prev = if (res.exists()) res.get() else ReservoirState(Nil, Nil, 0L)
+      var n = prev.n
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      buf ++= prev.hks.zip(prev.ids)
+      rows.foreach { r =>
+        n += 1L
+        // the batch query's exact key: h60 of "res:"+id folded to 2^50
+        val hk = graft.functions.HashFns.h60Local("res:" + r.doc_id) % 1125899906842624L
+        buf += ((hk, r.doc_id))
+      }
+      val kept = buf.sorted.take(k) // (hk, id) lexicographic — MinKPair's tie order
+      res.update(ReservoirState(kept.map(_._1).toSeq, kept.map(_._2).toSeq, n))
+      kept.iterator.zipWithIndex.map { case ((hk, id), i) =>
+        ReservoirSnapshot(source, i + 1, id, hk, n)
+      }
+    }
+  }
+
+  /** Document stream → per-source exact-k reservoir snapshots (Update
+    * mode; requires the RocksDB state store, like every
+    * transformWithState op here). */
+  def reservoirStream(docs: Dataset[DocArrival], k: Int): Dataset[ReservoirSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new ReservoirProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming MERGE into a parquet warehouse table — the foreachBatch
     * upsert sink every CDC-to-lake pipeline ends in, built on the same
     * full-outer merge shape as `Warehouse.qMergeUpsert`. Per micro-batch:

@@ -279,7 +279,14 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_srm_check",
         // q_mannwhitney crossJoins two 1-row frames (the 2-group
         // rank-sum pivot and the tie-correction totals)
-        "q_mannwhitney")
+        "q_mannwhitney",
+        // q_kendall theta-self-joins the contingency frame — bounded BY
+        // CONSTRUCTION (|quantity grid| x |discount grid| cells) — and
+        // crossJoins four 1-row moment frames
+        "q_kendall",
+        // q_perm_test broadcasts the 1-row observed-rate frame onto the
+        // replicate fan-out and crossJoins the 1-row observed-diff frame
+        "q_perm_test")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

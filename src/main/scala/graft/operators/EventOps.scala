@@ -1070,4 +1070,98 @@ object EventOps {
       |      / (stddev_samp(gap_s) + avg(gap_s)), 6) AS burstiness
       |FROM gg GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- STL strength
+  /** Seasonal/trend STRENGTH (`q_stl_strength`) — the one-number summary
+    * of [[qStlDecompose]]'s full decomposition (Hyndman's F_s/F_t,
+    * multiplicative form): F_s = max(0, 1 − Var(R)/Var(S·R)) over the
+    * detrended series and F_t = max(0, 1 − Var(R)/Var(T·R)) over the
+    * deseasonalized one. The gate a forecasting pipeline checks before
+    * choosing a seasonal model at all.
+    *
+    * Determinism: per-day ratios are rounded to 6dp (the qStlDecompose
+    * grain) BEFORE the variance folds, and every variance folds over
+    * the day-sorted array (the sorted-fold discipline) — the daily
+    * frame is calendar-bounded, so the collected arrays are tiny at
+    * any corpus size.
+    */
+  def qStlStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ma = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend", avg(col("n")).over(ma))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .withColumn("ratio", col("n") / col("trend"))
+    val seasonal = trended.groupBy("dow")
+      .agg(collect_list(col("ratio")).as("ratios"))
+      .select(col("dow"),
+        round(aggregate(array_sort(col("ratios")), lit(0.0d),
+          (acc, x) => acc + x) / size(col("ratios")), 6).as("seasonal"))
+    val parts = trended.join(broadcast(seasonal), "dow")
+      .select(col("day"),
+        round(col("n") / (col("trend") * col("seasonal")), 6).as("r"),
+        round(col("n") / col("trend"), 6).as("d"),
+        round(col("n") / col("seasonal"), 6).as("t"))
+    // day-sorted variance folds: collect (day, v), sort, fold sum + sumsq
+    def sortedVar(vc: String): Column = {
+      val arr = array_sort(collect_list(struct(col("day"), col(vc).as("v"))))
+      val n = size(arr).cast("double")
+      val sm = aggregate(arr, lit(0.0d), (a, e) => a + e.getField("v"))
+      val sq = aggregate(arr, lit(0.0d), (a, e) => a + e.getField("v") * e.getField("v"))
+      (sq - sm * sm / n) / n
+    }
+    parts.agg(
+        count(lit(1)).as("n_days"),
+        sortedVar("r").as("var_r"),
+        sortedVar("d").as("var_d"),
+        sortedVar("t").as("var_t"))
+      .select(col("n_days"),
+        round(greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_d")), 6)
+          .as("f_seasonal"),
+        round(greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_t")), 6)
+          .as("f_trend"),
+        round(col("var_r"), 6).as("var_resid"))
+  }
+
+  val oracleStlStrength: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT day, n,
+      |    avg(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+      |    dayofweek(day) AS dow
+      |  FROM daily),
+      |r AS (SELECT day, n, trend, dow, n / trend AS ratio FROM t),
+      |se AS (SELECT dow,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(ratio))),
+      |    (acc, x) -> acc + x) / count(ratio), 6) AS seasonal
+      |  FROM r GROUP BY dow),
+      |parts AS (SELECT r.day,
+      |  round(r.n / (r.trend * se.seasonal), 6) AS rr,
+      |  round(r.n / r.trend, 6) AS dd,
+      |  round(r.n / se.seasonal, 6) AS tt
+      |  FROM r JOIN se USING (dow)),
+      |v AS (SELECT count(*) AS n_days,
+      |  (list_reduce(list_prepend(0.0::DOUBLE, list(rr * rr ORDER BY day)), (acc, x) -> acc + x)
+      |   - list_reduce(list_prepend(0.0::DOUBLE, list(rr ORDER BY day)), (acc, x) -> acc + x)
+      |     * list_reduce(list_prepend(0.0::DOUBLE, list(rr ORDER BY day)), (acc, x) -> acc + x)
+      |     / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS var_r,
+      |  (list_reduce(list_prepend(0.0::DOUBLE, list(dd * dd ORDER BY day)), (acc, x) -> acc + x)
+      |   - list_reduce(list_prepend(0.0::DOUBLE, list(dd ORDER BY day)), (acc, x) -> acc + x)
+      |     * list_reduce(list_prepend(0.0::DOUBLE, list(dd ORDER BY day)), (acc, x) -> acc + x)
+      |     / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS var_d,
+      |  (list_reduce(list_prepend(0.0::DOUBLE, list(tt * tt ORDER BY day)), (acc, x) -> acc + x)
+      |   - list_reduce(list_prepend(0.0::DOUBLE, list(tt ORDER BY day)), (acc, x) -> acc + x)
+      |     * list_reduce(list_prepend(0.0::DOUBLE, list(tt ORDER BY day)), (acc, x) -> acc + x)
+      |     / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE) AS var_t
+      |  FROM parts)
+      |SELECT CAST(n_days AS BIGINT) AS n_days,
+      |  round(greatest(0.0, 1.0 - var_r / var_d), 6) AS f_seasonal,
+      |  round(greatest(0.0, 1.0 - var_r / var_t), 6) AS f_trend,
+      |  round(var_r, 6) AS var_resid
+      |FROM v""".stripMargin
 }

@@ -1224,8 +1224,12 @@ object Stats {
     m.select(
       col("k").cast("long").as("k"),
       col("n_tot").cast("long").as("n"),
-      round(ssb / 10000.0, 2).as("ss_between"),
-      round(ssw / 10000.0, 2).as("ss_within"),
+      // NO 2dp round on the sums of squares: at sf1 they reach ~1e16,
+      // where Spark's BigDecimal HALF_UP and DuckDB's float rounding
+      // disagree by 1 ulp — the raw doubles are identical (both derive
+      // from exact integer moments via the same expression tree)
+      (ssb / 10000.0).as("ss_between"),
+      (ssw / 10000.0).as("ss_within"),
       round((ssb / (d("k") - 1.0)) / (ssw / (d("n_tot") - d("k"))), 6).as("f_stat"),
       round(ssb / (ssb + ssw), 6).as("eta_sq"))
   }
@@ -1242,8 +1246,8 @@ object Stats {
       |    (acc, x) -> acc + x) AS qsum
       |  FROM grp)
       |SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
-      |  round((qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) / 10000.0, 2) AS ss_between,
-      |  round((CAST(scc_tot AS DOUBLE) - qsum) / 10000.0, 2) AS ss_within,
+      |  (qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) / 10000.0 AS ss_between,
+      |  (CAST(scc_tot AS DOUBLE) - qsum) / 10000.0 AS ss_within,
       |  round(((qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
       |    / ((CAST(scc_tot AS DOUBLE) - qsum) / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
       |  round((qsum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))

@@ -1397,4 +1397,108 @@ object TextAnalysis {
       |  round(206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
       |    - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 4) AS flesch
       |FROM g ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- Heaps' law fit
+  /** Prefix buckets for [[qHeapsFit]] — shared with the oracle. */
+  private[graft] val HEAPS_BUCKETS = 10
+
+  /** Heaps'-law vocabulary growth (`q_heaps_fit`): how fast does the
+    * corpus keep yielding NEW terms? V(n) ≈ K·n^β — β near 1 means the
+    * crawl is still discovering vocabulary (keep ingesting), β near 0
+    * means saturation (more data buys repetition, not coverage). The
+    * curve is measured on [[HEAPS_BUCKETS]] doc-id-ordered prefixes and
+    * fitted by OLS on the log-log points.
+    *
+    * Scale shape: a term's contribution to EVERY prefix is determined
+    * by its FIRST bucket alone, so one vocabulary-keyed min-bucket
+    * aggregate (map-side combinable — the tf-idf df shape) replaces any
+    * per-prefix distinct count; everything after runs on the
+    * HEAPS_BUCKETS-row frame (cumulatives whitelisted-bounded, the OLS
+    * sums folded in bucket order on both engines).
+    */
+  def qHeapsFit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val maxF = docs.agg((max("doc_id") + 1).as("maxp1"))
+    val bucketed = docs.crossJoin(broadcast(maxF))
+      .select(
+        least(floor(col("doc_id") * HEAPS_BUCKETS / col("maxp1")),
+          lit(HEAPS_BUCKETS - 1L)).cast("int").as("bucket"),
+        col("text"), col("toks"))
+    val firstBucket = bucketed
+      .select(col("bucket"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(min("bucket").as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("new_terms"))
+    val tokCounts = bucketed.groupBy("bucket")
+      .agg(sum("toks").as("toks"), count(lit(1)).as("docs"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = tokCounts
+      .join(firstBucket, col("bucket") === col("fb"), "left")
+      .select(col("bucket"), col("toks"), col("docs"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .select(col("bucket"),
+        sum("toks").over(w).as("tokens_cum"),
+        sum("docs").over(w).as("docs_cum"),
+        sum("new_terms").over(w).as("vocab_cum"))
+    // OLS over the log-log points, folded in bucket order
+    val pts = cum.select(col("bucket"),
+      log(col("tokens_cum").cast("double")).as("x"),
+      log(col("vocab_cum").cast("double")).as("y"))
+    def fold(f: Column => Column): Column =
+      aggregate(array_sort(collect_list(struct(col("bucket"), col("x"), col("y")))),
+        lit(0.0d), (a, e) => a + f(e))
+    val fit = pts.agg(
+        count(lit(1)).cast("double").as("np"),
+        fold(e => e.getField("x")).as("sx"),
+        fold(e => e.getField("y")).as("sy"),
+        fold(e => e.getField("x") * e.getField("y")).as("sxy"),
+        fold(e => e.getField("x") * e.getField("x")).as("sxx"))
+      .select(col("np"),
+        ((col("sxy") - col("sx") * col("sy") / col("np"))
+          / (col("sxx") - col("sx") * col("sx") / col("np"))).as("beta"))
+      .select(col("np"), col("beta"))
+    // + 0.0 folds IEEE negative zero to positive zero: a saturated curve
+    // (verbatim-copy amplification) yields beta = -0.0 in one engine and
+    // 0.0 in the other, and the 6dp hash formats them differently
+    cum.crossJoin(broadcast(fit.select((round(col("beta"), 6) + 0.0).as("beta"))))
+      .select(col("bucket"), col("tokens_cum"), col("docs_cum"), col("vocab_cum"),
+        col("beta"))
+      .orderBy("bucket")
+  }
+
+  val oracleHeapsFit: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |mx AS (SELECT max(doc_id) + 1 AS maxp1 FROM docs),
+       |bucketed AS (SELECT
+       |  CAST(least(floor(doc_id * $HEAPS_BUCKETS / maxp1), ${HEAPS_BUCKETS - 1}) AS INT) AS bucket,
+       |  text, toks FROM docs, mx),
+       |fb AS (SELECT fb, count(*) AS new_terms FROM (
+       |  SELECT term, min(bucket) AS fb
+       |  FROM (SELECT bucket, unnest(string_split(text, ' ')) AS term FROM bucketed)
+       |  GROUP BY term) GROUP BY fb),
+       |tc AS (SELECT bucket, CAST(sum(toks) AS BIGINT) AS toks, count(*) AS docs
+       |  FROM bucketed GROUP BY bucket),
+       |cum AS (SELECT bucket,
+       |  CAST(sum(toks) OVER wc AS BIGINT) AS tokens_cum,
+       |  CAST(sum(docs) OVER wc AS BIGINT) AS docs_cum,
+       |  CAST(sum(coalesce(new_terms, 0)) OVER wc AS BIGINT) AS vocab_cum
+       |  FROM tc LEFT JOIN fb ON tc.bucket = fb.fb
+       |  WINDOW wc AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)),
+       |pts AS (SELECT bucket, ln(CAST(tokens_cum AS DOUBLE)) AS x,
+       |  ln(CAST(vocab_cum AS DOUBLE)) AS y FROM cum),
+       |fit AS (SELECT
+       |  CAST(count(*) AS DOUBLE) AS np,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY bucket)), (a, v) -> a + v) AS sx,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(y ORDER BY bucket)), (a, v) -> a + v) AS sy,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(x * y ORDER BY bucket)), (a, v) -> a + v) AS sxy,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(x * x ORDER BY bucket)), (a, v) -> a + v) AS sxx
+       |  FROM pts),
+       |beta AS (SELECT round((sxy - sx * sy / np) / (sxx - sx * sx / np), 6) + 0.0 AS beta FROM fit)
+       |SELECT bucket, tokens_cum, docs_cum, vocab_cum, beta
+       |FROM cum, beta ORDER BY bucket""".stripMargin
 }

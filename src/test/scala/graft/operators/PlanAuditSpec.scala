@@ -286,7 +286,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_kendall",
         // q_perm_test broadcasts the 1-row observed-rate frame onto the
         // replicate fan-out and crossJoins the 1-row observed-diff frame
-        "q_perm_test")
+        "q_perm_test",
+        // q_heaps_fit crossJoins the 1-row max-doc-id frame (bucket
+        // assignment, referenced by both branches) and the 1-row OLS
+        // beta frame onto the HEAPS_BUCKETS-row prefix frame
+        "q_heaps_fit")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
@@ -349,7 +353,11 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_gains_curve" -> ("ntileExact bucket windows (<=PCT_BUCKETS rows) " +
           "+ cum/total windows over the 10-row decile frame"),
         "q_stl_decompose" -> ("centered-MA window over the per-DAY " +
-          "aggregate — calendar-span-bounded (q_autocorr's shape)"))
+          "aggregate — calendar-span-bounded (q_autocorr's shape)"),
+        "q_stl_strength" -> ("centered-MA window over the per-DAY " +
+          "aggregate — calendar-span-bounded (q_stl_decompose's shape)"),
+        "q_heaps_fit" -> ("cumulative windows over the HEAPS_BUCKETS-row " +
+          "prefix frame: constant-bounded by construction"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

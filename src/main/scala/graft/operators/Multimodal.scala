@@ -349,6 +349,8 @@ object Multimodal {
   private[graft] val PH_BANDS = 4
   /** Pair-report hamming ceiling. */
   private[graft] val PH_T = 8
+  /** Unrolled min-label rounds in the media-clusters oracle. */
+  private[graft] val MC_ORACLE_ROUNDS = 8
 
   /** The 56-bit dHash of a text payload as a STATIC codegen expression
     * tree (a sum of 56 `when(px>px', 2^i)` terms over fixed offsets) —
@@ -416,8 +418,10 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
-  val oracleMediaPhash: String =
-    s"""WITH h AS (
+  /** Shared oracle CTE prefix: dHash -> bands -> candidate pairs (the
+    * `h`, `banded`, `cand` frames both phash oracles read). */
+  private val phashCandCtes: String =
+    s"""h AS (
        |  SELECT doc_id, list_reduce(
        |    list_prepend(0::BIGINT, generate_series(${PH_ROWS * 8 - 1}, 0, -1)),
        |    (acc, i) -> acc * 2 + CASE WHEN
@@ -432,10 +436,58 @@ object Multimodal {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.dh AS dha, y.dh AS dhb
        |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)""".stripMargin
+
+  val oracleMediaPhash: String =
+    s"""WITH $phashCandCtes
        |SELECT doc_a, doc_b, CAST(bit_count(xor(dha, dhb)) AS BIGINT) AS ham
        |FROM cand WHERE bit_count(xor(dha, dhb)) <= $PH_T
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup media CLUSTERS (`q_media_clusters`) — the verdict step the
+    * pair list ([[qMediaPhash]]) feeds: connected components of the
+    * banded-hamming pair graph, the media twin of `q_dedup_clusters`.
+    * Components via `Dedup.ccLabels` (min-label propagation with the
+    * pointer-doubling shortcut, per-round localCheckpoint, converged —
+    * not round-capped); the oracle unrolls plain min-label propagation
+    * ${Multimodal.MC_ORACLE_ROUNDS} rounds, enough for any pair-graph
+    * diameter the banding can produce at oracle scale (exact copies
+    * form cliques — diameter 1; near-dup chains are ham-bounded).
+    * Output: one row per component keyed by its min doc_id keeper.
+    */
+  def qMediaClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = phashPairs(Tables.documents(s, dir))
+      .select("doc_a", "doc_b")
+    graft.operators.Dedup.ccLabels(pairs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  val oracleMediaClusters: String = {
+    // every round references l(i-1) TWICE — without MATERIALIZED DuckDB
+    // inlines CTEs per reference and the unrolled chain recomputes the
+    // dHash fold 2^rounds times (OOM at sf1; caught by the 10x battery)
+    val props = (1 to MC_ORACLE_ROUNDS).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.id, least(l.label, coalesce(min(x.label), l.label)) AS label
+         |  FROM l${i - 1} l
+         |  LEFT JOIN edges e ON e.src = l.id
+         |  LEFT JOIN l${i - 1} x ON x.id = e.dst
+         |  GROUP BY l.id, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $phashCandCtes,
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(dha, dhb)) <= $PH_T),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+       |$props
+       |SELECT label AS cluster_id, count(*) AS n_members
+       |FROM l$MC_ORACLE_ROUNDS GROUP BY label ORDER BY cluster_id""".stripMargin
+  }
 
   // --------------------------------------------------------- resize stage
 

@@ -1427,4 +1427,101 @@ object Stats {
        |    / ${PERM_B + 1}.0, 6) AS p_value
        |FROM dd, od GROUP BY od.n_a, od.n_b, od.dobs""".stripMargin
   }
+
+  // ------------------------------------------------- overdispersion
+  /** Per-user event-count overdispersion (`q_dispersion`): the
+    * Poisson-vs-negative-binomial triage [[graft.operators.EventOps
+    * .qBurstiness]]'s per-user CV cannot give at the population level —
+    * dispersion index Var/Mean (Poisson = 1) plus the method-of-moments
+    * NB parameters (r = m²/(v−m), p = m/v) a capacity model would
+    * plug in. All moments fold exactly: counts are integers, Σc and
+    * Σc² as DECIMAL(38,0); one user-keyed aggregate then a 1-row
+    * frame.
+    */
+  def qDispersion(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .select(col("c").cast("decimal(38,0)").as("c"))
+    val m = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("scc"))
+    def d(c: String) = col(c).cast("double")
+    val mean = d("sc") / d("n")
+    val vr = (d("scc") - d("sc") * d("sc") / d("n")) / d("n")
+    m.select(
+      col("n").cast("long").as("n_users"),
+      round(mean, 6).as("mean_events"),
+      round(vr, 6).as("var_events"),
+      round(vr / mean, 6).as("dispersion"),
+      round(mean * mean / (vr - mean), 6).as("nb_r"),
+      round(mean / vr, 6).as("nb_p"))
+  }
+
+  val oracleDispersion: String =
+    """WITH per AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS c
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(c) AS sc, sum(c * c) AS scc
+      |  FROM per)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_events,
+      |  round((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS var_events,
+      |  round(((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+      |    / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS dispersion,
+      |  round((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+      |       - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS nb_r,
+      |  round((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS nb_p
+      |FROM m""".stripMargin
+
+  // ------------------------------------------------- Hill tail index
+  /** Top-order statistics used by [[qHillTail]]. */
+  private[graft] val HILL_K = 200
+
+  /** Hill tail-index estimator (`q_hill_tail`) over the top
+    * [[HILL_K]]+1 order values: α̂ = k / Σ ln(x_i/x_(k+1)) — the
+    * heavy-tail exponent that tells a capacity planner whether the
+    * revenue distribution even HAS a finite variance (α < 2 ⇒ no), the
+    * question [[qMadOutliers]]'s robust flags and `q_hhi`'s
+    * concentration number both dodge.
+    *
+    * Scale shape: the ONLY data-proportional work is a TakeOrdered
+    * top-(k+1) (never a global sort); the log fold runs over the
+    * sorted bounded array on both engines. Cents are exact integers,
+    * so both engines feed identical values to ln; the ≤1-ulp libm
+    * spread over 200 terms is ~1e-14 — far under the 6dp edge.
+    */
+  def qHillTail(s: SparkSession, dir: String): DataFrame = {
+    val top = Tables.orders(s, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+      .orderBy(desc("cents"), col("o_orderkey"))
+      .limit(HILL_K + 1)
+    val arr = top.agg(array_sort(collect_list(col("cents"))).as("xs"))
+    // xs ascending: element 1 is x_(k+1), the rest are the top k
+    val xref = element_at(col("xs"), 1).cast("double")
+    val logSum = aggregate(slice(col("xs"), 2, HILL_K), lit(0.0d),
+      (a, x) => a + log(x.cast("double") / xref))
+    arr.select(
+      lit(HILL_K.toLong).as("k"),
+      (xref / 100.0).as("x_kth"),
+      round(lit(HILL_K.toDouble) / logSum, 6).as("alpha"),
+      round(logSum / HILL_K.toDouble, 6).as("mean_log_excess"))
+  }
+
+  val oracleHillTail: String =
+    s"""WITH top AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+       |  FROM orders ORDER BY cents DESC, o_orderkey LIMIT ${HILL_K + 1}),
+       |arr AS (SELECT list_sort(list(cents)) AS xs FROM top)
+       |SELECT CAST($HILL_K AS BIGINT) AS k,
+       |  CAST(xs[1] AS DOUBLE) / 100.0 AS x_kth,
+       |  round($HILL_K.0 / list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(xs[2:${HILL_K + 1}], x -> ln(CAST(x AS DOUBLE) / CAST(xs[1] AS DOUBLE)))),
+       |    (a, v) -> a + v), 6) AS alpha,
+       |  round(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(xs[2:${HILL_K + 1}], x -> ln(CAST(x AS DOUBLE) / CAST(xs[1] AS DOUBLE)))),
+       |    (a, v) -> a + v) / $HILL_K.0, 6) AS mean_log_excess
+       |FROM arr""".stripMargin
 }

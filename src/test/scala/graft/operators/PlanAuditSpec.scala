@@ -463,6 +463,42 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         s"dHash re-inlined above the cache barrier:\n$aboveBarrier")
     }
 
+    it("the session-5 family keeps its scale shapes") {
+      // Q6: ALL three range predicates reach the parquet scan
+      val rd = explain(Relational.qRevenueDelta(spark, sfDir))
+      assert(rd.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"), rd)
+      assert(rd.matches("(?s).*PushedFilters: \\[[^\\]]*l_discount[^\\]]*\\].*"), rd)
+      assert(rd.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"), rd)
+      // Q10: lineitem pre-aggregates per order BEFORE the orders join —
+      // some join node must carry an l_orderkey-grouped aggregate in a
+      // child subtree
+      val rcPlan = Relational.qReturnedCustomers(spark, sfDir)
+        .queryExecution.sparkPlan
+      val joins = rcPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      val preAggBelowJoin = joins.exists(_.children.exists(_.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if a.groupingExpressions.exists(_.references.exists(
+              _.name == "l_orderkey")) => a
+      }.nonEmpty))
+      assert(preAggBelowJoin, "lineitem must pre-aggregate per order below the join")
+      assert(countNodes(explain(Relational.qReturnedCustomers(spark, sfDir)),
+        "BroadcastHashJoin") >= 2, "customer and nation must broadcast")
+      // rank statistics: no window anywhere — ranking runs through the
+      // range-partitioned two-pass Ranks.avgRank2, never a sort window
+      for ((name, df) <- Seq(
+          "q_mannwhitney" -> Stats.qMannWhitney(spark, sfDir),
+          "q_spearman" -> Stats.qSpearman(spark, sfDir))) {
+        assert(countNodes(explain(df), "Window") == 0,
+          s"$name must rank without window functions")
+      }
+      // readability: pure projection into one enum aggregate — at most
+      // the agg exchange plus the output sort
+      val rb = explain(TextAnalysis.qReadability(spark, sfDir))
+      assert(countNodes(rb, "Exchange") <= 2, s"readability over-shuffled:\n$rb")
+    }
+
     it("q_order_gaps derives quartiles without replaying the fact pipeline") {
       // ntileExact localCheckpoints the per-customer aggregate before its
       // 4-way fan-out (stats / histogram / boundary rank / assignment):

@@ -837,6 +837,78 @@ object StreamOps {
     }
   }
 
+  // ---------------------------------------------- streaming funnel
+
+  /** One funnel-relevant event (ts in epoch seconds; seq breaks ties
+    * within a micro-batch the way the batch window's min does not need
+    * to — ordered folding requires a total order). */
+  case class FunnelEvent(user_id: Long, event_type: String, ts_sec: Double, seq: Long)
+
+  case class FunnelState(t1: Double, t2: Double, t3: Double)
+
+  /** Funnel snapshot per user per micro-batch: the deepest stage
+    * reached and the stage timestamps (-1 = not reached). */
+  case class FunnelSnapshot(user_id: Long, stage: Int,
+      t1: Double, t2: Double, t3: Double)
+
+  /** Streaming conversion funnel on `transformWithState` — the online
+    * twin of `EventOps.qEventsFunnel` (view → click → purchase, each
+    * within the horizon of the previous stage's timestamp). Per user
+    * the state is THREE doubles, set once each, folded in event-time
+    * order within a batch on top of persisted state (the CUSUM/TWAP
+    * discipline): under in-order delivery the final state is EXACTLY
+    * the batch query's (t1, t2, t3) — t1 is the first view, hence the
+    * min view; t2 the first horizon-qualified click after t1, hence
+    * the min; likewise t3 (FunnelStreamSpec pins count-level parity
+    * against the batch funnel on the driver data).
+    *
+    * Scale shape: state is O(1) per user forever; each arrival is a
+    * constant-work fold — the streaming funnel a growth dashboard
+    * polls without ever re-scanning history.
+    */
+  class FunnelProcessor(horizonSec: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEvent, FunnelSnapshot] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelSnapshot] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1d, -1d, -1d)
+      rows.toSeq.sortBy(e => (e.ts_sec, e.seq)).foreach { e =>
+        if (s.t1 < 0 && e.event_type == "view")
+          s = s.copy(t1 = e.ts_sec)
+        else if (s.t1 >= 0 && s.t2 < 0 && e.event_type == "click" &&
+            e.ts_sec >= s.t1 && e.ts_sec - s.t1 <= horizonSec)
+          s = s.copy(t2 = e.ts_sec)
+        else if (s.t2 >= 0 && s.t3 < 0 && e.event_type == "purchase" &&
+            e.ts_sec >= s.t2 && e.ts_sec - s.t2 <= horizonSec)
+          s = s.copy(t3 = e.ts_sec)
+      }
+      st.update(s)
+      val stage = if (s.t3 >= 0) 3 else if (s.t2 >= 0) 2 else if (s.t1 >= 0) 1 else 0
+      Iterator.single(FunnelSnapshot(user, stage, s.t1, s.t2, s.t3))
+    }
+  }
+
+  /** Event stream → per-user funnel snapshots (Update mode; RocksDB
+    * state store required, like every transformWithState op here). */
+  def funnelStream(events: Dataset[FunnelEvent],
+      horizonSec: Double = graft.operators.EventOps.FUNNEL_HORIZON_SEC): Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(horizonSec),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   // ---------------------------------------------- streaming reservoir
 
   /** One document arrival for the streaming reservoir. */

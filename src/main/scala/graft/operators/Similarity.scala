@@ -2519,4 +2519,95 @@ object Similarity {
        |SELECT rank, dim, loading, lambda, explained_share
        |FROM tops WHERE rank <= 5 ORDER BY rank""".stripMargin
   }
+
+  // ------------------------------------------------- IPW effect
+  /** Propensity clip bounds for [[qIpwEffect]] — literal text shared
+    * with the oracle. */
+  private val IPW_LO = "0.05"
+  private val IPW_HI = "0.95"
+
+  /** Inverse-propensity-weighted effect estimate (`q_ipw_effect`) —
+    * the observational-causal sibling of the experimentation family
+    * (`q_ab_welch` randomizes; this DEBIASES a non-randomized split):
+    * treatment = the probe target (label < 5), outcome = the vector's
+    * squared norm, propensity = the TRAINED linear probe's sigmoid
+    * score ([[probeWeights]] — the artifact-reuse discipline), clipped
+    * to [[[IPW_LO]], [[IPW_HI]]]; Hájek-normalized arm means.
+    *
+    * Determinism: the propensity is rounded 6dp; every per-row weighted
+    * term (out/e, 1/e) is rounded to an exact integer unit BEFORE the
+    * arm sums, so both engines fold identical integers and divide
+    * identical totals. Scale: one scan of the feature frame against the
+    * broadcast 1-row weight vector; two integer sums per arm.
+    */
+  def qIpwEffect(s: SparkSession, dir: String): DataFrame = {
+    val embD = col("embedding").cast("array<double>")
+    val rows = Tables.embeddings(s, dir)
+      .select(when(col("label") < 5, 1L).otherwise(0L).as("t"),
+        probeX.as("x"),
+        round(dot(embD, embD) * 1e4).cast("long").as("out_e4"))
+      .crossJoin(broadcast(probeWeights(s, dir)))
+      .select(col("t"), col("out_e4"),
+        least(greatest(round(lit(1.0) / (lit(1.0) + exp(-dot(col("x"), col("w")))), 6),
+          lit(IPW_LO.toDouble)), lit(IPW_HI.toDouble)).as("e"))
+    val terms = rows.select(col("t"), col("out_e4"),
+      round(when(col("t") === 1L, col("out_e4") / col("e"))
+        .otherwise(col("out_e4") / (lit(1.0) - col("e")))).cast("long").as("wy"),
+      round(when(col("t") === 1L, lit(1.0) / col("e"))
+        .otherwise(lit(1.0) / (lit(1.0) - col("e"))) * 1e6).cast("long").as("w6"))
+    def d(c: String) = col(c).cast("double")
+    val ipwT = d("sty") / d("stw") * 100.0
+    val ipwC = d("scy") / d("scw") * 100.0
+    terms.agg(
+        sum(col("t")).as("n_treat"),
+        sum(lit(1L) - col("t")).as("n_ctrl"),
+        sum(when(col("t") === 1L, col("out_e4"))).as("so_t"),
+        sum(when(col("t") === 0L, col("out_e4"))).as("so_c"),
+        sum(when(col("t") === 1L, col("wy"))).as("sty"),
+        sum(when(col("t") === 1L, col("w6"))).as("stw"),
+        sum(when(col("t") === 0L, col("wy"))).as("scy"),
+        sum(when(col("t") === 0L, col("w6"))).as("scw"))
+      .select(col("n_treat"), col("n_ctrl"),
+        // + 0.0 folds IEEE negative zero (a ~0 contrast rounds to -0.0
+        // in one engine and 0.0 in the other — the q_heaps_fit lesson)
+        (round(d("so_t") / d("n_treat") / 10000.0
+          - d("so_c") / d("n_ctrl") / 10000.0, 4) + 0.0).as("naive_diff"),
+        round(ipwT, 4).as("ipw_treat"),
+        round(ipwC, 4).as("ipw_ctrl"),
+        (round(ipwT - ipwC, 4) + 0.0).as("ate_ipw"))
+  }
+
+  val oracleIpwEffect: String =
+    s"""WITH $probeTrainSql,
+       |base AS (
+       |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS t, x,
+       |    CAST(round(list_sum(list_transform(x[2:${1 + DIM}], v -> v * v)) * 1e4) AS BIGINT) AS out_e4
+       |  FROM e),
+       |scored AS (
+       |  SELECT t, out_e4,
+       |    least(greatest(round(1.0 / (1.0 + exp(-($probeDotXW))), 6), $IPW_LO), $IPW_HI) AS e
+       |  FROM base, wi$PROBE_ITERS),
+       |terms AS (
+       |  SELECT t, out_e4,
+       |    CAST(round(CASE WHEN t = 1 THEN out_e4 / e ELSE out_e4 / (1.0 - e) END) AS BIGINT) AS wy,
+       |    CAST(round(CASE WHEN t = 1 THEN 1.0 / e ELSE 1.0 / (1.0 - e) END * 1e6) AS BIGINT) AS w6
+       |  FROM scored),
+       |agg AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n_treat,
+       |    CAST(sum(1 - t) AS BIGINT) AS n_ctrl,
+       |    CAST(sum(CASE WHEN t = 1 THEN out_e4 END) AS BIGINT) AS so_t,
+       |    CAST(sum(CASE WHEN t = 0 THEN out_e4 END) AS BIGINT) AS so_c,
+       |    CAST(sum(CASE WHEN t = 1 THEN wy END) AS BIGINT) AS sty,
+       |    CAST(sum(CASE WHEN t = 1 THEN w6 END) AS BIGINT) AS stw,
+       |    CAST(sum(CASE WHEN t = 0 THEN wy END) AS BIGINT) AS scy,
+       |    CAST(sum(CASE WHEN t = 0 THEN w6 END) AS BIGINT) AS scw
+       |  FROM terms)
+       |SELECT n_treat, n_ctrl,
+       |  round(CAST(so_t AS DOUBLE) / CAST(n_treat AS DOUBLE) / 10000.0
+       |    - CAST(so_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE) / 10000.0, 4) + 0.0 AS naive_diff,
+       |  round(CAST(sty AS DOUBLE) / CAST(stw AS DOUBLE) * 100.0, 4) AS ipw_treat,
+       |  round(CAST(scy AS DOUBLE) / CAST(scw AS DOUBLE) * 100.0, 4) AS ipw_ctrl,
+       |  round(CAST(sty AS DOUBLE) / CAST(stw AS DOUBLE) * 100.0
+       |    - CAST(scy AS DOUBLE) / CAST(scw AS DOUBLE) * 100.0, 4) + 0.0 AS ate_ipw
+       |FROM agg""".stripMargin
 }

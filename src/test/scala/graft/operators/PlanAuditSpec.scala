@@ -290,7 +290,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         // q_heaps_fit crossJoins the 1-row max-doc-id frame (bucket
         // assignment, referenced by both branches) and the 1-row OLS
         // beta frame onto the HEAPS_BUCKETS-row prefix frame
-        "q_heaps_fit")
+        "q_heaps_fit",
+        // q_ipw_effect broadcasts the 1-row trained-weight frame
+        // (q_auc_probe's shape) for scoring and inside probe training
+        "q_ipw_effect")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

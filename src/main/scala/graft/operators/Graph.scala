@@ -869,4 +869,76 @@ object Graph {
       |     * sqrt(n_edges * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
       |    AS assortativity
       |FROM m""".stripMargin
+
+  // ------------------------------------------------- local clustering
+  /** Local (Watts–Strogatz) clustering per nation (`q_local_clustering`)
+    * over the SAME thresholded trade graph as `q_graph_triangles` —
+    * the per-node complement of that query's global transitivity: how
+    * clique-like each nation's own trading neighborhood is
+    * (c_v = 2·t_v / d_v(d_v−1)). Graph is enum-bounded (≤|nations|
+    * nodes) by construction; one fact pass builds the weighted pair
+    * frame, everything after runs on the bounded edge list.
+    */
+  def qLocalClustering(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val meanW = pairs.agg(avg("w").as("mean_w"))
+    val edges = pairs.crossJoin(broadcast(meanW))
+      .filter(col("w") >= col("mean_w"))
+      .select("a", "b")
+      .localCheckpoint() // bounded (≤|nations|² rows); reused 4×
+    val deg = edges.select(col("a").as("v")).unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val perNode = edges.as("ab")
+      .join(edges.as("bc"), col("ab.b") === col("bc.a"))
+      .join(edges.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(explode(array(col("ab.a"), col("ab.b"), col("bc.b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").cast("long").as("node"),
+        col("d").cast("long").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)), 6).as("coeff"))
+      .orderBy("node")
+  }
+
+  val oracleLocalClustering: String =
+    """WITH ord AS MATERIALIZED (
+      |  SELECT o_orderkey, c_nationkey AS cn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |li AS MATERIALIZED (
+      |  SELECT l_orderkey, s_nationkey AS sn
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      |pairs AS (
+      |  SELECT least(cn, sn) AS a, greatest(cn, sn) AS b, count(*) AS w
+      |  FROM li JOIN ord ON l_orderkey = o_orderkey
+      |  WHERE cn <> sn
+      |  GROUP BY 1, 2),
+      |edges AS MATERIALIZED (
+      |  SELECT a, b FROM pairs WHERE w >= (SELECT avg(w) FROM pairs)),
+      |deg AS (
+      |  SELECT v, count(*) AS d FROM (
+      |    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+      |  GROUP BY v),
+      |pn AS (
+      |  SELECT v, count(*) AS t FROM (
+      |    SELECT unnest([ab.a, ab.b, bc.b]) AS v
+      |    FROM edges ab JOIN edges bc ON ab.b = bc.a
+      |      JOIN edges ac ON ac.a = ab.a AND ac.b = bc.b)
+      |  GROUP BY v)
+      |SELECT CAST(deg.v AS BIGINT) AS node, CAST(d AS BIGINT) AS degree,
+      |  CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+      |  round(CASE WHEN d >= 2
+      |    THEN 2.0 * coalesce(t, 0) / (d * (d - 1)) ELSE 0.0 END, 6) AS coeff
+      |FROM deg LEFT JOIN pn ON deg.v = pn.v
+      |ORDER BY node""".stripMargin
 }

@@ -293,7 +293,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_heaps_fit",
         // q_ipw_effect broadcasts the 1-row trained-weight frame
         // (q_auc_probe's shape) for scoring and inside probe training
-        "q_ipw_effect")
+        "q_ipw_effect",
+        // q_local_clustering crossJoins the 1-row mean-weight frame
+        // (q_graph_triangles' shape) onto the nation-bounded pair frame
+        "q_local_clustering")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

@@ -1524,4 +1524,68 @@ object Stats {
        |    list_transform(xs[2:${HILL_K + 1}], x -> ln(CAST(x AS DOUBLE) / CAST(xs[1] AS DOUBLE)))),
        |    (a, v) -> a + v) / $HILL_K.0, 6) AS mean_log_excess
        |FROM arr""".stripMargin
+
+  // ------------------------------------------------- Wasserstein-1
+  /** Binned 1-Wasserstein (earth-mover) distance (`q_wasserstein`)
+    * between the two segments' order-value distributions — the INTEGRAL
+    * companion to [[qKsTest]]'s sup-gap: KS asks "is there a level where
+    * the CDFs split", W1 asks "how many dollars must move to make them
+    * equal" — the drift magnitude a rebalancing decision actually needs.
+    * Same fixed KS_BIN grid (the 100 TB discipline: the CDF frame is
+    * bounded by the value range, never the row count).
+    *
+    * Exactness: W1 = BIN/(n_a·n_b) · Σ_b |cumA_b·n_b − cumB_b·n_a| —
+    * the summand is an exact INTEGER (DECIMAL(38,0) at scale), so the
+    * bucket-order float-summation hazard of a naive Σ|F_a−F_b|·Δ is
+    * engineered out; one double division at the edge.
+    */
+  def qWasserstein(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(s, dir)
+      .join(Tables.dim(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+    val agg = seg.select(
+        floor(col("o_totalprice") / KS_BIN).cast("long").as("b"),
+        (col("c_mktsegment") === KS_SEG_A).cast("long").as("ia"),
+        (col("c_mktsegment") === KS_SEG_B).cast("long").as("ib"))
+      .groupBy("b").agg(sum("ia").as("na"), sum("ib").as("nb"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the bucket frame omits EMPTY buckets, but a CDF gap persists across
+    // the hole — each present bucket's gap integrates over the span to
+    // the NEXT present bucket (first written without the lead() width:
+    // the spec's W1 >= |mean diff| identity caught the under-count)
+    agg
+      .withColumn("ta", sum("na").over(all))
+      .withColumn("tb", sum("nb").over(all))
+      .withColumn("width", lead("b", 1).over(Window.orderBy("b")) - col("b"))
+      .withColumn("gap_i",
+        abs(sum("na").over(w).cast("decimal(38,0)") * col("tb")
+          - sum("nb").over(w).cast("decimal(38,0)") * col("ta")) * col("width"))
+      .filter(col("width").isNotNull)
+      .groupBy("ta", "tb")
+      .agg(sum("gap_i").as("g"))
+      .select(col("ta").cast("long").as("n_a"), col("tb").cast("long").as("n_b"),
+        round(lit(KS_BIN) * col("g").cast("double")
+          / (col("ta").cast("double") * col("tb").cast("double")), 4).as("w1_dollars"))
+  }
+
+  val oracleWasserstein: String =
+    s"""WITH seg AS (
+       |  SELECT floor(o_totalprice / $KS_BIN)::BIGINT AS b,
+       |    CASE WHEN c_mktsegment = '$KS_SEG_A' THEN 1 ELSE 0 END AS ia,
+       |    CASE WHEN c_mktsegment = '$KS_SEG_B' THEN 1 ELSE 0 END AS ib
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment IN ('$KS_SEG_A', '$KS_SEG_B')),
+       |agg AS (SELECT b, sum(ia) AS na, sum(ib) AS nb FROM seg GROUP BY b),
+       |cum AS (
+       |  SELECT sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+       |    lead(b) OVER (ORDER BY b) - b AS width,
+       |    abs(CAST(sum(na) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS HUGEINT) * (sum(nb) OVER ())
+       |      - CAST(sum(nb) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS HUGEINT) * (sum(na) OVER ())) AS gap_i
+       |  FROM agg)
+       |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       |  round($KS_BIN * CAST(sum(gap_i * width) AS DOUBLE)
+       |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 4) AS w1_dollars
+       |FROM cum WHERE width IS NOT NULL GROUP BY ta, tb""".stripMargin
 }

@@ -334,6 +334,8 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_kcore" -> ("lag over the per-peel-round census — rounds <= max " +
           "core number, not data size"),
         "q_ks_test" -> "two CDFs over the constant bucket frame",
+        "q_wasserstein" -> ("integer CDF-gap sums over the constant " +
+          "bucket frame (q_ks_test's shape)"),
         "q_mutual_info" -> "total over the contingency-cell frame",
         "q_rrf_fusion" -> ("row_number AFTER .limit(RRF_N): both ranked " +
           "frames are <=RRF_N rows"),

@@ -1197,4 +1197,60 @@ object Pipeline {
        |FROM by_source b JOIN ent ON b.source = ent.source
        |ORDER BY b.source""".stripMargin
   }
+
+  // ------------------------------------------------- weighted sampling
+  /** Weighted sample size for [[qSampleWeighted]]. */
+  private[graft] val WS_K = 20
+
+  /** Weighted sampling WITHOUT replacement (`q_sample_weighted`) —
+    * Ohlsson's Sequential Poisson sampling: priority = u/w (u the
+    * deterministic h60 hash folded to 40 bits, w = document length),
+    * keep the k smallest priorities. Longer documents draw smaller
+    * priorities, so inclusion is ∝ weight — the curation move when
+    * "pick k docs uniformly" over-represents boilerplate stubs.
+    *
+    * Determinism across engines: the priority is ONE IEEE division of
+    * two exact integers — correctly rounded on both sides, unlike the
+    * u^(1/w) exponential keys of Efraimidis–Spirakis whose libm
+    * log/pow may differ at 1 ulp and FLIP a rank (the project ban on
+    * ranking over libm outputs). Scale: the O(k) MinKPair aggregate —
+    * map-side combinable, no sort, no window.
+    */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val minK = udaf(new graft.functions.MinKPairAggregator(WS_K))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        ((h60(concat(lit("ws:"), col("doc_id").cast("string")))
+          % lit(1099511627776L)).cast("double") / col("n_chars").cast("double"))
+          .as("priority"))
+      .agg(minK(col("priority"), col("doc_id")).as("take"),
+        count(lit(1)).as("n_corpus"))
+      .select(col("n_corpus"),
+        posexplode(arrays_zip(col("take.ds"), col("take.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("n_corpus"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("z.ids").as("doc_id"),
+        // unrounded: the doubles are the SAME ieee division both
+        // engines; a 6dp round on a ~1e8 value re-enters the q_anova
+        // 1-ulp cross-engine rounding hazard
+        col("z.ds").as("priority"))
+      .orderBy("rank")
+  }
+
+  val oracleSampleWeighted: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    CAST(${graft.functions.HashFns.h60Sql("'ws:' || doc_id")} % 1099511627776 AS DOUBLE)
+       |      / CAST(n_chars AS DOUBLE) AS priority
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, priority,
+       |    row_number() OVER (ORDER BY priority, doc_id) AS rank,
+       |    count(*) OVER () AS n_corpus
+       |  FROM keyed)
+       |SELECT CAST(n_corpus AS BIGINT) AS n_corpus, CAST(rank AS INT) AS rank,
+       |  doc_id, priority
+       |FROM ranked WHERE rank <= $WS_K
+       |ORDER BY rank""".stripMargin
 }

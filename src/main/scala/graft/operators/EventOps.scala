@@ -1164,4 +1164,136 @@ object EventOps {
       |  round(greatest(0.0, 1.0 - var_r / var_t), 6) AS f_trend,
       |  round(var_r, 6) AS var_resid
       |FROM v""".stripMargin
+
+  // ------------------------------------------------- Hurst exponent
+  /** Block sizes for the [[qHurst]] R/S ladder — shared with the oracle. */
+  private[graft] val HURST_MS = Seq(4, 8, 16)
+
+  /** Rescaled-range Hurst exponent (`q_hurst`) of the daily event
+    * volume — the long-memory diagnostic the rest of the time-series
+    * family lacks: [[qAutocorr]] reads one lag, Hurst reads the decay
+    * law (H≈0.5 random walk, H>0.5 persistent trends, H<0.5 mean
+    * reversion). Classic R/S: for each block size m, split the day
+    * series into ⌊n/m⌋ blocks, compute range(cumulative deviations)/
+    * stddev per block, average per m, then OLS of ln(R/S) on ln(m).
+    *
+    * Scale/determinism: the stream reduces to the calendar-bounded day
+    * frame FIRST; blocks are (day-rank ÷ m) groups of that frame; all
+    * block folds (cumdev range, variance) run over day-sorted arrays
+    * (collect_list + array_sort — the sorted-fold discipline), and the
+    * per-m means and the OLS fold in block/size order on both engines.
+    */
+  def qHurst(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = daily
+      .withColumn("rk", row_number().over(Window.orderBy("day")) - 1)
+      .localCheckpoint() // calendar-bounded; re-read per block size
+    val perM = HURST_MS.map { m =>
+      val byBlk = Window.partitionBy("blk")
+      val wb = Window.partitionBy("blk").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-row cumulative deviation from EXACT integer prefix sums:
+      // cumdev_k = cum_k − k·(ls/m) — one multiply + subtract per row,
+      // bit-identical cross-engine (no sequential float accumulation)
+      val blocks = ranked
+        .withColumn("blk", floor(col("rk") / m))
+        .withColumn("bn", count(lit(1)).over(byBlk))
+        .filter(col("bn") === m)
+        .withColumn("ls", sum("n").over(byBlk))
+        .withColumn("k", row_number().over(Window.partitionBy("blk").orderBy("rk")))
+        .withColumn("cum", sum("n").over(wb))
+        .withColumn("cumdev",
+          col("cum").cast("double") - col("k").cast("double")
+            * (col("ls").cast("double") / m))
+        .groupBy("blk")
+        .agg(max("cumdev").as("mx"), min("cumdev").as("mn"),
+          sum(col("n") * col("n")).as("s2"), max("ls").as("ls"))
+        // sd from exact integer moments: sd² = (Σv² − ls²/m)/m
+        .withColumn("sd", sqrt((col("s2").cast("double")
+          - col("ls").cast("double") * col("ls").cast("double") / m) / m))
+        .withColumn("rng", greatest(col("mx"), lit(0.0)) - least(col("mn"), lit(0.0)))
+        .filter(col("sd") > 0)
+      blocks
+        .agg(count(lit(1)).as("n_blocks"),
+          aggregate(array_sort(collect_list(struct(col("blk"),
+            (col("rng") / col("sd")).as("rs")))), lit(0.0d),
+            (a, e) => a + e.getField("rs")).as("rs_sum"))
+        .select(lit(m).as("m"), col("n_blocks"),
+          // nullif guard: a block size longer than the calendar has no
+          // complete blocks — null propagates and the pts filter drops it
+          (col("rs_sum") / when(col("n_blocks") =!= 0, col("n_blocks")))
+            .as("rs_mean"))
+    }.reduce(_ unionByName _)
+    // OLS of ln(rs_mean) on ln(m), folded in m order over the ≤|MS| rows
+    val pts = perM.filter(col("rs_mean").isNotNull)
+      .select(col("m"), col("n_blocks"), col("rs_mean"),
+        log(col("m").cast("double")).as("x"), log(col("rs_mean")).as("y"))
+    def fold(f: Column => Column): Column =
+      aggregate(array_sort(collect_list(struct(col("m"), col("x"), col("y")))),
+        lit(0.0d), (a, e) => a + f(e))
+    val fit = pts.agg(
+        count(lit(1)).cast("double").as("np"),
+        fold(e => e.getField("x")).as("sx"),
+        fold(e => e.getField("y")).as("sy"),
+        fold(e => e.getField("x") * e.getField("y")).as("sxy"),
+        fold(e => e.getField("x") * e.getField("x")).as("sxx"))
+      .select(round((col("sxy") - col("sx") * col("sy") / col("np"))
+        / (col("sxx") - col("sx") * col("sx") / col("np")), 6).as("hurst"))
+    pts.select(col("m").cast("long").as("m"), col("n_blocks"),
+        round(col("rs_mean"), 6).as("rs_mean"))
+      .crossJoin(broadcast(fit))
+      .orderBy("m")
+  }
+
+  val oracleHurst: String = {
+    val perM = HURST_MS.map { m =>
+      s"""(SELECT $m AS m, count(*) AS n_blocks,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(rs ORDER BY blk)),
+         |    (a, v) -> a + v) / count(*) AS rs_mean
+         | FROM (
+         |  SELECT blk,
+         |    (greatest(max(cumdev), 0.0) - least(min(cumdev), 0.0))
+         |      / sqrt((CAST(max(s2) AS DOUBLE)
+         |          - CAST(max(ls) AS DOUBLE) * CAST(max(ls) AS DOUBLE) / $m.0) / $m.0) AS rs
+         |  FROM (
+         |    SELECT blk,
+         |      CAST(cum AS DOUBLE) - CAST(k AS DOUBLE) * (CAST(ls AS DOUBLE) / $m.0) AS cumdev,
+         |      s2, ls
+         |    FROM (
+         |      SELECT blk, rk, n,
+         |        sum(n) OVER (PARTITION BY blk) AS ls,
+         |        sum(n * n) OVER (PARTITION BY blk) AS s2,
+         |        count(*) OVER (PARTITION BY blk) AS bn,
+         |        row_number() OVER (PARTITION BY blk ORDER BY rk) AS k,
+         |        sum(n) OVER (PARTITION BY blk ORDER BY rk ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM (SELECT floor(rk / $m) AS blk, rk, n FROM ranked))
+         |    WHERE bn = $m)
+         |  GROUP BY blk
+         |  HAVING sqrt((CAST(max(s2) AS DOUBLE)
+         |      - CAST(max(ls) AS DOUBLE) * CAST(max(ls) AS DOUBLE) / $m.0) / $m.0) > 0)
+         | HAVING count(*) > 0)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS day,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1),
+       |ranked AS (
+       |  SELECT row_number() OVER (ORDER BY day) - 1 AS rk, n FROM daily),
+       |per_m AS ($perM),
+       |pts AS (SELECT m, n_blocks, rs_mean,
+       |  ln(CAST(m AS DOUBLE)) AS x, ln(rs_mean) AS y FROM per_m),
+       |fit AS (SELECT
+       |  CAST(count(*) AS DOUBLE) AS np,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY m)), (a, v) -> a + v) AS sx,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(y ORDER BY m)), (a, v) -> a + v) AS sy,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(x * y ORDER BY m)), (a, v) -> a + v) AS sxy,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(x * x ORDER BY m)), (a, v) -> a + v) AS sxx
+       |  FROM pts),
+       |h AS (SELECT round((sxy - sx * sy / np) / (sxx - sx * sx / np), 6) AS hurst FROM fit)
+       |SELECT CAST(m AS BIGINT) AS m, CAST(n_blocks AS BIGINT) AS n_blocks,
+       |  round(rs_mean, 6) AS rs_mean, hurst
+       |FROM pts, h ORDER BY m""".stripMargin
+  }
 }

@@ -296,7 +296,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_ipw_effect",
         // q_local_clustering crossJoins the 1-row mean-weight frame
         // (q_graph_triangles' shape) onto the nation-bounded pair frame
-        "q_local_clustering")
+        "q_local_clustering",
+        // q_hurst crossJoins the 1-row OLS fit frame onto the
+        // ≤|HURST_MS|-row block-size frame
+        "q_hurst")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
@@ -365,7 +368,9 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_stl_strength" -> ("centered-MA window over the per-DAY " +
           "aggregate — calendar-span-bounded (q_stl_decompose's shape)"),
         "q_heaps_fit" -> ("cumulative windows over the HEAPS_BUCKETS-row " +
-          "prefix frame: constant-bounded by construction"))
+          "prefix frame: constant-bounded by construction"),
+        "q_hurst" -> ("day-rank row_number over the per-DAY aggregate — " +
+          "calendar-span-bounded (q_autocorr's shape)"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

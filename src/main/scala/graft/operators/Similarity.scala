@@ -2466,19 +2466,11 @@ object Similarity {
       .orderBy("rank")
   }
 
-  val oracleEmbeddingPca: String = {
-    val cw = s"round(list_sum(list_transform(generate_series(1, $DIM), " +
-      "i -> rw[i] * w[i])), 6)"
-    def step(prevW: String, k: Int): String =
-      s"""y$k AS (
-         |  SELECT list_transform(cm, rw -> $cw) AS y FROM cm, $prevW),
-         |w$k AS (
-         |  SELECT list_transform(y, v ->
-         |    round(v / sqrt(list_sum(list_transform(y, u -> u * u))), 6)) AS w
-         |  FROM y$k)""".stripMargin
-    val steps = (1 to PCA_ITERS)
-      .map(k => step(if (k == 1) "w0" else s"w${k - 1}", k)).mkString(",\n")
-    s"""WITH e AS (
+  /** Shared oracle CTE prefix: the exact-integer-micros covariance
+    * matrix (`e`, `st`, `xc`, `pr`, `cmr`, `cm`) both PCA-family
+    * oracles read. */
+  private val pcaCovCtes: String =
+    s"""e AS (
        |  SELECT list_transform(embedding, v -> v::DOUBLE) AS emb FROM embeddings),
        |st AS (
        |  SELECT list(m ORDER BY pos) AS mu, max(cnt) AS n FROM (
@@ -2498,7 +2490,22 @@ object Similarity {
        |  SELECT i, list(round(CAST(micro AS BIGINT) / 1000000.0 / n, 6)
        |                 ORDER BY j) AS rw
        |  FROM pr, st GROUP BY i, n),
-       |cm AS (SELECT list(rw ORDER BY i) AS cm FROM cmr),
+       |cm AS (SELECT list(rw ORDER BY i) AS cm FROM cmr)"""
+      .stripMargin
+
+  val oracleEmbeddingPca: String = {
+    val cw = s"round(list_sum(list_transform(generate_series(1, $DIM), " +
+      "i -> rw[i] * w[i])), 6)"
+    def step(prevW: String, k: Int): String =
+      s"""y$k AS (
+         |  SELECT list_transform(cm, rw -> $cw) AS y FROM cm, $prevW),
+         |w$k AS (
+         |  SELECT list_transform(y, v ->
+         |    round(v / sqrt(list_sum(list_transform(y, u -> u * u))), 6)) AS w
+         |  FROM y$k)""".stripMargin
+    val steps = (1 to PCA_ITERS)
+      .map(k => step(if (k == 1) "w0" else s"w${k - 1}", k)).mkString(",\n")
+    s"""WITH $pcaCovCtes,
        |w0 AS (SELECT list_transform(generate_series(1, $DIM), i -> 0.125) AS w),
        |$steps,
        |fy AS (
@@ -2610,4 +2617,45 @@ object Similarity {
        |  round(CAST(sty AS DOUBLE) / CAST(stw AS DOUBLE) * 100.0
        |    - CAST(scy AS DOUBLE) / CAST(scw AS DOUBLE) * 100.0, 4) + 0.0 AS ate_ipw
        |FROM agg""".stripMargin
+
+  // ------------------------------------------------- effective rank
+  /** Embedding effective rank (`q_effective_rank`): the participation
+    * ratio tr(C)²/tr(C²) of the covariance spectrum — how many
+    * dimensions the corpus ACTUALLY uses (≈DIM isotropic, ≈1 collapsed)
+    * — the representation-collapse gauge a training pipeline reads
+    * before trusting any cosine-based dedup or retrieval, and the
+    * whole-spectrum summary `q_embedding_pca`'s single top component
+    * cannot give. No eigensolver: tr(C²) = Σᵢⱼ C²ᵢⱼ, so both numbers
+    * come straight off the exact-integer-micros covariance matrix
+    * (the pcaParts artifact, built in ONE corpus pass) with fixed-order
+    * folds over the DIM² frame.
+    */
+  def qEffectiveRank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val (covm, _) = pcaParts(s, e)
+    covm
+      .select(
+        aggregate(sequence(lit(1), lit(DIM)), lit(0.0),
+          (acc, i) => acc + element_at(element_at(col("cm"), i), i)).as("tr"),
+        aggregate(col("cm"), lit(0.0),
+          (acc, rw) => acc + aggregate(rw, lit(0.0), (a, v) => a + v * v))
+          .as("fr"))
+      .select(lit(DIM.toLong).as("dim"),
+        round(col("tr"), 6).as("trace"),
+        round(col("tr") * col("tr") / col("fr"), 4).as("effective_rank"),
+        round(col("tr") * col("tr") / col("fr") / DIM, 6).as("isotropy"))
+  }
+
+  val oracleEffectiveRank: String =
+    s"""WITH $pcaCovCtes,
+       |m AS (SELECT
+       |  list_sum(list_transform(generate_series(1, $DIM), i -> cm[i][i])) AS tr,
+       |  list_sum(list_transform(cm,
+       |    rw -> list_sum(list_transform(rw, v -> v * v)))) AS fr
+       |  FROM cm)
+       |SELECT CAST($DIM AS BIGINT) AS dim, round(tr, 6) AS trace,
+       |  round(tr * tr / fr, 4) AS effective_rank,
+       |  round(tr * tr / fr / $DIM.0, 6) AS isotropy
+       |FROM m""".stripMargin
 }

@@ -299,7 +299,10 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_local_clustering",
         // q_hurst crossJoins the 1-row OLS fit frame onto the
         // ≤|HURST_MS|-row block-size frame
-        "q_hurst")
+        "q_hurst",
+        // q_effective_rank crossJoins only 1-row frames (per-dim stats,
+        // the DIM x DIM matrix row — q_embedding_pca's shape)
+        "q_effective_rank")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))

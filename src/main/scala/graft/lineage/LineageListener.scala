@@ -108,6 +108,29 @@ final class LineageListener(private[lineage] val sinks: Seq[LineageSink]) extend
     val partsWritten = try {
       qe.executedPlan.metrics.get("numParts").map(_.value).filter(_ > 0)
     } catch { case _: Throwable => None }
+    // Executor-level run metrics (r11 VERDICT item 4): the catalog
+    // question "which job blew up the cluster" needs shuffle and memory
+    // pressure, not just rows/bytes. Summed over the SAME AQE-aware node
+    // walk as the scan stats, deduped by accumulator id — a
+    // ReusedExchangeExec shares its child's SQLMetric objects, so
+    // summing by node would double-count every reused exchange. Size
+    // metrics initialize to -1 ("no task updated me"); those are
+    // filtered, and a query with no matching metric at all reports None
+    // (a scan-only plan has no exchange: shuffle fields stay null
+    // rather than lying 0).
+    def sumMetric(names: String*): Option[Long] = try {
+      val ms = planNodes
+        .flatMap(n => names.flatMap(n.metrics.get))
+        .distinctBy(_.id)
+        .map(_.value).filter(_ >= 0L)
+      if (ms.isEmpty) None else Some(ms.sum)
+    } catch { case _: Throwable => None }
+    val shufWrite = sumMetric("shuffleBytesWritten")
+    val shufRead  = sumMetric("localBytesRead", "remoteBytesRead")
+    // per-operator task peaks summed = the plan's aggregate memory
+    // footprint (each SQLMetric already sums its per-task peaks)
+    val peakMem   = sumMetric("peakMemory")
+    val spilled   = sumMetric("spillSize")
     Some(LineageRecord(
       appId = spark.sparkContext.applicationId,
       appName = spark.sparkContext.appName,
@@ -126,6 +149,10 @@ final class LineageListener(private[lineage] val sinks: Seq[LineageSink]) extend
       rowsWritten = rows,
       bytesWritten = bytesOut,
       bytesRead = bytesIn,
+      shuffleBytesWritten = shufWrite,
+      shuffleBytesRead = shufRead,
+      peakMemoryBytes = peakMem,
+      spillBytes = spilled,
       planFingerprint = LineageListener.planFingerprint(analyzed),
       observed = LineageListener.harvestObserved(qe)))
   }

@@ -55,6 +55,16 @@ final case class LineageRecord(
     rowsWritten: Option[Long],
     bytesWritten: Option[Long] = None,
     bytesRead: Option[Long] = None,
+    // Executor-level pressure of the run, aggregated over the executed
+    // plan's SQL metrics (AQE-aware, reuse-deduped): total shuffle bytes
+    // written / read across all exchanges, the sum of per-operator
+    // per-task peak execution memory, and bytes spilled to disk. None =
+    // the plan had no operator carrying that metric (scan-only plans
+    // have no exchange), NOT zero observed.
+    shuffleBytesWritten: Option[Long] = None,
+    shuffleBytesRead: Option[Long] = None,
+    peakMemoryBytes: Option[Long] = None,
+    spillBytes: Option[Long] = None,
     planFingerprint: String = "",
     // Dataset.observe() metrics harvested from the run — the in-plan
     // data-quality gates (row counts, violation sums) a pipeline attaches
@@ -96,6 +106,8 @@ final case class LineageRecord(
       s""""outputColumns":${arr(outputColumns.map(q))},"columnLineage":$colLin,""" +
       s""""schemaFingerprint":${q(schemaFingerprint)},"rowsWritten":${rowsWritten.map(_.toString).getOrElse("null")},""" +
       s""""bytesWritten":${bytesWritten.map(_.toString).getOrElse("null")},"bytesRead":${bytesRead.map(_.toString).getOrElse("null")},""" +
+      s""""shuffleBytesWritten":${num(shuffleBytesWritten)},"shuffleBytesRead":${num(shuffleBytesRead)},""" +
+      s""""peakMemoryBytes":${num(peakMemoryBytes)},"spillBytes":${num(spillBytes)},""" +
       s""""planFingerprint":${q(planFingerprint)}}"""
   }
 }

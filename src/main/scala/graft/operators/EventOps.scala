@@ -1239,8 +1239,13 @@ object EventOps {
         fold(e => e.getField("y")).as("sy"),
         fold(e => e.getField("x") * e.getField("y")).as("sxy"),
         fold(e => e.getField("x") * e.getField("x")).as("sxx"))
+      // degenerate-fit guard (r11 ADVICE class): with < 2 surviving
+      // block sizes the OLS denominator is 0 — Spark's Divide yields
+      // NULL but DuckDB's IEEE ops yield NaN/Inf; when()/nullif() pin
+      // both engines to NULL
       .select(round((col("sxy") - col("sx") * col("sy") / col("np"))
-        / (col("sxx") - col("sx") * col("sx") / col("np")), 6).as("hurst"))
+        / when(col("sxx") =!= col("sx") * col("sx") / col("np"),
+            col("sxx") - col("sx") * col("sx") / col("np")), 6).as("hurst"))
     pts.select(col("m").cast("long").as("m"), col("n_blocks"),
         round(col("rs_mean"), 6).as("rs_mean"))
       .crossJoin(broadcast(fit))
@@ -1291,7 +1296,7 @@ object EventOps {
        |  list_reduce(list_prepend(0.0::DOUBLE, list(x * y ORDER BY m)), (a, v) -> a + v) AS sxy,
        |  list_reduce(list_prepend(0.0::DOUBLE, list(x * x ORDER BY m)), (a, v) -> a + v) AS sxx
        |  FROM pts),
-       |h AS (SELECT round((sxy - sx * sy / np) / (sxx - sx * sx / np), 6) AS hurst FROM fit)
+       |h AS (SELECT round((sxy - sx * sy / np) / nullif(sxx - sx * sx / np, 0), 6) AS hurst FROM fit)
        |SELECT CAST(m AS BIGINT) AS m, CAST(n_blocks AS BIGINT) AS n_blocks,
        |  round(rs_mean, 6) AS rs_mean, hurst
        |FROM pts, h ORDER BY m""".stripMargin

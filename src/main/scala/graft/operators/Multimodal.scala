@@ -522,7 +522,19 @@ object Multimodal {
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
        |$props
        |SELECT label AS cluster_id, count(*) AS n_members
-       |FROM l$MC_ORACLE_ROUNDS GROUP BY label ORDER BY cluster_id""".stripMargin
+       |FROM l$MC_ORACLE_ROUNDS GROUP BY label
+       |UNION ALL
+       |-- convergence sentinel (r11 ADVICE): the unroll is round-capped
+       |-- while the Spark side (ccLabels) iterates to convergence; a
+       |-- pair-graph diameter beyond the cap would silently leave oracle
+       |-- labels unconverged and MIScompare. If the last two rounds
+       |-- differ anywhere, emit an impossible cluster_id=-1 row so the
+       |-- too-deep graph fails LOUDLY as an extra oracle row instead.
+       |SELECT CAST(-1 AS BIGINT) AS cluster_id, count(*) AS n_members
+       |FROM l$MC_ORACLE_ROUNDS a
+       |JOIN l${MC_ORACLE_ROUNDS - 1} b ON a.id = b.id AND a.label <> b.label
+       |HAVING count(*) > 0
+       |ORDER BY cluster_id""".stripMargin
   }
 
   // --------------------------------------------------------- resize stage

@@ -524,6 +524,46 @@ object Relational {
       |   AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Q12-style two-way conditional count (`q_ship_priority`): per
+    * lineitem return-flag class, how many LATE lines (shipped more than
+    * 60 days after the order date — [[qExistsLate]]'s lateness) belong
+    * to critical-priority orders (`1-URGENT`/`2-HIGH`) vs the rest. The
+    * driver schema carries no `l_shipmode`/`l_commitdate`/
+    * `l_receiptdate`, so Q12 adapts the same way Q9 did: the grouping
+    * key becomes `l_returnflag` and the lateness predicate becomes the
+    * shipdate-vs-orderdate gap. Shape preserved from Q12: one fact-fact
+    * equi-join (shuffle co-partitioned on orderkey; lineitem pruned to
+    * 3 columns, orders to 3) with the date arithmetic as a residual
+    * join condition — late lines are dropped IN the join, so the
+    * aggregate sees only qualifying rows — then a single hash aggregate
+    * with both conditional counts computed in one pass (map-side
+    * combinable; no second scan for the low branch).
+    */
+  def qShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+    val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val oracleShipPriority: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Q17-style scalar correlated subquery (small-quantity revenue):
     * lineitems whose quantity is below half their part's mean quantity.
     * The correlated `avg` de-correlates to a `groupBy(l_partkey)`

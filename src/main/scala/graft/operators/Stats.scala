@@ -1449,13 +1449,19 @@ object Stats {
     def d(c: String) = col(c).cast("double")
     val mean = d("sc") / d("n")
     val vr = (d("scc") - d("sc") * d("sc") / d("n")) / d("n")
+    // Degenerate-input guards (r11 ADVICE): on equidispersed data
+    // (var == mean) Spark's Divide yields NULL while DuckDB's IEEE
+    // float ops yield Infinity — guard BOTH sides to NULL (when() here,
+    // nullif() in the oracle) so the engines agree. Same for var == 0
+    // (all users with identical counts) in nb_p; mean > 0 always holds
+    // (every grouped user has >= 1 event).
     m.select(
       col("n").cast("long").as("n_users"),
       round(mean, 6).as("mean_events"),
       round(vr, 6).as("var_events"),
       round(vr / mean, 6).as("dispersion"),
-      round(mean * mean / (vr - mean), 6).as("nb_r"),
-      round(mean / vr, 6).as("nb_p"))
+      round(when(vr =!= mean, mean * mean / (vr - mean)), 6).as("nb_r"),
+      round(when(vr =!= 0d, mean / vr), 6).as("nb_p"))
   }
 
   val oracleDispersion: String =
@@ -1469,10 +1475,10 @@ object Stats {
       |  round(((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
       |    / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS dispersion,
       |  round((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
-      |    / ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
-      |       - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS nb_r,
+      |    / nullif((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+      |       - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 0), 6) AS nb_r,
       |  round((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
-      |    / ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS nb_p
+      |    / nullif((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0), 6) AS nb_p
       |FROM m""".stripMargin
 
   // ------------------------------------------------- Hill tail index

@@ -955,11 +955,26 @@ object StreamOps {
       var n = prev.n
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       buf ++= prev.hks.zip(prev.ids)
+      // Dedupe re-deliveries (r11 ADVICE): an at-least-once replay or
+      // overlapping backfill re-sends ids already ingested; without the
+      // guard a duplicate (hk, id) occupied TWO reservoir slots (evicting
+      // a legitimate k-th element) and double-incremented n. The SAMPLE
+      // is now exactly min-k over distinct ids under any replay: a
+      // re-delivered id either sits in the reservoir (seen-set hit, no
+      // second slot) or was evicted because k smaller keys exist — in
+      // which case sorted.take(k) re-drops it for the same reason. n
+      // stays exact under exactly-once delivery and for replays of
+      // reservoir-resident ids; only a replay of an already-EVICTED id
+      // re-counts (exact distinct-n needs O(n) state, not O(k)).
+      val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      seen ++= buf
       rows.foreach { r =>
-        n += 1L
         // the batch query's exact key: h60 of "res:"+id folded to 2^50
         val hk = graft.functions.HashFns.h60Local("res:" + r.doc_id) % 1125899906842624L
-        buf += ((hk, r.doc_id))
+        if (seen.add((hk, r.doc_id))) {
+          n += 1L
+          buf += ((hk, r.doc_id))
+        }
       }
       val kept = buf.sorted.take(k) // (hk, id) lexicographic — MinKPair's tie order
       res.update(ReservoirState(kept.map(_._1).toSeq, kept.map(_._2).toSeq, n))

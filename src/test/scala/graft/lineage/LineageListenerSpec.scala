@@ -137,6 +137,34 @@ class LineageListenerSpec extends AnyFunSpec with SparkTestBase {
       } finally Lineage.uninstall(spark, l)
     }
 
+    it("aggregates executor metrics: shuffle bytes on an exchange plan, null on scan-only") {
+      val sink = new InMemorySink
+      val l = Lineage.installSync(spark, sink)
+      try {
+        // aggregate forces an exchange: partial aggs shuffle to finals
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+        assert(eventually()(sink.records.exists(_.shuffleBytesWritten.exists(_ > 0L))),
+          s"no record with shuffle write bytes: ${sink.records.map(_.shuffleBytesWritten)}")
+        val agg = sink.records.find(_.shuffleBytesWritten.exists(_ > 0L)).get
+        assert(agg.shuffleBytesRead.exists(_ > 0L),
+          s"exchange read side missing: ${agg.shuffleBytesRead}")
+        assert(agg.peakMemoryBytes.isDefined, "hash aggregate carries a peak-memory metric")
+        sink.clear()
+
+        // scan-only plan: no exchange anywhere — the executor-pressure
+        // fields must be None (nothing observed), not a lying zero
+        spark.read.parquet(s"$sfDir/region.parquet").collect()
+        assert(eventually()(sink.records.nonEmpty), "no scan record arrived")
+        val scan = sink.records.head
+        assert(scan.shuffleBytesWritten.isEmpty && scan.shuffleBytesRead.isEmpty,
+          s"scan-only plan reported shuffle: $scan")
+        // the JSON carries the new fields with stable keys
+        assert(agg.toJson.contains("\"shuffleBytesWritten\":") &&
+          agg.toJson.contains("\"peakMemoryBytes\":"))
+      } finally Lineage.uninstall(spark, l)
+    }
+
     it("never fails the query when a sink throws") {
       val throwing = new LineageSink {
         override def emit(r: LineageRecord): Unit = throw new IllegalStateException("sink down")

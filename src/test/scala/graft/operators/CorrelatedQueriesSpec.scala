@@ -34,6 +34,49 @@ class CorrelatedQueriesSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_ship_priority (Q12-style two-way conditional count)") {
+
+    it("matches a two-key groupBy recomputation and partitions the late lines") {
+      val got = Relational.qShipPriority(spark, sfDir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // independent shape: group by (flag, crit) then re-assemble
+      val byPair = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("crit"))
+        .count()
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rs) =>
+          def n(c: Boolean) = rs.find(_.getBoolean(1) == c).map(_.getLong(2)).getOrElse(0L)
+          f -> (n(true), n(false))
+        }
+      assert(got == byPair)
+      assert(got.values.map { case (h, l) => h + l }.sum > 0, "vacuous: no late lines")
+      // high+low per flag must equal the plain late-line count per flag
+      val lateTotals = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.map { case (f, (h, l)) => f -> (h + l) } == lateTotals)
+      // one fact-fact EQUI-join (broadcast at fixture scale, SMJ once
+      // both sides are facts), one aggregate — no second scan for the
+      // low branch (both conditional sums fold in a single HashAggregate)
+      val plan = explain(Relational.qShipPriority(spark, sfDir))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+          || plan.contains("BroadcastHashJoin"),
+        s"expected a hash/merge equi-join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"date residual must not degrade the join to a nested loop:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size <= 4,
+        s"more aggregates than one partial+final pair per stage:\n$plan")
+    }
+  }
+
   describe("q_small_qty_revenue (Q17-style scalar correlated subquery)") {
 
     it("matches a window-based recomputation and is non-vacuous") {

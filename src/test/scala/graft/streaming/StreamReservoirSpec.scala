@@ -71,6 +71,28 @@ class StreamReservoirSpec extends AnyFunSpec with SparkTestBase {
     assert(a == b)
   }
 
+  it("dedupes re-delivered ids: an overlapping backfill never perturbs the sample") {
+    val docs = (1L to 60L).map(i => DocArrival("s", i))
+    val clean = lastSnapshot(Seq(docs), 5)
+    val cleanSample = clean.map(r => (r.rank, r.doc_id, r.hk)).toSet
+    // at-least-once replay: a later batch re-delivers 30 already-ingested
+    // ids — without the seen-set guard a duplicate (hk, id) occupied TWO
+    // reservoir slots, evicting a legitimate k-th element
+    val replayed = lastSnapshot(
+      Seq(docs.take(40), docs.slice(10, 40) ++ docs.drop(40)), 5)
+    assert(replayed.map(r => (r.rank, r.doc_id, r.hk)).toSet == cleanSample,
+      s"replay perturbed the sample:\n clean=$clean\n replayed=$replayed")
+    // re-delivering ids RESIDENT in the reservoir also leaves n exact
+    // (only a replay of an already-evicted id re-counts — the documented
+    // O(k)-state boundary)
+    val residentReplay = lastSnapshot(
+      Seq(docs, clean.map(r => DocArrival("s", r.doc_id)).toSeq), 5)
+      .map(r => (r.rank, r.doc_id, r.hk, r.n_source)).toSet
+    assert(residentReplay == clean.map(r => (r.rank, r.doc_id, r.hk, r.n_source)).toSet,
+      "replay of reservoir-resident ids must change nothing, including n")
+    assert(clean.forall(_.n_source == 60L))
+  }
+
   it("keeps O(k) state: a long stream still emits exactly k rows with the true n") {
     val docs = (1L to 200L).map(i => DocArrival("s", i))
     val snap = lastSnapshot(Seq(docs.take(90), docs.slice(90, 170), docs.drop(170)), 7)

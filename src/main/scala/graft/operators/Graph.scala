@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  private val PR_ITERS = 3
+  private[graft] val PR_ITERS = 3
   private val PR_D     = "0.85" // damping, literal text shared with the oracle
   private val PR_BASE  = "0.15" // 1 - d
 
@@ -38,7 +38,12 @@ object Graph {
 
   /** Full (node, pr, n) rank frame after PR_ITERS rounds — `qPagerank`
     * takes its top-20; the spec checks mass conservation over all of it. */
-  private[graft] def pagerankAll(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pagerankAll(s: SparkSession, dir: String): DataFrame =
+    pagerankRounds(s, dir, PR_ITERS)
+
+  /** The rank frame after exactly `iters` rounds of the gauge's
+    * recurrence — [[pageRankConverged]]'s fixpoint spec replays it. */
+  private[graft] def pagerankRounds(s: SparkSession, dir: String, iters: Int): DataFrame = {
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("cnode"),
@@ -58,7 +63,7 @@ object Graph {
     val nN = nodes.agg(count(lit(1)).cast("double").as("n"))
     var pr = nodes.crossJoin(broadcast(nN))
       .select(col("node"), round(lit(1.0) / col("n"), 9).as("pr"), col("n"))
-    for (_ <- 1 to PR_ITERS) {
+    for (_ <- 1 to iters) {
       // rank and inflow frames are VERTEX-sized: small enough that AQE
       // broadcasts them on the base data, too big to FORCE — the r11
       // 10x sweep measured the explicit hints collecting a 1.6M-row
@@ -80,6 +85,65 @@ object Graph {
         .localCheckpoint()
     }
     pr
+  }
+
+  /** Tolerance-driven PageRank (r11 VERDICT item 6): the production
+    * variant of [[pagerankAll]] — same transition frame, same per-round
+    * arithmetic (9dp rounding, so round r here is BIT-IDENTICAL to the
+    * unrolled gauge's round r), but iterating until the largest
+    * per-node rank change falls below `eps` instead of a fixed unroll.
+    * Returns the final rank frame, the number of rounds executed, and
+    * whether the tolerance was met before `maxRounds` (a `false` flag
+    * is reported, never silently truncated — the fixed-round gauges'
+    * honesty rule).
+    *
+    * Scale shape: identical to the gauge — per round ONE equi-join
+    * (AQE decides broadcast vs shuffle on the vertex-sized rank frame)
+    * + one map-side-combinable aggregate, localCheckpoint per round so
+    * round r's plan never replays rounds 1..r-1 (`ccLabels`'
+    * discipline). The convergence probe collects exactly ONE double per
+    * round (the max |Δpr| aggregate), never the rank frame.
+    */
+  def pageRankConverged(s: SparkSession, dir: String,
+      eps: Double = 1e-6, maxRounds: Int = 100): (DataFrame, Int, Boolean) = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .groupBy("cnode", "snode").agg(count(lit(1)).cast("double").as("w"))
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"), col("w"))
+      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst"), col("w")))
+      .localCheckpoint()
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    val trans = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("p"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val nN = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var pr = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), round(lit(1.0) / col("n"), 9).as("pr"), col("n"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val inflow = trans.join(pr.select(col("node").as("src"), col("pr")), "src")
+        .groupBy("dst").agg(sum(col("pr") * col("p")).as("inflow"))
+      val next = nodes.crossJoin(broadcast(nN))
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(expr(PR_BASE) / col("n") +
+            expr(PR_D) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"),
+          col("n"))
+        .localCheckpoint()
+      // one scalar to the driver: the L-infinity step size
+      val delta = next.join(pr.select(col("node"), col("pr").as("prev")), "node")
+        .agg(max(abs(col("pr") - col("prev"))).as("d"))
+        .head().getDouble(0)
+      pr = next
+      rounds += 1
+      converged = delta < eps
+    }
+    (pr, rounds, converged)
   }
 
   val oraclePagerank: String = {

@@ -699,6 +699,75 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** One keyed arrival for the streaming distinct-count monitor. */
+  case class DistinctArrival(source: String, doc_id: Long)
+
+  /** Distinct-count snapshot per source per micro-batch. */
+  case class DistinctEstimate(source: String, estimate: Long, n_arrivals: Long)
+
+  /** Streaming mergeable distinct-count monitor on `transformWithState`
+    * — the streaming twin of `q_sketch_merge`'s HLL rung (r11 VERDICT
+    * item 5) and the drift family's distinct-count gauge: per source, a
+    * DataSketches HLL sketch held as serialized ValueState, updated per
+    * micro-batch, emitting the running distinct estimate.
+    *
+    * Parity discipline: the sketch is constructed EXACTLY as Spark's
+    * `hll_sketch_agg` builds its buffer (same lgK, target type HLL_8,
+    * long-typed updates), so after any stream prefix the emitted
+    * estimate EQUALS `hll_sketch_estimate(hll_sketch_agg(doc_id, lgK))`
+    * over the same rows — not merely close (StreamHllSpec pins
+    * equality, plus the ±5%-of-exact tolerance the batch verdict uses).
+    * HLL updates are idempotent per item, so re-delivered ids (replays,
+    * overlapping backfills) NEVER move the estimate — set semantics for
+    * free, where the reservoir needed an explicit seen-set.
+    *
+    * Scale shape: state is one ~2^lgK-register sketch per source
+    * forever (lgK=12 → ~4 KB dense); each batch folds locally and the
+    * serialized state is MERGEABLE (Union.update accepts it), so a
+    * catalog can union per-source sketches across streams exactly as
+    * `q_sketch_merge` unions months.
+    */
+  class HllDistinctProcessor(lgK: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DistinctArrival, DistinctEstimate] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+
+    @transient private var sk: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    @transient private var nArr: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sk = getHandle.getValueState[Array[Byte]]("hll", Encoders.BINARY, TTLConfig.NONE)
+      nArr = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        source: String,
+        rows: Iterator[DistinctArrival],
+        timerValues: TimerValues): Iterator[DistinctEstimate] = {
+      val sketch =
+        if (sk.exists()) HllSketch.heapify(sk.get())
+        else new HllSketch(lgK, TgtHllType.HLL_8) // hll_sketch_agg's buffer
+      var n = if (nArr.exists()) nArr.get() else 0L
+      rows.foreach { r => sketch.update(r.doc_id); n += 1L }
+      sk.update(sketch.toUpdatableByteArray)
+      nArr.update(n)
+      // Math.round(getEstimate) is hll_sketch_estimate's exact read
+      Iterator.single(DistinctEstimate(source, Math.round(sketch.getEstimate), n))
+    }
+  }
+
+  /** Keyed arrival stream → per-source running distinct estimates
+    * (Update mode; RocksDB state store required, like every
+    * transformWithState op here). */
+  def distinctStream(docs: Dataset[DistinctArrival], lgK: Int = 12): Dataset[DistinctEstimate] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new HllDistinctProcessor(lgK),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** One ordered observation for the streaming forecaster. */
   case class HoltArrival(key: String, seq: Long, n: Double)
 

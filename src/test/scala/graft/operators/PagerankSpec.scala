@@ -32,6 +32,30 @@ class PagerankSpec extends AnyFunSpec with SparkTestBase {
     assert(a == b)
   }
 
+  it("pageRankConverged reaches the tolerance and agrees with the unrolled gauge round-for-round") {
+    val (pr, rounds, converged) = Graph.pageRankConverged(spark, sfDir, eps = 1e-6)
+    assert(converged, s"did not converge within the round cap (ran $rounds rounds)")
+    assert(rounds > Graph.PR_ITERS,
+      s"tolerance met in $rounds rounds — too lax to distinguish from the 3-round gauge")
+    // mass conservation survives tolerance-driven iteration
+    val total = pr.agg(sum("pr")).collect().head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-4, s"rank mass drifted: $total")
+    // the converged frame is a FIXPOINT of the gauge's per-round map:
+    // the 3-round unroll continued to `rounds` rounds produces the
+    // identical rank frame (both round to 9dp per round, so the
+    // comparison is exact, not approximate)
+    val unrolled = Graph.pagerankRounds(spark, sfDir, rounds)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val got = pr.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == unrolled,
+      "converged variant diverged from the unrolled recurrence at the same round")
+    // ... and one MORE round moves nothing beyond eps (true fixpoint)
+    val oneMore = Graph.pagerankRounds(spark, sfDir, rounds + 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val maxStep = got.map { case (k, v) => math.abs(oneMore(k) - v) }.max
+    assert(maxStep < 1e-6, s"not a fixpoint: next step moves $maxStep")
+  }
+
   it("q_kcore matches a driver-side sequential peel of the same edge set") {
     import graft.Tables
     val rows = Graph.qKcore(spark, sfDir).collect()

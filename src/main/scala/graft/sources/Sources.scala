@@ -219,4 +219,44 @@ object Sources {
     """SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
       | min(md5(text)) AS min_text_md5
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Lineitem → Avro container files → re-read → aggregate. Carries a
+    * long key, a string group, two DOUBLE measures and a TIMESTAMP
+    * through [[AvroIO]]'s writer/reader pair (Avro long +
+    * timestamp-micros — the same physical encoding spark-avro uses), so
+    * equality with the parquet-side oracle proves bit-fidelity for every
+    * column class the driver tables use. The min/max shipdate epoch-micros
+    * columns pin the timestamp codec exactly (no string formatting in the
+    * comparison path).
+    */
+  def qSourceAvro(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-src-avro")
+    try {
+      val path = s"$tmp/lineitem_avro"
+      val src = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate")
+      AvroIO.writeAvro(src, path)
+      val back = AvroIO.readAvro(s, path, src.schema)
+      val agg = back
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          // NTZ → TZ cast is exact under the session's pinned UTC zone
+          min(unix_micros(col("l_shipdate").cast("timestamp"))).as("min_ship_us"),
+          max(unix_micros(col("l_shipdate").cast("timestamp"))).as("max_ship_us"),
+          countDistinct("l_orderkey").as("n_orders"))
+        .orderBy("l_returnflag")
+      localized(s, agg)
+    } finally rmTree(tmp.toFile)
+  }
+
+  val oracleSourceAvro: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+      | CAST(min(epoch_us(l_shipdate)) AS BIGINT) AS min_ship_us,
+      | CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us,
+      | count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

@@ -1301,4 +1301,119 @@ object EventOps {
        |  round(rs_mean, 6) AS rs_mean, hurst
        |FROM pts, h ORDER BY m""".stripMargin
   }
+
+  // ----------------------------------------------------------- periodogram
+  /** Candidate cycle lengths (hours) probed by `q_periodogram`: intra-day
+    * half-cycle, the daily cycle, the weekly cycle. */
+  private val PGRAM_PERIODS = Seq(12, 24, 168)
+
+  /** cos/sin lookup tables in integer MICROS, computed once on the driver
+    * and injected VERBATIM into both engines (the S-curve-t50 literal
+    * pin) — per-row trig never runs in either engine, so libm cannot
+    * split them. */
+  private def pgramCos(p: Int): Seq[Long] =
+    (0 until p).map(j => Math.round(Math.cos(2 * Math.PI * j / p) * 1e6))
+  private def pgramSin(p: Int): Seq[Long] =
+    (0 until p).map(j => Math.round(Math.sin(2 * Math.PI * j / p) * 1e6))
+
+  /** Fixed-frequency periodogram (`q_periodogram`): for each candidate
+    * period p, the fraction of hourly event-volume variance explained by
+    * a sinusoid of period p — the R-squared of regressing the hourly
+    * counts on [cos(2*pi*t/p), sin(2*pi*t/p)], solved from the 2x2 normal
+    * equations in closed form (the `q_ols_multi` algebra with trig
+    * literals as the regressors). The seasonality-DETECTION gauge next to
+    * `q_seasonal_profile`'s known-period profile: it answers "WHICH cycle
+    * dominates this stream" before a profile at that cycle is worth
+    * building.
+    *
+    * Scale shape: ONE map-side-combinable groupBy collapses the event
+    * stream to the bounded hourly frame (|hours| rows, time-span-
+    * proportional, NOT volume-proportional); each candidate period is a
+    * bounded aggregate over that frame with cos/sin as element_at into
+    * driver-computed integer-micros literal tables. All sufficient
+    * moments are exact integer sums (DECIMAL); the closed form runs on
+    * doubles cast from them through identical trees in both engines. The
+    * dominant flag comes from a broadcast 1-row max — no window over an
+    * unpartitioned frame.
+    */
+  def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("x"))
+      .localCheckpoint() // bounded; three period probes share one scan
+    val d38 = "decimal(38,0)"
+    val perPeriod = PGRAM_PERIODS.map { p =>
+      val t = hourly.select(col("x"),
+        element_at(typedLit(pgramCos(p)), (col("hr") % p).cast("int") + 1).as("c"),
+        element_at(typedLit(pgramSin(p)), (col("hr") % p).cast("int") + 1).as("s"))
+      val m = t.agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("c")).cast(d38).as("s1"),
+        sum(col("s")).cast(d38).as("s2"),
+        sum(col("x")).cast(d38).as("sy"),
+        sum((col("c") * col("c")).cast(d38)).as("s11"),
+        sum((col("s") * col("s")).cast(d38)).as("s22"),
+        sum((col("c") * col("s")).cast(d38)).as("s12"),
+        sum((col("c") * col("x")).cast(d38)).as("s1y"),
+        sum((col("s") * col("x")).cast(d38)).as("s2y"),
+        sum((col("x") * col("x")).cast(d38)).as("syy"))
+      m.select(lit(p).as("period_hours"), col("n").cast("long").as("n_hours"),
+        (col("n") * col("s11") - col("s1") * col("s1")).cast("double").as("c11"),
+        (col("n") * col("s22") - col("s2") * col("s2")).cast("double").as("c22"),
+        (col("n") * col("s12") - col("s1") * col("s2")).cast("double").as("c12"),
+        (col("n") * col("s1y") - col("s1") * col("sy")).cast("double").as("c1y"),
+        (col("n") * col("s2y") - col("s2") * col("sy")).cast("double").as("c2y"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("cyy"))
+       .select(col("period_hours"), col("n_hours"),
+        (round(((col("c22") * col("c1y") - col("c12") * col("c2y")) * col("c1y")
+          + (col("c11") * col("c2y") - col("c12") * col("c1y")) * col("c2y"))
+          / nullif((col("c11") * col("c22") - col("c12") * col("c12")) * col("cyy"),
+            lit(0.0)), 6) + lit(0.0)).as("var_explained"))
+    }
+    val all = perPeriod.reduce(_.unionByName(_))
+    val best = all.agg(max("var_explained").as("best_r2"))
+    all.crossJoin(broadcast(best)) // bounded: |periods| x 1
+      .select(col("period_hours"), col("n_hours"), col("var_explained"),
+        (col("var_explained") === col("best_r2")).as("dominant"))
+      .orderBy("period_hours")
+  }
+
+  val oraclePeriodogram: String = {
+    val probes = PGRAM_PERIODS.map { p =>
+      val cosL = pgramCos(p).mkString("[", ", ", "]")
+      val sinL = pgramSin(p).mkString("[", ", ", "]")
+      s"""SELECT $p AS period_hours, n_hours, var_explained FROM (
+         |  SELECT CAST(n AS BIGINT) AS n_hours,
+         |    round((((c22 * c1y - c12 * c2y) * c1y) + ((c11 * c2y - c12 * c1y) * c2y))
+         |      / nullif((c11 * c22 - c12 * c12) * cyy, 0.0), 6) + 0.0 AS var_explained
+         |  FROM (
+         |    SELECT n,
+         |      CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+         |      CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+         |      CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+         |      CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+         |      CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+         |      CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+         |    FROM (
+         |      SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        CAST(sum(c) AS HUGEINT) AS s1, CAST(sum(s) AS HUGEINT) AS s2,
+         |        CAST(sum(x) AS HUGEINT) AS sy,
+         |        CAST(sum(c * c) AS HUGEINT) AS s11, CAST(sum(s * s) AS HUGEINT) AS s22,
+         |        CAST(sum(c * s) AS HUGEINT) AS s12, CAST(sum(c * x) AS HUGEINT) AS s1y,
+         |        CAST(sum(s * x) AS HUGEINT) AS s2y, CAST(sum(x * x) AS HUGEINT) AS syy
+         |      FROM (
+         |        SELECT x,
+         |          CAST(($cosL)[CAST(hr % $p AS INT) + 1] AS BIGINT) AS c,
+         |          CAST(($sinL)[CAST(hr % $p AS INT) + 1] AS BIGINT) AS s
+         |        FROM hourly))))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hourly AS MATERIALIZED (
+       |  SELECT epoch_ns(ts) // 1000 // 3600000000 AS hr, count(*) AS x
+       |  FROM events GROUP BY 1),
+       |probes AS (
+       |$probes)
+       |SELECT period_hours, n_hours, var_explained,
+       |  var_explained = (SELECT max(var_explained) FROM probes) AS dominant
+       |FROM probes ORDER BY period_hours""".stripMargin
+  }
 }

@@ -1005,4 +1005,94 @@ object Graph {
       |    THEN 2.0 * coalesce(t, 0) / (d * (d - 1)) ELSE 0.0 END, 6) AS coeff
       |FROM deg LEFT JOIN pn ON deg.v = pn.v
       |ORDER BY node""".stripMargin
+
+  // ------------------------------------------------- sampled closeness
+  /** Source-sample size and hop radius for `q_closeness_sample`. */
+  private val CLOSE_SOURCES = 8
+  private val CLOSE_HOPS = 4
+
+  /** Sampled-source harmonic closeness centrality (`q_closeness_sample`)
+    * over the thresholded trade graph: per-source BFS from a
+    * deterministic sample of CLOSE_SOURCES customer nodes (the smallest
+    * custkeys present in the graph — reproducible in both engines
+    * without a PRNG), then per node the harmonic sum over reached
+    * sources, h(v) = sum over src of 1/d(src, v), hops capped at
+    * CLOSE_HOPS. The classic estimator (Eppstein-Wang shape): exact
+    * closeness is all-pairs BFS — quadratic and banned — while a fixed
+    * source sample gives an unbiased rank gauge whose cost is
+    * |sources| x the frontier sweep. Harmonic (not classic) closeness so
+    * unreachable pairs contribute zero instead of forcing a diameter
+    * convention.
+    *
+    * Determinism + scale: distances are small integers; the harmonic
+    * terms are 1000000 div d (exact integer micros, floor division in
+    * both engines) so the sums are order-free exact longs. Each BFS
+    * round is one frontier semi-join + one visited anti-join, frontiers
+    * localCheckpointed (the `q_graph_bfs` discipline) — rounds never
+    * replay prior rounds; the per-source state rides the SAME joins
+    * keyed (source, v), so the whole sample costs one extra key column,
+    * not |sources| separate sweeps. Only the bounded top-20 leaves.
+    */
+  def qClosenessSample(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KCORE_T)
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      .localCheckpoint()
+    val sources = edges.select(col("src").as("v")).distinct()
+      .filter(col("v").startsWith("c"))
+      .withColumn("ck", substring(col("v"), 2, 30).cast("long"))
+      .orderBy("ck").limit(CLOSE_SOURCES) // TakeOrdered: bounded driver-side
+      .select(col("v").as("s0"))
+    var dist = sources.select(col("s0"), col("s0").as("v"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = dist.select("s0", "v")
+    for (r <- 1 to CLOSE_HOPS) {
+      val next = edges
+        .join(broadcast(frontier.withColumnRenamed("v", "src")), "src")
+        .select(col("s0"), col("dst").as("v")).distinct()
+        .join(broadcast(dist.select("s0", "v")), Seq("s0", "v"), "left_anti")
+        .select(col("s0"), col("v"), lit(r).as("hop"))
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next.select("s0", "v")
+    }
+    dist.filter(col("hop") > 0)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_sources_reached"),
+        sum(expr("1000000L div hop")).as("harmonic_micros"))
+      .orderBy(desc("harmonic_micros"), col("v"))
+      .limit(20)
+      .select(col("v").as("node"), col("n_sources_reached"), col("harmonic_micros"))
+  }
+
+  val oracleClosenessSample: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $KCORE_T),
+       |edges AS MATERIALIZED (
+       |  SELECT cnode AS src, snode AS dst FROM pairs
+       |  UNION ALL SELECT snode, cnode FROM pairs),
+       |sources AS (
+       |  SELECT v FROM (SELECT DISTINCT src AS v FROM edges)
+       |  WHERE v LIKE 'c%'
+       |  ORDER BY CAST(substr(v, 2) AS BIGINT) LIMIT $CLOSE_SOURCES),
+       |bfs(s0, v, d) AS (
+       |  SELECT v, v, 0 FROM sources
+       |  UNION
+       |  SELECT b.s0, e.dst, b.d + 1
+       |  FROM bfs b JOIN edges e ON b.v = e.src
+       |  WHERE b.d < $CLOSE_HOPS),
+       |dist AS (SELECT s0, v, min(d) AS hop FROM bfs GROUP BY s0, v)
+       |SELECT v AS node,
+       |  CAST(count(*) AS BIGINT) AS n_sources_reached,
+       |  CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_micros
+       |FROM dist WHERE hop > 0
+       |GROUP BY v
+       |ORDER BY harmonic_micros DESC, node LIMIT 20""".stripMargin
 }

@@ -1594,4 +1594,165 @@ object Stats {
        |  round($KS_BIN * CAST(sum(gap_i * width) AS DOUBLE)
        |    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 4) AS w1_dollars
        |FROM cum WHERE width IS NOT NULL GROUP BY ta, tb""".stripMargin
+
+  // ------------------------------------------------------------ AR(2) fit
+  /** Yule–Walker AR(2) fit (`q_ar_fit`) over the daily order-revenue
+    * series: the autoregressive twin of `q_autocorr` and the
+    * model-identification step `q_trend_forecast`'s straight line skips.
+    * φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²), innovation-variance
+    * ratio σ²ε/σ²ₓ = 1 − φ₁r₁ − φ₂r₂ — how much of the day-to-day
+    * variance an AR(2) explains.
+    *
+    * Determinism: r₁/r₂ come from the SAME lag-product aggregate shape
+    * as `q_autocorr` (one bounded |days| frame, exact same expression
+    * trees both engines) and are rounded 6dp BEFORE the closed form, so
+    * every downstream quotient is rational arithmetic on identical
+    * inputs — the CUSUM "round the moments, then fold" pin. The 1−r₁²
+    * denominator gets the nullif guard (degenerate perfectly-correlated
+    * series yields NULL in both engines, not ±Inf in one).
+    */
+  def qArFit(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum("o_totalprice").as("x"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byD = Window.orderBy("d")
+    val f = daily
+      .withColumn("mu", avg("x").over(all))
+      .withColumn("dx", col("x") - col("mu"))
+      .withColumn("dx1", lag("dx", 1).over(byD))
+      .withColumn("dx2", lag("dx", 2).over(byD))
+    val agg = f.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("dx") * col("dx")).as("den"),
+      sum(col("dx") * col("dx1")).as("num1"),
+      sum(col("dx") * col("dx2")).as("num2"))
+    agg.select(col("n_days"),
+        round(col("num1") / col("den"), 6).as("r1"),
+        round(col("num2") / col("den"), 6).as("r2"))
+      .withColumn("det", col("r1") * col("r1")) // r1² — shared subterm
+      .select(col("n_days"), col("r1"), col("r2"),
+        round(col("r1") * (lit(1.0) - col("r2"))
+          / nullif(lit(1.0) - col("det"), lit(0.0)), 6).as("phi1"),
+        round((col("r2") - col("det"))
+          / nullif(lit(1.0) - col("det"), lit(0.0)), 6).as("phi2"))
+      .withColumn("innovation_ratio",
+        round(lit(1.0) - col("phi1") * col("r1") - col("phi2") * col("r2"), 6) + lit(0.0))
+  }
+
+  val oracleArFit: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      |  FROM orders GROUP BY 1),
+      |dev AS (SELECT d, x - avg(x) OVER () AS dx FROM daily),
+      |lagged AS (SELECT dx,
+      |  lag(dx, 1) OVER (ORDER BY d) AS dx1,
+      |  lag(dx, 2) OVER (ORDER BY d) AS dx2 FROM dev),
+      |agg AS (
+      |  SELECT count(*) AS n_days, sum(dx * dx) AS den,
+      |    sum(dx * dx1) AS num1, sum(dx * dx2) AS num2 FROM lagged),
+      |r AS (
+      |  SELECT n_days, round(num1 / den, 6) AS r1, round(num2 / den, 6) AS r2
+      |  FROM agg),
+      |phi AS (
+      |  SELECT n_days, r1, r2,
+      |    round(r1 * (1.0 - r2) / nullif(1.0 - r1 * r1, 0.0), 6) AS phi1,
+      |    round((r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0), 6) AS phi2
+      |  FROM r)
+      |SELECT n_days, r1, r2, phi1, phi2,
+      |  round(1.0 - phi1 * r1 - phi2 * r2, 6) + 0.0 AS innovation_ratio
+      |FROM phi""".stripMargin
+
+  // --------------------------------------------------- two-regressor OLS
+  /** Two-regressor OLS (`q_ols_multi`): extended price regressed on
+    * quantity and discount per returnflag class — the multivariate twin
+    * of `q_trend_forecast`'s simple OLS, solved from the 2×2 normal
+    * equations in closed form. The "does discount carry signal beyond
+    * quantity" partial-effect question a single-regressor fit cannot
+    * answer.
+    *
+    * Scale + determinism shape: ONE map-side-combinable aggregate per
+    * group collects the 9 sufficient moments (n, Σx₁, Σx₂, Σy, Σx₁²,
+    * Σx₂², Σx₁x₂, Σx₁y, Σx₂y) as EXACT integers (cents / basis points —
+    * per-row products fit a long at any SF; the sums are DECIMAL(38,0)),
+    * then the closed form runs on doubles cast from those exact integer
+    * moments through identical expression trees in both engines —
+    * bit-identical coefficients with no order-of-addition drift. Nothing
+    * data-proportional leaves the executors: the result is |returnflag|
+    * rows. det/Syy carry nullif guards (a degenerate constant-regressor
+    * group yields NULLs, not engine-split ±Inf).
+    */
+  def qOlsMulti(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("x1"),   // centi-units
+      round(col("l_discount") * 10000).cast("long").as("x2"), // basis points
+      round(col("l_extendedprice") * 100).cast("long").as("y")) // cents
+    val d38 = "decimal(38,0)"
+    val m = li.groupBy("l_returnflag").agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(col("x1")).cast(d38).as("s1"),
+      sum(col("x2")).cast(d38).as("s2"),
+      sum(col("y")).cast(d38).as("sy"),
+      // per-row products fit a long; the SUMS are decimal — Σy² alone
+      // reaches ~2e21 at sf10, past any 64-bit accumulator
+      sum((col("x1") * col("x1")).cast(d38)).as("s11"),
+      sum((col("x2") * col("x2")).cast(d38)).as("s22"),
+      sum((col("x1") * col("x2")).cast(d38)).as("s12"),
+      sum((col("x1") * col("y")).cast(d38)).as("s1y"),
+      sum((col("x2") * col("y")).cast(d38)).as("s2y"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"))
+    // centered second moments ×n: exact decimal algebra → ONE cast each
+    // to double, then identical closed-form trees in both engines
+    val c = m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+      (col("n") * col("s11") - col("s1") * col("s1")).cast("double").as("c11"),
+      (col("n") * col("s22") - col("s2") * col("s2")).cast("double").as("c22"),
+      (col("n") * col("s12") - col("s1") * col("s2")).cast("double").as("c12"),
+      (col("n") * col("s1y") - col("s1") * col("sy")).cast("double").as("c1y"),
+      (col("n") * col("s2y") - col("s2") * col("sy")).cast("double").as("c2y"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("cyy"))
+    c.select(col("l_returnflag"), col("n_rows"),
+        round((col("c22") * col("c1y") - col("c12") * col("c2y"))
+          / nullif(col("c11") * col("c22") - col("c12") * col("c12"), lit(0.0)), 6)
+          .as("beta_qty"),
+        round((col("c11") * col("c2y") - col("c12") * col("c1y"))
+          / nullif(col("c11") * col("c22") - col("c12") * col("c12"), lit(0.0)), 6)
+          .as("beta_disc"),
+        (round(((col("c22") * col("c1y") - col("c12") * col("c2y")) * col("c1y")
+          + (col("c11") * col("c2y") - col("c12") * col("c1y")) * col("c2y"))
+          / nullif((col("c11") * col("c22") - col("c12") * col("c12")) * col("cyy"),
+            lit(0.0)), 6) + lit(0.0)).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  val oracleOlsMulti: String =
+    """WITH z AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+      |    CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x1 * x1) AS HUGEINT) AS s11, CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+      |    CAST(sum(x1 * x2) AS HUGEINT) AS s12, CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+      |    CAST(sum(x2 * y) AS HUGEINT) AS s2y, CAST(sum(y * y) AS HUGEINT) AS syy
+      |  FROM z GROUP BY 1),
+      |c AS (
+      |  SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |    CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+      |    CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+      |    CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+      |    CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+      |    CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+      |  FROM m)
+      |SELECT l_returnflag, n_rows,
+      |  round((c22 * c1y - c12 * c2y) / nullif(c11 * c22 - c12 * c12, 0.0), 6) AS beta_qty,
+      |  round((c11 * c2y - c12 * c1y) / nullif(c11 * c22 - c12 * c12, 0.0), 6) AS beta_disc,
+      |  round(((c22 * c1y - c12 * c2y) * c1y + (c11 * c2y - c12 * c1y) * c2y)
+      |    / nullif((c11 * c22 - c12 * c12) * cyy, 0.0), 6) + 0.0 AS r2
+      |FROM c ORDER BY l_returnflag""".stripMargin
 }

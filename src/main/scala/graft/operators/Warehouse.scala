@@ -339,4 +339,79 @@ object Warehouse {
       |  CAST(sum(CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL
       |    AND s0 IS DISTINCT FROM s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_status_changed
       |FROM j""".stripMargin
+
+  // ------------------------------------------------- functional dependencies
+  /** Candidate FDs profiled by `q_fd_discovery` — (label, table, lhs
+    * columns, rhs column). The list mixes dependencies that genuinely
+    * HOLD on the driver data (key-like lhs) with ones that are genuinely
+    * violated, so the profile is non-vacuous in both directions. */
+  private val FD_CANDIDATES: Seq[(String, String, Seq[String], String)] = Seq(
+    ("orders: o_orderkey -> o_custkey", "orders", Seq("o_orderkey"), "o_custkey"),
+    ("orders: o_custkey -> o_orderpriority", "orders", Seq("o_custkey"), "o_orderpriority"),
+    ("lineitem: l_orderkey -> l_suppkey", "lineitem", Seq("l_orderkey"), "l_suppkey"),
+    ("lineitem: l_partkey -> l_suppkey", "lineitem", Seq("l_partkey"), "l_suppkey"),
+    ("lineitem: l_orderkey,l_linenumber -> l_partkey", "lineitem",
+      Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+    ("customer: c_custkey -> c_nationkey", "customer", Seq("c_custkey"), "c_nationkey"))
+
+  /** Functional-dependency discovery profile (`q_fd_discovery`): for each
+    * candidate `lhs -> rhs`, one row with the distinct-lhs group count,
+    * how many groups see >1 distinct rhs (violating groups), the max rhs
+    * cardinality within a group, the g3 repair cost (minimum rows whose
+    * rhs must change for the FD to hold — rows minus the majority-rhs
+    * rows, summed over groups), and the holds verdict. This is the
+    * schema-profiling primitive behind key inference and CDC-feed
+    * validation ("is this column pair safe to use as a merge key").
+    *
+    * Scale shape per candidate: groupBy(lhs, rhs) count (map-side
+    * combinable — the first shuffle carries only distinct (lhs, rhs)
+    * groups, never rows) → groupBy(lhs) fold → ONE bounded profile row.
+    * The violating-share is exact integer basis points (no float
+    * division in the compare path). Candidates run as a union of
+    * bounded 1-row aggregates; nothing data-proportional leaves the
+    * executors.
+    */
+  def qFdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val profiles = FD_CANDIDATES.map { case (label, table, lhs, rhs) =>
+      val t = table match {
+        case "orders"   => Tables.orders(s, dir)
+        case "lineitem" => Tables.lineitem(s, dir)
+        case _          => Tables.dim(s, dir, table)
+      }
+      val grouped = t.groupBy(lhs.map(col) :+ col(rhs): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("n_rhs"), sum("cnt").as("nrows"), max("cnt").as("keep"))
+      grouped.agg(
+        count(lit(1)).as("n_lhs_groups"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("n_rhs")).as("max_rhs_card"),
+        sum(col("nrows") - col("keep")).as("g3_rows_to_fix"))
+        .select(lit(label).as("dependency"), col("n_lhs_groups"), col("n_violating"),
+          // exact integer basis points — no float division in the compare
+          expr("(n_violating * 10000L) div n_lhs_groups").as("violating_bp"),
+          col("max_rhs_card"), col("g3_rows_to_fix"),
+          (col("n_violating") === 0L).as("holds"))
+    }
+    profiles.reduce(_.unionByName(_)).orderBy("dependency")
+  }
+
+  val oracleFdDiscovery: String = {
+    val parts = FD_CANDIDATES.map { case (label, table, lhs, rhs) =>
+      val lhsCols = lhs.mkString(", ")
+      s"""SELECT '$label' AS dependency, n_lhs_groups, n_violating,
+         |  CAST(n_violating * 10000 // n_lhs_groups AS BIGINT) AS violating_bp,
+         |  max_rhs_card, g3_rows_to_fix, n_violating = 0 AS holds
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_lhs_groups,
+         |    CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |    CAST(max(n_rhs) AS BIGINT) AS max_rhs_card,
+         |    CAST(sum(nrows - keep) AS BIGINT) AS g3_rows_to_fix
+         |  FROM (
+         |    SELECT $lhsCols, count(*) AS n_rhs, sum(cnt) AS nrows, max(cnt) AS keep
+         |    FROM (SELECT $lhsCols, $rhs, count(*) AS cnt FROM $table GROUP BY ALL)
+         |    GROUP BY ALL))""".stripMargin
+    }
+    parts.mkString("\nUNION ALL\n") + "\nORDER BY dependency"
+  }
 }

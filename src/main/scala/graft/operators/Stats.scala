@@ -1755,4 +1755,80 @@ object Stats {
       |  round(((c22 * c1y - c12 * c2y) * c1y + (c11 * c2y - c12 * c1y) * c2y)
       |    / nullif((c11 * c22 - c12 * c12) * cyy, 0.0), 6) + 0.0 AS r2
       |FROM c ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------- difference-in-diff
+  /** Difference-in-differences (`q_did`) on the events stream: treated
+    * cohort = user_id ≡ 0 (mod 3) (deterministic, PRNG-free), post
+    * period = events after the exact midpoint of the observed time
+    * range, outcome = mean event value. DiD = (T,post − T,pre) −
+    * (C,post − C,pre) — the causal-contrast rung between `q_ab_welch`'s
+    * static A/B and `q_cuped`'s variance reduction: it nets out both the
+    * group baseline AND the common time trend.
+    *
+    * Determinism + scale: the midpoint is exact integer epoch-micros
+    * arithmetic ((min+max) div 2 — floor division both engines); cell
+    * sums are exact integer micros (round(value·1e6)) with counts, so
+    * the four cell means are one double division each off exact ints
+    * through identical trees. TWO passes over events (bounded stats
+    * row + ONE conditional aggregate with map-side combine — no join,
+    * no window); output is a single row.
+    */
+  def qDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventOps.events(s, dir).select(
+      col("user_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+      round(col("value") * 1000000).cast("long").as("vm"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val cells = ev.crossJoin(broadcast(mid)) // 1-row stats frame
+      .select((col("user_id") % 3 === 0).as("treated"), (col("us") > col("mid_us")).as("post"),
+        col("vm"))
+      .agg(
+        sum(when(col("treated") && col("post"), col("vm"))).as("s_tp"),
+        count(when(col("treated") && col("post"), lit(1))).as("n_tp"),
+        sum(when(col("treated") && !col("post"), col("vm"))).as("s_t0"),
+        count(when(col("treated") && !col("post"), lit(1))).as("n_t0"),
+        sum(when(!col("treated") && col("post"), col("vm"))).as("s_cp"),
+        count(when(!col("treated") && col("post"), lit(1))).as("n_cp"),
+        sum(when(!col("treated") && !col("post"), col("vm"))).as("s_c0"),
+        count(when(!col("treated") && !col("post"), lit(1))).as("n_c0"))
+    def mean(sc: String, nc: String) =
+      col(sc).cast("double") / lit(1e6) / nullif(col(nc).cast("double"), lit(0.0))
+    cells.select(
+      col("n_tp"), col("n_t0"), col("n_cp"), col("n_c0"),
+      (round(mean("s_tp", "n_tp"), 6) + lit(0.0)).as("mean_treated_post"),
+      (round(mean("s_t0", "n_t0"), 6) + lit(0.0)).as("mean_treated_pre"),
+      (round(mean("s_cp", "n_cp"), 6) + lit(0.0)).as("mean_control_post"),
+      (round(mean("s_c0", "n_c0"), 6) + lit(0.0)).as("mean_control_pre"),
+      (round((mean("s_tp", "n_tp") - mean("s_t0", "n_t0"))
+        - (mean("s_cp", "n_cp") - mean("s_c0", "n_c0")), 6) + lit(0.0)).as("did"))
+  }
+
+  val oracleDid: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    epoch_ns(ts) // 1000 AS us,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vm
+      |  FROM events),
+      |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN user_id % 3 = 0 AND us > mid_us THEN vm END) AS BIGINT) AS s_tp,
+      |    CAST(count(CASE WHEN user_id % 3 = 0 AND us > mid_us THEN 1 END) AS BIGINT) AS n_tp,
+      |    CAST(sum(CASE WHEN user_id % 3 = 0 AND us <= mid_us THEN vm END) AS BIGINT) AS s_t0,
+      |    CAST(count(CASE WHEN user_id % 3 = 0 AND us <= mid_us THEN 1 END) AS BIGINT) AS n_t0,
+      |    CAST(sum(CASE WHEN user_id % 3 <> 0 AND us > mid_us THEN vm END) AS BIGINT) AS s_cp,
+      |    CAST(count(CASE WHEN user_id % 3 <> 0 AND us > mid_us THEN 1 END) AS BIGINT) AS n_cp,
+      |    CAST(sum(CASE WHEN user_id % 3 <> 0 AND us <= mid_us THEN vm END) AS BIGINT) AS s_c0,
+      |    CAST(count(CASE WHEN user_id % 3 <> 0 AND us <= mid_us THEN 1 END) AS BIGINT) AS n_c0
+      |  FROM ev, mid)
+      |SELECT n_tp, n_t0, n_cp, n_c0,
+      |  round(CAST(s_tp AS DOUBLE) / 1e6 / nullif(CAST(n_tp AS DOUBLE), 0.0), 6) + 0.0 AS mean_treated_post,
+      |  round(CAST(s_t0 AS DOUBLE) / 1e6 / nullif(CAST(n_t0 AS DOUBLE), 0.0), 6) + 0.0 AS mean_treated_pre,
+      |  round(CAST(s_cp AS DOUBLE) / 1e6 / nullif(CAST(n_cp AS DOUBLE), 0.0), 6) + 0.0 AS mean_control_post,
+      |  round(CAST(s_c0 AS DOUBLE) / 1e6 / nullif(CAST(n_c0 AS DOUBLE), 0.0), 6) + 0.0 AS mean_control_pre,
+      |  round((CAST(s_tp AS DOUBLE) / 1e6 / nullif(CAST(n_tp AS DOUBLE), 0.0)
+      |    - CAST(s_t0 AS DOUBLE) / 1e6 / nullif(CAST(n_t0 AS DOUBLE), 0.0))
+      |   - (CAST(s_cp AS DOUBLE) / 1e6 / nullif(CAST(n_cp AS DOUBLE), 0.0)
+      |    - CAST(s_c0 AS DOUBLE) / 1e6 / nullif(CAST(n_c0 AS DOUBLE), 0.0)), 6) + 0.0 AS did
+      |FROM cells""".stripMargin
 }

@@ -1501,4 +1501,82 @@ object TextAnalysis {
        |beta AS (SELECT round((sxy - sx * sy / np) / (sxx - sx * sx / np), 6) + 0.0 AS beta FROM fit)
        |SELECT bucket, tokens_cum, docs_cum, vocab_cum, beta
        |FROM cum, beta ORDER BY bucket""".stripMargin
+
+  // ----------------------------------------------------------------- nDCG
+  /** Rank cutoff for `q_ndcg`. */
+  private val NDCG_K = 10
+
+  /** Discount table 1/log2(i+1) in integer MICROS, driver-computed and
+    * injected verbatim into both engines — no libm log in either plan. */
+  private def ndcgDisc: Seq[Long] =
+    (1 to NDCG_K).map(i => Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+
+  /** nDCG@10 of the BM25 ranking (`q_ndcg`) — the evaluation rung the
+    * retrieval family (BM25, RRF fusion, MMR) lacked: are the top-10
+    * actually the most relevant? Graded relevance = number of DISTINCT
+    * query terms the document contains (0..3, label-free and
+    * reproducible), DCG with the standard 1/log2(pos+1) discounts as
+    * driver-computed integer-micros literals, IDCG from the ideal
+    * (relevance-sorted) ordering over ALL matching docs — nDCG < 1 means
+    * BM25's length/tf weighting demoted some high-coverage doc.
+    *
+    * Determinism + scale: the ranking is `bm25Scores` (6dp scores,
+    * doc_id tiebreak — stable cross-engine); positions come from a
+    * row_number over the bounded top-K frame only (whitelisted global
+    * window over ≤K rows, the zipf pattern); DCG/IDCG are exact integer
+    * dot products rel·disc; the single nDCG division is one
+    * double op off exact ints. Corpus-proportional work = the BM25 scan
+    * itself plus one bounded TakeOrdered.
+    */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(BM25_QUERY: _*))
+      .select("doc_id", "term").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+    val disc = typedLit(ndcgDisc)
+    val top = bm25Scores(s, dir)
+      .orderBy(desc("score"), col("doc_id")).limit(NDCG_K)
+      .withColumn("pos", row_number().over( // bounded: <= K rows by construction
+        Window.orderBy(desc("score"), col("doc_id"))))
+    val dcg = top.join(rel, "doc_id") // rel-side is matched docs only; every top doc matches
+      .select((col("rel") * element_at(disc, col("pos"))).as("term"))
+      .agg(sum("term").as("dcg_micros"))
+    val ideal = rel.orderBy(desc("rel"), col("doc_id")).limit(NDCG_K)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(desc("rel"), col("doc_id"))))
+      .select((col("rel") * element_at(disc, col("pos"))).as("term"))
+      .agg(sum("term").as("idcg_micros"))
+    val nRated = rel.agg(count(lit(1)).as("n_matching"))
+    dcg.crossJoin(broadcast(ideal)).crossJoin(broadcast(nRated)) // 1x1x1 rows
+      .select(col("n_matching"), col("dcg_micros"), col("idcg_micros"),
+        (round(col("dcg_micros").cast("double") / col("idcg_micros").cast("double"), 6)
+          + lit(0.0)).as("ndcg"))
+  }
+
+  val oracleNdcg: String = {
+    val discL = ndcgDisc.mkString("[", ", ", "]")
+    s"""WITH $bm25SqlCtes,
+       |rel AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS rel FROM (
+       |    SELECT DISTINCT doc_id, term FROM hits) GROUP BY doc_id),
+       |top AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+       |  FROM bmscore ORDER BY score DESC, doc_id LIMIT $NDCG_K),
+       |dcg AS (
+       |  SELECT CAST(sum(rel * CAST(($discL)[CAST(pos AS INT)] AS BIGINT)) AS BIGINT)
+       |    AS dcg_micros
+       |  FROM top JOIN rel USING (doc_id)),
+       |ideal AS (
+       |  SELECT CAST(sum(rel * CAST(($discL)[CAST(pos AS INT)] AS BIGINT)) AS BIGINT)
+       |    AS idcg_micros
+       |  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+       |        FROM rel ORDER BY rel DESC, doc_id LIMIT $NDCG_K)),
+       |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_matching FROM rel)
+       |SELECT n_matching, dcg_micros, idcg_micros,
+       |  round(CAST(dcg_micros AS DOUBLE) / CAST(idcg_micros AS DOUBLE), 6) + 0.0 AS ndcg
+       |FROM dcg, ideal, nr""".stripMargin
+  }
 }

@@ -117,6 +117,52 @@ class Round12OpsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_did (difference-in-differences)") {
+
+    it("matches an independent groupBy-cells recomputation") {
+      val row = Stats.qDid(spark, sfDir).head
+      val ev = EventOps.events(spark, sfDir)
+        .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+          col("value"))
+      val mid = ev.agg((min("us") + max("us")).as("mm")).head.getLong(0) / 2
+      val cells = ev.groupBy((col("user_id") % 3 === 0).as("t"), (col("us") > mid).as("p"))
+        .agg(avg("value").as("m"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> (r.getDouble(2), r.getLong(3)))
+        .toMap
+      val did = (cells((true, true))._1 - cells((true, false))._1) -
+        (cells((false, true))._1 - cells((false, false))._1)
+      assert(math.abs(row.getAs[Double]("did") - did) < 1e-5)
+      assert(row.getLong(0) == cells((true, true))._2)
+      assert(row.getLong(3) == cells((false, false))._2)
+      Seq(0, 1, 2, 3).foreach(i => assert(row.getLong(i) > 0, s"empty DiD cell $i"))
+    }
+  }
+
+  describe("q_ndcg (BM25 ranking quality)") {
+
+    it("DCG replays from the top-10 and nDCG is a valid fraction") {
+      val row = TextAnalysis.qNdcg(spark, sfDir).head
+      val (nm, dcg, idcg, ndcg) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(nm > 0 && dcg > 0 && idcg >= dcg)
+      assert(ndcg > 0.0 && ndcg <= 1.0)
+      // driver replay of DCG: rel = distinct query terms in the doc
+      val rel = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin("spark", "window", "merge"))
+        .select("doc_id", "term").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val disc = (1 to 10).map(i => Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+      val top = TextAnalysis.qBm25(spark, sfDir).collect().map(_.getLong(0))
+      val wantDcg = top.zipWithIndex.map { case (d, i) => rel(d) * disc(i) }.sum
+      assert(dcg == wantDcg)
+      val wantIdcg = rel.values.toSeq.sortBy(-_).take(10)
+        .zipWithIndex.map { case (r, i) => r * disc(i) }.sum
+      assert(idcg == wantIdcg)
+    }
+  }
+
   describe("q_closeness_sample (sampled harmonic closeness)") {
 
     it("matches a driver-side BFS replay on the collected graph") {

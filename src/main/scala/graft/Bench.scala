@@ -94,6 +94,12 @@ object Bench {
       }
       (1 to warmups).foreach(_ => once())
       val runs = Seq.fill(timedRuns)(once()).sorted
+      // live progress on stderr (the driver parses stdout's last line
+      // only): long sweeps were a black box until a query's stage showed
+      // up in a thread dump — r12's 25-minute sf10 straggler was found
+      // by jstack, not by the bench telling anyone what it was running
+      System.err.println(f"[bench] ${if (failed) "FAIL" else "done"} $name%-28s " +
+        f"${runs.head}%8.2fs load=${loadavg()}%.1f")
       (name, runs, failed, loadavg(), once _)
     }
     val ok = results.filterNot(_._3)

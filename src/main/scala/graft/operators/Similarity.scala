@@ -1395,19 +1395,36 @@ object Similarity {
         transform(col("emb"), (v, i) =>
           v + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("emb"))
     val corpus = e.unionByName(dups)
+    // Exact-duplicate collapse (the lshTopK lesson — r12's sf10 battery
+    // caught this query at 1292 s / ~85x for 10x data, the member-level
+    // within-cell self-join going quadratic in the copy count): every
+    // copy of a distinct embedding shares its cell AND all its pairwise
+    // cosines, and a same-group pair always clears tau (cos rounds to
+    // 1.0 at 6dp), so the member-level verdict reconstructs EXACTLY
+    // from a rep-level scan — every non-min member drops; the min
+    // member drops iff some OTHER group in the cell with cos >= tau has
+    // a smaller min id. Per cell: n_dropped = (members - groups) +
+    // rep-level drops. Identity on duplicate-free data (gsize = 1).
+    val groups = corpus.groupBy("emb")
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).as("gsize"))
+      .localCheckpoint() // pair scan + census both read it
     val cent = trainedCentroidsFor(s, dir)
-    val assigned = assignCells(s, corpus, cent)
+    val assigned = assignCells(s, groups.select("vec_id", "emb"), cent)
+      .join(groups.select("vec_id", "gsize"), "vec_id")
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cell").as("cell"), col("b.vec_id").as("drop_id"),
         cosine(s, "a.emb", "b.emb").as("cos"))
       .filter(round(col("cos"), 6) >= SEMDEDUP_TAU)
-    val dropped = pairs.select("drop_id").distinct()
-    assigned
-      .join(dropped, col("vec_id") === col("drop_id"), "left")
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n_members"), count(col("drop_id")).as("n_dropped"))
+    val droppedReps = pairs.select("cell", "drop_id").distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_rep_dropped"))
+    assigned.groupBy("cell")
+      .agg(sum("gsize").as("n_members"), count(lit(1)).as("n_groups"))
+      .join(droppedReps, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        (col("n_members") - col("n_groups")
+          + coalesce(col("n_rep_dropped"), lit(0L))).as("n_dropped"))
       .select(col("cell"), col("n_members"), col("n_dropped"),
         round(col("n_dropped") / col("n_members"), 6).as("drop_frac"))
       .orderBy("cell")
@@ -1856,8 +1873,14 @@ object Similarity {
         transform(col("emb"), (v, i) =>
           v + when(i === 0, lit(0.05)).otherwise(lit(0.0))).as("emb"))
     val corpus = e.unionByName(dups)
+    // rep-level scan + member reconstruction — see qDedupSemantic's
+    // collapse note; per tau: n_dropped = (members - groups) + rep drops
+    // (a same-group pair clears EVERY tau: cos rounds to 1.0 at 6dp)
+    val groups = corpus.groupBy("emb")
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).as("gsize"))
+      .localCheckpoint()
     val cent = trainedCentroidsFor(s, dir)
-    val assigned = assignCells(s, corpus, cent)
+    val assigned = assignCells(s, groups.select("vec_id", "emb"), cent)
     val pairCos = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -1871,14 +1894,15 @@ object Similarity {
         explode(filter(array(SEMDEDUP_TAUS.map(lit): _*),
           t => col("cos") >= t)).as("tau"))
       .distinct()
-      .groupBy("tau").agg(count(lit(1)).as("n_dropped"))
-    val n = assigned.agg(count(lit(1)).as("n_corpus"))
+      .groupBy("tau").agg(count(lit(1)).as("n_rep_dropped"))
+    val census = groups.agg(sum("gsize").as("n_corpus"), count(lit(1)).as("n_groups"))
     taus.join(dropped, Seq("tau"), "left")
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(census))
       .select(col("tau"), col("n_corpus"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        round(coalesce(col("n_dropped"), lit(0L)) /
-          col("n_corpus").cast("double"), 6).as("drop_frac"))
+        (col("n_corpus") - col("n_groups")
+          + coalesce(col("n_rep_dropped"), lit(0L))).as("n_dropped"))
+      .select(col("tau"), col("n_corpus"), col("n_dropped"),
+        round(col("n_dropped") / col("n_corpus").cast("double"), 6).as("drop_frac"))
       .orderBy("tau")
   }
 

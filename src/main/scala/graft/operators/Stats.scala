@@ -1831,4 +1831,83 @@ object Stats {
       |   - (CAST(s_cp AS DOUBLE) / 1e6 / nullif(CAST(n_cp AS DOUBLE), 0.0)
       |    - CAST(s_c0 AS DOUBLE) / 1e6 / nullif(CAST(n_c0 AS DOUBLE), 0.0)), 6) + 0.0 AS did
       |FROM cells""".stripMargin
+
+  // ------------------------------------------------ binary-seg changepoint
+  /** Minimum days on each side of a candidate split. */
+  private val CPS_MIN = 7
+
+  /** Binary-segmentation changepoint (`q_changepoint_split`): the single
+    * split day of the daily-revenue series that maximizes between-group
+    * sum of squares — CUSUM (`q_cusum_changepoint`) asks "is the level
+    * drifting NOW"; this asks "WHERE did the level shift" after the
+    * fact, the first step of the classic recursive segmentation.
+    *
+    * Determinism + scale: the fact stream reduces to the bounded |days|
+    * frame first (ONE map-side-combinable shuffle); prefix sums are
+    * exact integer cents over that bounded frame only; BSS(t) =
+    * s₁²/n₁ + (S−s₁)²/(N−n₁) − S²/N is computed in doubles cast from
+    * exact ints through identical trees, rounded 9dp BEFORE the argmax
+    * (ties then break on the earlier day — the coreset pin, so a
+    * cross-engine ulp can't flip the winner). Splits leaving fewer than
+    * CPS_MIN days on either side are excluded. Output is one row.
+    */
+  def qChangepointSplit(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val byD = Window.orderBy("d")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val f = daily
+      .withColumn("rn", row_number().over(byD)) // bounded |days| frame
+      .withColumn("s1", sum("cents").over(byD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("stot", sum("cents").over(all))
+      .withColumn("ntot", sum(lit(1L)).over(all))
+      .filter(col("rn") >= CPS_MIN && (col("ntot") - col("rn")) >= CPS_MIN)
+    val scored = f.select(col("d"), col("rn"), col("ntot"),
+        col("s1").cast("double").as("s1d"),
+        (col("stot") - col("s1")).cast("double").as("s2d"),
+        col("rn").cast("double").as("n1d"),
+        (col("ntot") - col("rn")).cast("double").as("n2d"),
+        col("stot").cast("double").as("std"))
+      .select(col("d"), col("rn").as("n_pre_days"), (col("ntot") - col("rn")).as("n_post_days"),
+        col("s1d"), col("s2d"), col("n1d"), col("n2d"), col("std"),
+        round(col("s1d") * col("s1d") / col("n1d")
+          + col("s2d") * col("s2d") / col("n2d")
+          - col("std") * col("std") / (col("n1d") + col("n2d")), 9).as("bss"))
+    scored
+      .orderBy(desc("bss"), col("d")) // 9dp-rounded key, day tiebreak
+      .limit(1)
+      .select(col("d").as("split_day"), col("n_pre_days"), col("n_post_days"),
+        (round(col("s1d") / lit(100.0) / col("n1d"), 6) + lit(0.0)).as("mean_pre"),
+        (round(col("s2d") / lit(100.0) / col("n2d"), 6) + lit(0.0)).as("mean_post"))
+  }
+
+  val oracleChangepointSplit: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+       |  FROM orders GROUP BY 1),
+       |pre AS (
+       |  SELECT d,
+       |    row_number() OVER (ORDER BY d) AS rn,
+       |    sum(cents) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s1,
+       |    sum(cents) OVER () AS stot,
+       |    count(*) OVER () AS ntot
+       |  FROM daily),
+       |scored AS (
+       |  SELECT d, rn AS n_pre_days, ntot - rn AS n_post_days,
+       |    CAST(s1 AS DOUBLE) AS s1d, CAST(stot - s1 AS DOUBLE) AS s2d,
+       |    CAST(rn AS DOUBLE) AS n1d, CAST(ntot - rn AS DOUBLE) AS n2d,
+       |    CAST(stot AS DOUBLE) AS std,
+       |    round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(rn AS DOUBLE)
+       |      + CAST(stot - s1 AS DOUBLE) * CAST(stot - s1 AS DOUBLE) / CAST(ntot - rn AS DOUBLE)
+       |      - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(ntot AS DOUBLE), 9) AS bss
+       |  FROM pre
+       |  WHERE rn >= $CPS_MIN AND ntot - rn >= $CPS_MIN)
+       |SELECT d AS split_day, CAST(n_pre_days AS BIGINT) AS n_pre_days,
+       |  CAST(n_post_days AS BIGINT) AS n_post_days,
+       |  round(s1d / 100.0 / n1d, 6) + 0.0 AS mean_pre,
+       |  round(s2d / 100.0 / n2d, 6) + 0.0 AS mean_post
+       |FROM scored ORDER BY bss DESC, d LIMIT 1""".stripMargin
 }

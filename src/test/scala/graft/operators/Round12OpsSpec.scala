@@ -117,6 +117,38 @@ class Round12OpsSpec extends AnyFunSpec with SparkTestBase {
     }
   }
 
+  describe("q_changepoint_split (binary segmentation)") {
+
+    it("the split day matches a driver-side BSS argmax replay") {
+      val row = Stats.qChangepointSplit(spark, sfDir).head
+      val daily = Tables.orders(spark, sfDir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("d")
+        .collect().map(r => (r.getDate(0), r.getLong(1)))
+      val total = daily.map(_._2).sum
+      val n = daily.length
+      var best = (Double.MinValue, -1)
+      var s1 = 0L
+      daily.zipWithIndex.foreach { case ((_, c), i) =>
+        s1 += c
+        val n1 = i + 1
+        if (n1 >= 7 && n - n1 >= 7) {
+          val (s1d, s2d, n1d, n2d) = (s1.toDouble, (total - s1).toDouble, n1.toDouble, (n - n1).toDouble)
+          val bss = BigDecimal(s1d * s1d / n1d + s2d * s2d / n2d - total.toDouble * total.toDouble / n)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (bss > best._1) best = (bss, i) // strict: earlier day wins ties
+        }
+      }
+      assert(row.getDate(0) == daily(best._2)._1,
+        s"split ${row.getDate(0)} != replay ${daily(best._2)._1}")
+      assert(row.getAs[Number](1).longValue == best._2 + 1 &&
+        row.getAs[Number](2).longValue == n - best._2 - 1)
+      // the two segment means must actually differ at the found split
+      assert(row.getDouble(3) != row.getDouble(4))
+    }
+  }
+
   describe("q_did (difference-in-differences)") {
 
     it("matches an independent groupBy-cells recomputation") {

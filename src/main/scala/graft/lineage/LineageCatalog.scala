@@ -44,7 +44,10 @@ object LineageCatalog {
       StructField("expression", StringType))))),
     StructField("schemaFingerprint", StringType),
     StructField("rowsWritten", LongType), StructField("bytesWritten", LongType),
-    StructField("bytesRead", LongType), StructField("planFingerprint", StringType),
+    StructField("bytesRead", LongType),
+    StructField("shuffleBytesWritten", LongType), StructField("shuffleBytesRead", LongType),
+    StructField("peakMemoryBytes", LongType), StructField("spillBytes", LongType),
+    StructField("planFingerprint", StringType),
     StructField("observed", ArrayType(StructType(Seq(
       StructField("name", StringType), StructField("value", StringType)))))))
 
@@ -94,6 +97,10 @@ object LineageCatalog {
     rowsWritten = optLong(r, "rowsWritten"),
     bytesWritten = optLong(r, "bytesWritten"),
     bytesRead = optLong(r, "bytesRead"),
+    shuffleBytesWritten = optLong(r, "shuffleBytesWritten"),
+    shuffleBytesRead = optLong(r, "shuffleBytesRead"),
+    peakMemoryBytes = optLong(r, "peakMemoryBytes"),
+    spillBytes = optLong(r, "spillBytes"),
     planFingerprint = r.getAs[String]("planFingerprint"),
     observed = seqOf[Row](r, "observed")
       .map(o => (o.getAs[String]("name"), o.getAs[String]("value"))))

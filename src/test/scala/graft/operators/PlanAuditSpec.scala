@@ -302,7 +302,15 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_hurst",
         // q_effective_rank crossJoins only 1-row frames (per-dim stats,
         // the DIM x DIM matrix row — q_embedding_pca's shape)
-        "q_effective_rank")
+        "q_effective_rank",
+        // q_did broadcasts the 1-row range-midpoint stats frame onto the
+        // event stream (the bm25-stats shape)
+        "q_did",
+        // q_periodogram crossJoins the 1-row best-R2 frame onto the
+        // |PGRAM_PERIODS|-row probe frame
+        "q_periodogram",
+        // q_ndcg crossJoins only 1-row frames (DCG, IDCG, n_matching)
+        "q_ndcg")
       graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!skip(name)) {
           val plan = explain(fn(spark, sfDir))
@@ -373,7 +381,14 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
         "q_heaps_fit" -> ("cumulative windows over the HEAPS_BUCKETS-row " +
           "prefix frame: constant-bounded by construction"),
         "q_hurst" -> ("day-rank row_number over the per-DAY aggregate — " +
-          "calendar-span-bounded (q_autocorr's shape)"))
+          "calendar-span-bounded (q_autocorr's shape)"),
+        "q_ar_fit" -> ("lag/mean windows over the per-DAY aggregate — " +
+          "calendar-span-bounded (q_autocorr's shape, same moments)"),
+        "q_changepoint_split" -> ("prefix-sum/total windows over the " +
+          "per-DAY aggregate — calendar-span-bounded (q_autocorr's shape)"),
+        "q_ndcg" -> ("position row_number over the LIMIT-10 top frame and " +
+          "the LIMIT-10 ideal frame: <=NDCG_K rows by construction " +
+          "(q_zipf_fit's shape)"))
       val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) if !skip(name) && !boundedGlobalWindow.contains(name) =>
           val plan = fn(spark, sfDir).queryExecution.sparkPlan

@@ -1052,10 +1052,15 @@ object Graph {
       .localCheckpoint()
     var frontier = dist.select("s0", "v")
     for (r <- 1 to CLOSE_HOPS) {
+      // NO broadcast hints: the (source, v) frontier/visited frames are
+      // |sources| x the reach — 8 x nodes worst-case, data-proportional.
+      // AQE broadcasts the early small frontiers and shuffles the late
+      // wide ones (the r12 sf10 catch: a forced broadcast here read
+      // 322 s at 100x and would OOM a real driver).
       val next = edges
-        .join(broadcast(frontier.withColumnRenamed("v", "src")), "src")
+        .join(frontier.withColumnRenamed("v", "src"), "src")
         .select(col("s0"), col("dst").as("v")).distinct()
-        .join(broadcast(dist.select("s0", "v")), Seq("s0", "v"), "left_anti")
+        .join(dist.select("s0", "v"), Seq("s0", "v"), "left_anti")
         .select(col("s0"), col("v"), lit(r).as("hop"))
         .localCheckpoint()
       dist = dist.unionByName(next).localCheckpoint()

@@ -48,6 +48,7 @@ object LineageCatalog {
     StructField("shuffleBytesWritten", LongType), StructField("shuffleBytesRead", LongType),
     StructField("peakMemoryBytes", LongType), StructField("spillBytes", LongType),
     StructField("planFingerprint", StringType),
+    StructField("queryText", StringType),
     StructField("observed", ArrayType(StructType(Seq(
       StructField("name", StringType), StructField("value", StringType)))))))
 
@@ -102,6 +103,7 @@ object LineageCatalog {
     peakMemoryBytes = optLong(r, "peakMemoryBytes"),
     spillBytes = optLong(r, "spillBytes"),
     planFingerprint = r.getAs[String]("planFingerprint"),
+    queryText = optStr(r, "queryText"),
     observed = seqOf[Row](r, "observed")
       .map(o => (o.getAs[String]("name"), o.getAs[String]("value"))))
 }

@@ -64,9 +64,19 @@ object LineageDiff {
     }
 
     if (out.isEmpty && prev.planFingerprint.nonEmpty &&
-        prev.planFingerprint != cur.planFingerprint)
+        prev.planFingerprint != cur.planFingerprint) {
+      // surface WHAT each run did, not just that the opaque hash moved —
+      // the recorded query text (head-capped here for the finding line;
+      // the full capped text stays on the records)
+      def head(r: LineageRecord): String =
+        r.queryText.map(t => t.linesIterator.mkString(" ").take(160)).getOrElse("")
+      val texts =
+        if (prev.queryText.isDefined || cur.queryText.isDefined)
+          s" [query: '${head(prev)}' -> '${head(cur)}']"
+        else ""
       out += Finding("plan-changed", cur.output.map(_.name).getOrElse(""),
-        s"${prev.planFingerprint} -> ${cur.planFingerprint}")
+        s"${prev.planFingerprint} -> ${cur.planFingerprint}$texts")
+    }
 
     (prev.rowsWritten, cur.rowsWritten) match {
       case (Some(a), Some(b))

@@ -154,6 +154,7 @@ final class LineageListener(private[lineage] val sinks: Seq[LineageSink]) extend
       peakMemoryBytes = peakMem,
       spillBytes = spilled,
       planFingerprint = LineageListener.planFingerprint(analyzed),
+      queryText = LineageListener.queryText(spark, analyzed),
       observed = LineageListener.harvestObserved(qe)))
   }
 }
@@ -182,6 +183,48 @@ object LineageListener {
     * Literal-sensitive by design: a catalog wanting parameterized-job
     * grouping groups on (inputs, outputs, columnLineage) instead.
     */
+  /** Cap on the recorded query text — a catalog field, not a plan dump.
+    * 8 KiB holds any hand-written SQL and the head of a generated plan;
+    * a million-record JSONL catalog stays loadable. */
+  private[lineage] val QUERY_TEXT_MAX = 8192
+
+  /** Credential shapes masked even when the session sets no redaction
+    * regex — `k=v` pairs whose key smells like a secret (JDBC URLs,
+    * option maps rendered into plan strings). */
+  private val CREDENTIAL_RE =
+    "(?i)\\b(password|passwd|secret|token|credential|access[._-]?key|api[._-]?key)\\b\\s*[=:]\\s*[^,;\\s)\"]+".r
+
+  /** The record's "what did this job DO" field: the ORIGINAL SQL text
+    * when the plan was parsed from SQL (`Origin.sqlText`, present on
+    * `spark.sql(...)` plans), else a plan excerpt — the analyzed plan's
+    * node tree, which names every operation, table and expression the
+    * job ran. Both are sanitized (the session's
+    * `spark.sql.redaction.string.regex` plus the built-in credential
+    * mask) and hard-capped at [[QUERY_TEXT_MAX]] chars with an explicit
+    * truncation marker, so a 10k-column plan can't bloat the catalog.
+    */
+  private[lineage] def queryText(
+      spark: org.apache.spark.sql.SparkSession,
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] =
+    try {
+      val sql = analyzed.collectFirst {
+        case n if n.origin.sqlText.isDefined => n.origin.sqlText.get
+      }
+      val raw = sql match {
+        case Some(text) => "sql: " + text
+        case None       => "plan: " + analyzed.toString
+      }
+      val masked = CREDENTIAL_RE.replaceAllIn(raw, m => m.group(1) + "=*REDACTED*")
+      val redacted = spark.conf.getOption("spark.sql.redaction.string.regex") match {
+        case Some(p) if p.nonEmpty =>
+          try p.r.replaceAllIn(masked, "*REDACTED*") catch { case _: Throwable => masked }
+        case _ => masked
+      }
+      Some(
+        if (redacted.length <= QUERY_TEXT_MAX) redacted
+        else redacted.take(QUERY_TEXT_MAX) + " ...[truncated]")
+    } catch { case _: Throwable => None }
+
   private[lineage] def planFingerprint(
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
     try {

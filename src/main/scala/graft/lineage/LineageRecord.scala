@@ -66,6 +66,12 @@ final case class LineageRecord(
     peakMemoryBytes: Option[Long] = None,
     spillBytes: Option[Long] = None,
     planFingerprint: String = "",
+    // "What did this job DO?" — the catalog user's first question at an
+    // unexpected record. The original SQL text when the plan was parsed
+    // from SQL (Origin.sqlText), else a one-line-per-node excerpt of the
+    // analyzed plan. Sanitized (session redaction regex + credential
+    // patterns masked) and length-capped at the emitter, never raw.
+    queryText: Option[String] = None,
     // Dataset.observe() metrics harvested from the run — the in-plan
     // data-quality gates (row counts, violation sums) a pipeline attaches
     // with CollectMetrics, flowing to the catalog with the run record
@@ -108,6 +114,6 @@ final case class LineageRecord(
       s""""bytesWritten":${bytesWritten.map(_.toString).getOrElse("null")},"bytesRead":${bytesRead.map(_.toString).getOrElse("null")},""" +
       s""""shuffleBytesWritten":${num(shuffleBytesWritten)},"shuffleBytesRead":${num(shuffleBytesRead)},""" +
       s""""peakMemoryBytes":${num(peakMemoryBytes)},"spillBytes":${num(spillBytes)},""" +
-      s""""planFingerprint":${q(planFingerprint)}}"""
+      s""""planFingerprint":${q(planFingerprint)},"queryText":${opt(queryText)}}"""
   }
 }

@@ -277,10 +277,10 @@ object Graph {
     * Scale shape: one fact aggregate reduces lineitem⨝orders to the
     * distinct-pair edge frame; each peel round is two vertex-set
     * semi-joins (alive src ∧ alive dst) + one map-side-combined degree
-    * aggregate. The alive set is vertex-sized — broadcast here for the
-    * same reason as the PageRank rank frame (per-round stage overhead
-    * dominates a dim-scale graph); on a billion-vertex graph the same
-    * joins run as shuffle joins with only the hints changing. Rounds
+    * aggregate. The alive set is vertex-sized — NO broadcast hints
+    * (the pagerank r11 lesson): AQE broadcasts it while it fits under
+    * the threshold and shuffle-joins it on a billion-vertex graph,
+    * where a forced broadcast would be a driver OOM. Rounds
     * are unrolled a FIXED number of times — O(log peel-depth) plans,
     * no data-dependent driver loop — and each round's alive set is
     * `localCheckpoint`ed so round r+1's plan doesn't replay rounds
@@ -308,8 +308,8 @@ object Graph {
     var rounds = Seq(census(alive, 0))
     for (r <- 1 to KCORE_ROUNDS) {
       val deg = edges
-        .join(broadcast(alive.select(col("v").as("src"))), "src", "left_semi")
-        .join(broadcast(alive.select(col("v").as("dst"))), "dst", "left_semi")
+        .join(alive.select(col("v").as("src")), "src", "left_semi")
+        .join(alive.select(col("v").as("dst")), "dst", "left_semi")
         .groupBy("src").agg(count(lit(1)).as("d"))
       alive = deg.filter(col("d") >= KCORE_K).select(col("src").as("v"))
         .localCheckpoint()
@@ -380,9 +380,12 @@ object Graph {
     * Scale shape: the textbook distributed frontier BFS — each round is
     * ONE semi-join of the edge set against the current frontier (new
     * candidates) + one anti-join against the visited set (drop already-
-    * reached), both vertex-sized frames broadcast here (dim-scale
-    * graph; on a billion-vertex graph the same joins shuffle, hints
-    * only). Rounds are unrolled a FIXED `BFS_MAX_HOPS` times with each
+    * reached). Both frames are frontier/visited-sized — `dist` grows to
+    * ALL reached vertices — so they carry NO broadcast hints: AQE
+    * broadcasts the early small frontiers and shuffle-joins once they
+    * outgrow the threshold (a forced broadcast of `dist` on a
+    * billion-vertex graph is a driver OOM, full stop).
+    * Rounds are unrolled a FIXED `BFS_MAX_HOPS` times with each
     * round's frontier `localCheckpoint`ed, so round r+1 never replays
     * rounds 1..r. Only the bounded per-hop census leaves the executors.
     * The oracle walks the identical graph with a recursive CTE
@@ -399,18 +402,20 @@ object Graph {
       .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("v")).distinct().localCheckpoint()
+    // seed frame: one nation's customers — dim-bounded, but still
+    // vertex-keyed, so no forced hint (AQE broadcasts it on its own)
     val seeds = nodes.join(
-      broadcast(Tables.dim(s, dir, "customer")
+      Tables.dim(s, dir, "customer")
         .filter(col("c_nationkey") === BFS_SEED_NATION)
-        .select(concat(lit("c"), col("c_custkey")).as("v"))),
+        .select(concat(lit("c"), col("c_custkey")).as("v")),
       "v", "left_semi")
     var dist = seeds.select(col("v"), lit(0).as("hop")).localCheckpoint()
     var frontier = dist.select("v")
     for (r <- 1 to BFS_MAX_HOPS) {
       val next = edges
-        .join(broadcast(frontier.select(col("v").as("src"))), "src", "left_semi")
+        .join(frontier.select(col("v").as("src")), "src", "left_semi")
         .select(col("dst").as("v")).distinct()
-        .join(broadcast(dist.select("v")), Seq("v"), "left_anti")
+        .join(dist.select("v"), Seq("v"), "left_anti")
         .select(col("v"), lit(r).as("hop"))
         .localCheckpoint()
       dist = dist.unionByName(next).localCheckpoint()
@@ -419,7 +424,7 @@ object Graph {
     val reached = dist.groupBy("hop").agg(
       sum(when(col("v").startsWith("c"), 1L).otherwise(0L)).as("n_cust"),
       sum(when(col("v").startsWith("s"), 1L).otherwise(0L)).as("n_supp"))
-    val unreached = nodes.join(broadcast(dist.select("v")), Seq("v"), "left_anti")
+    val unreached = nodes.join(dist.select("v"), Seq("v"), "left_anti")
       .agg(coalesce(sum(when(col("v").startsWith("c"), 1L).otherwise(0L)), lit(0L)).as("n_cust"),
         coalesce(sum(when(col("v").startsWith("s"), 1L).otherwise(0L)), lit(0L)).as("n_supp"))
       .select(lit(-1).as("hop"), col("n_cust"), col("n_supp"))
@@ -440,7 +445,8 @@ object Graph {
     * singletons): how fast the market coalesces into trading blocs.
     *
     * Scale shape: one round = edges⨝labels (label frame vertex-sized,
-    * broadcast at dim scale, shuffle at web scale) + TWO map-side-
+    * so NO broadcast hint — AQE picks broadcast at dim scale, shuffle
+    * at web scale) + TWO map-side-
     * combinable hash-aggs — the per-(node, neighbor-label) count, then
     * the deterministic argmax as `min(struct(-cnt, label))` (max count,
     * then min label) with NO window over the neighbor stream. Fixed
@@ -468,7 +474,7 @@ object Graph {
     var rounds = Seq(census(labels, 0))
     for (r <- 1 to LPA_ROUNDS) {
       labels = edges
-        .join(broadcast(labels.select(col("v").as("src"), col("label"))), "src")
+        .join(labels.select(col("v").as("src"), col("label")), "src")
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("v"))
         .agg(min(struct((col("cnt") * -1).as("nc"), col("label"))).as("m"))
@@ -493,9 +499,11 @@ object Graph {
     * 9dp — the pagerank determinism discipline.
     *
     * Scale shape: identical to pagerank — edges localCheckpointed once;
-    * per round the vertex-sized score frame broadcasts onto the edge
-    * set (shuffle-join on a billion-vertex graph — hints change, shape
-    * doesn't); top-K via TakeOrdered.
+    * per round the vertex-sized score frame joins onto the edge set
+    * with NO broadcast hint (the pagerank/closeness lesson: AQE
+    * broadcasts it while small, shuffle-joins it on a billion-vertex
+    * graph where a forced broadcast is a driver OOM). The only forced
+    * broadcasts are the 1-row max-normalizers. Top-K via TakeOrdered.
     */
   def qHits(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(s, dir)
@@ -508,13 +516,13 @@ object Graph {
       .select(col("snode"), lit(1.0).as("a"))
     var hubs: DataFrame = null
     for (_ <- 1 to HITS_ITERS) {
-      val hRaw = pairs.join(broadcast(auth), "snode")
+      val hRaw = pairs.join(auth, "snode")
         .groupBy("cnode").agg(sum(col("w") * col("a")).as("h"))
       val hMax = hRaw.agg(max("h").as("hmax"))
       hubs = hRaw.crossJoin(broadcast(hMax))
         .select(col("cnode"), round(col("h") / col("hmax"), 9).as("h"))
         .localCheckpoint()
-      val aRaw = pairs.join(broadcast(hubs), "cnode")
+      val aRaw = pairs.join(hubs, "cnode")
         .groupBy("snode").agg(sum(col("w") * col("h")).as("a"))
       val aMax = aRaw.agg(max("a").as("amax"))
       auth = aRaw.crossJoin(broadcast(aMax))
@@ -577,10 +585,10 @@ object Graph {
     * arithmetic is one final expression — no order-dependent float
     * summation across communities.
     *
-    * Scale shape: same per-round discipline as qLabelProp (broadcast
-    * label join, localCheckpoint per round); the modularity pass is
-    * two hash aggregates over the |edges| frame onto |communities|
-    * then 1 row.
+    * Scale shape: same per-round discipline as qLabelProp (unhinted
+    * label join — AQE decides, the label frame is vertex-sized —
+    * localCheckpoint per round); the modularity pass is two hash
+    * aggregates over the |edges| frame onto |communities| then 1 row.
     */
   def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(s, dir)
@@ -596,7 +604,7 @@ object Graph {
       .select(col("v"), col("v").as("label")).localCheckpoint()
     for (_ <- 1 to LPA_ROUNDS) {
       labels = edges
-        .join(broadcast(labels.select(col("v").as("src"), col("label"))), "src")
+        .join(labels.select(col("v").as("src"), col("label")), "src")
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("v"))
         .agg(min(struct((col("cnt") * -1).as("nc"), col("label"))).as("m"))
@@ -604,8 +612,8 @@ object Graph {
         .localCheckpoint()
     }
     val ann = edges
-      .join(broadcast(labels.select(col("v").as("src"), col("label").as("slab"))), "src")
-      .join(broadcast(labels.select(col("v").as("dst"), col("label").as("dlab"))), "dst")
+      .join(labels.select(col("v").as("src"), col("label").as("slab")), "src")
+      .join(labels.select(col("v").as("dst"), col("label").as("dlab")), "dst")
     val deg = ann.groupBy("slab")
       .agg(count(lit(1)).as("d"),
         sum((col("slab") === col("dlab")).cast("long")).as("win"))

@@ -530,6 +530,37 @@ class PlanAuditSpec extends AnyFunSpec with SparkTestBase {
       assert(countNodes(rb, "Exchange") <= 2, s"readability over-shuffled:\n$rb")
     }
 
+    it("no query forces a broadcast hint onto a vertex/frontier-keyed frame") {
+      // The lesson the engine paid for twice (pagerank r11, closeness
+      // r12): a frame keyed by a graph vertex / frontier id is unbounded
+      // in graph size — on a billion-vertex graph a FORCED broadcast of
+      // it is a driver collect + OOM. Such joins must stay unhinted so
+      // AQE broadcasts them while small and shuffle-joins them at scale.
+      // The ban: no ResolvedHint(BROADCAST) child may expose a
+      // vertex-id-named output column. 1-row normalizer frames ("n",
+      // "hmax") and dim broadcasts keep their hints — their outputs
+      // don't carry vertex keys.
+      val vertexKeys = Set("v", "node", "cnode", "snode", "frontier")
+      val skip = Set("q_lineage_selfcheck", "q_source_csv", "q_source_json",
+        "q_source_orc")
+      val violations = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) if !skip(name) =>
+          val analyzed = fn(spark, sfDir).queryExecution.analyzed
+          analyzed.collect {
+            case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+                if h.hints.strategy.exists(
+                  _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
+              h.child.output.map(_.name).filter(vertexKeys)
+          }.flatten.distinct match {
+            case Nil  => Nil
+            case keys => Seq(s"$name: broadcast hint on vertex-keyed frame " +
+              s"(columns ${keys.mkString(", ")})")
+          }
+        case _ => Nil
+      }
+      assert(violations.isEmpty, violations.mkString("\n"))
+    }
+
     it("q_order_gaps derives quartiles without replaying the fact pipeline") {
       // ntileExact localCheckpoints the per-customer aggregate before its
       // 4-way fan-out (stats / histogram / boundary rank / assignment):

@@ -15,12 +15,19 @@ def main():
     a, b = json.load(open(sys.argv[1])), json.load(open(sys.argv[2]))
     growth = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     qa, qb = a["queries"], b["queries"]
-    common = sorted(set(qa) & set(qb), key=lambda q: -(qb[q] / qa[q]))
-    ratios = [qb[q] / qa[q] for q in common]
+    # floor zero/near-zero baselines instead of dividing by them: a query
+    # recorded as 0.0 s at the low scale would otherwise crash the whole
+    # report inside the sort key; flag the floored ones explicitly
+    def ratio(q):
+        return qb[q] / max(qa[q], 1e-3)
+    common = sorted(set(qa) & set(qb), key=lambda q: -ratio(q))
+    ratios = [ratio(q) for q in common]
     print(f"{'query':30s} {'lo_s':>8s} {'hi_s':>8s} {'ratio':>7s}")
     for q in common:
-        flag = " <-- superlinear" if qb[q] / qa[q] > growth else ""
-        print(f"{q:30s} {qa[q]:8.2f} {qb[q]:8.2f} {qb[q]/qa[q]:7.2f}{flag}")
+        flag = " <-- superlinear" if ratio(q) > growth else ""
+        if qa[q] < 1e-3:
+            flag += " [zero baseline floored]"
+        print(f"{q:30s} {qa[q]:8.2f} {qb[q]:8.2f} {ratio(q):7.2f}{flag}")
     print(f"\nqueries={len(common)} median_ratio={median(ratios):.2f} "
           f"over_{growth:g}x={sum(r > growth for r in ratios)}")
 

@@ -92,6 +92,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // announce BEFORE running (r12 ADVICE): the done-line alone left a
+      // 25-minute straggler unidentifiable while it ran — only already-
+      // finished queries were visible without a thread dump
+      System.err.println(s"[bench] start $name load=${loadavg()}")
       (1 to warmups).foreach(_ => once())
       val runs = Seq.fill(timedRuns)(once()).sorted
       // live progress on stderr (the driver parses stdout's last line
@@ -148,12 +152,25 @@ object Bench {
     val env = s"""{"started":"$started","ended":"${java.time.Instant.now()}",""" +
       s""""load_start":$loadStart,"load_end":${loadavg()},"cpus":$cpus,""" +
       s""""load_cut":$loadCut,"retime_runs":$retimeRuns}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"retimed":$retimedJson,"errors":$errs,"env":$env,"sf":"$sfDir"}""")
-    // The driver keeps only the last ~2000 chars of stdout; the detailed line
-    // above outgrew that window in r4/r5, truncating the JSON prefix and
-    // leaving the headline total unparsed. Re-emit a compact total-only line
-    // LAST so it always lands whole inside the tail window.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},"errors":$errs,"env":$env,"sf":"$sfDir"}""")
+    val detailLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"retimed":$retimedJson,"errors":$errs,"env":$env,"sf":"$sfDir"}"""
+    println(detailLine)
+    // Round-over-round self-containment (r12 VERDICT item 7): the
+    // driver's artifact keeps only the last ~2000 chars of stdout, which
+    // truncated the detailed line and left per-query evidence
+    // unrecoverable. Persist the COMPLETE detail JSON to a file the
+    // round commits, so per-query comparison survives tail truncation.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_detail.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // The compact line the driver parses (emitted LAST so it always lands
+    // whole inside the tail window) now also names WHICH queries were
+    // retimed (capped — the full runs live in the detail file).
+    val retimedNames = retimed.keys.toSeq.sorted
+    val retimedList = retimedNames.take(40).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${ok.size},""" +
+      s""""n_retimed":${retimedNames.size},"retimed":$retimedList,""" +
+      s""""detail_file":"$detailPath","errors":$errs,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,12 +7,16 @@ package graft.lineage
   * the sink picks the dialect (`HttpSink.asyncOpenLineage`).
   *
   * Mapping choices:
-  *  - status success/failure → eventType COMPLETE/FAIL (graft records
-  *    one event per finished action; START events would need a second
-  *    listener hook and buy nothing for a post-hoc catalog).
+  *  - status success/failure → eventType COMPLETE/FAIL. Marquez-style
+  *    consumers additionally expect a START so they can compute run
+  *    durations server-side: [[toStartEvent]] back-dates one from the
+  *    record (eventTime = end − durationNs), sharing the runId, and
+  *    [[toRunEventPair]] ships START + COMPLETE/FAIL as one ndjson pair
+  *    — no second listener hook needed, and the pair is emitted
+  *    atomically (a crash can't orphan a START).
   *  - run.runId is the spec-required UUID, derived deterministically
   *    (name-UUID of appId:timestamp:funcName) so re-renders of the same
-  *    record agree.
+  *    record agree — and the START/COMPLETE pair agrees by construction.
   *  - job = (namespace "graft", name "appName.funcName").
   *  - inputs/outputs carry the spec's `schema` dataset facet (pruned
   *    columns read / output columns), `columnLineage` facet with
@@ -55,12 +59,46 @@ object OpenLineage {
   private def datasetRef(kind: String, name: String): (String, String) =
     if (kind == "path") ("file", name) else ("graft", name)
 
+  private def runIdOf(r: LineageRecord): String =
+    java.util.UUID.nameUUIDFromBytes(
+      s"${r.appId}:${r.timestampMs}:${r.funcName}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
+  /** The START half of the run: back-dated to the action's start
+    * (record timestamp − duration), same runId as the terminal event,
+    * inputs with schema facets (known at start), no outputs/statistics
+    * (end-of-run knowledge). */
+  def toStartEvent(r: LineageRecord): String = {
+    val startMs = r.timestampMs - math.max(0L, r.durationNs / 1000000L)
+    val inputs = r.inputs.map { i =>
+      val (ns, name) = datasetRef(i.kind, i.name)
+      obj(Seq(
+        "namespace" -> q(ns), "name" -> q(name),
+        "facets" -> obj(Seq(schemaFacet(i.columnsRead)))))
+    }
+    obj(Seq(
+      "eventType" -> q("START"),
+      "eventTime" -> q(java.time.Instant.ofEpochMilli(startMs).toString),
+      "run" -> obj(Seq("runId" -> q(runIdOf(r)))),
+      "job" -> obj(Seq(
+        "namespace" -> q("graft"),
+        "name" -> q(s"${r.appName}.${r.funcName}"))),
+      "inputs" -> arr(inputs),
+      "outputs" -> arr(Nil),
+      "producer" -> q(Producer),
+      "schemaURL" -> q(SchemaUrl)))
+  }
+
+  /** START + COMPLETE/FAIL as one ndjson pair (two lines) — the shape
+    * `HttpSink.asyncOpenLineage` ships, so duration-computing consumers
+    * see the spec's full run lifecycle. */
+  def toRunEventPair(r: LineageRecord): String =
+    toStartEvent(r) + "\n" + toRunEvent(r)
+
   def toRunEvent(r: LineageRecord): String = {
     val eventType = if (r.status == "success") "COMPLETE" else "FAIL"
     val eventTime = java.time.Instant.ofEpochMilli(r.timestampMs).toString
-    val runId = java.util.UUID.nameUUIDFromBytes(
-      s"${r.appId}:${r.timestampMs}:${r.funcName}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    val runId = runIdOf(r)
 
     val runFacets: Seq[(String, String)] =
       r.error.map(e => "errorMessage" -> obj(facet("ErrorMessageRunFacet",

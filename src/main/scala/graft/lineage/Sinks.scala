@@ -53,6 +53,13 @@ final class Slf4jSink extends LineageSink {
   * `emit` blocks on I/O when it triggers a flush, so production use is
   * `HttpSink.async(...)` — the [[AsyncSink]] decorator moves all I/O to
   * its daemon thread and the query path costs one queue offer.
+  *
+  * Auth: real catalog endpoints sit behind a bearer token or API key.
+  * `headers` is sent verbatim on every request; it defaults to
+  * [[HttpSink.envAuthHeaders]], which reads `GRAFT_CATALOG_BEARER_TOKEN`
+  * (→ `Authorization: Bearer ...`) / `GRAFT_CATALOG_API_KEY`
+  * (→ `X-API-Key: ...`) from the environment — so pointing an installed
+  * pipeline at an authenticated catalog is an env var, not a code change.
   */
 final class HttpSink(
     endpoint: String,
@@ -61,7 +68,8 @@ final class HttpSink(
     retryBackoffMs: Long = 100,
     connectTimeoutMs: Int = 2000,
     readTimeoutMs: Int = 5000,
-    format: LineageRecord => String = _.toJson) extends LineageSink {
+    format: LineageRecord => String = _.toJson,
+    headers: Map[String, String] = HttpSink.envAuthHeaders) extends LineageSink {
   require(batchSize > 0 && maxRetries >= 0)
   private val url = java.net.URI.create(endpoint).toURL
   private val log = org.slf4j.LoggerFactory.getLogger("graft.lineage")
@@ -120,6 +128,7 @@ final class HttpSink(
         c.setReadTimeout(readTimeoutMs)
         c.setRequestMethod("POST")
         c.setRequestProperty("Content-Type", "application/x-ndjson")
+        headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
         c.setFixedLengthStreamingMode(body.length)
         c.setDoOutput(true)
         val os = c.getOutputStream
@@ -142,6 +151,19 @@ final class HttpSink(
 }
 
 object HttpSink {
+  /** Auth headers from an env map: bearer token wins over API key; no
+    * env → no extra headers. Factored over the raw map so the parse is
+    * unit-testable without mutating the JVM's environment. */
+  private[lineage] def authHeaders(env: Map[String, String]): Map[String, String] =
+    env.get("GRAFT_CATALOG_BEARER_TOKEN").filter(_.nonEmpty)
+      .map(t => Map("Authorization" -> s"Bearer $t"))
+      .orElse(env.get("GRAFT_CATALOG_API_KEY").filter(_.nonEmpty)
+        .map(k => Map("X-API-Key" -> k)))
+      .getOrElse(Map.empty)
+
+  /** The default `headers`: auth read from the process environment. */
+  def envAuthHeaders: Map[String, String] = authHeaders(sys.env)
+
   /** The production composition: buffered+retrying HTTP behind the
     * non-blocking bounded queue. */
   def async(endpoint: String, batchSize: Int = 64, capacity: Int = 4096): AsyncSink =
@@ -149,9 +171,11 @@ object HttpSink {
 
   /** Same composition speaking the OpenLineage RunEvent wire format —
     * point it at any OpenLineage-compatible collector (Marquez-style
-    * `/api/v1/lineage` endpoints). */
+    * `/api/v1/lineage` endpoints). Each record ships as a START +
+    * COMPLETE/FAIL pair sharing a runId, so consumers compute run
+    * durations server-side. */
   def asyncOpenLineage(endpoint: String, batchSize: Int = 64, capacity: Int = 4096): AsyncSink =
-    new AsyncSink(new HttpSink(endpoint, batchSize, format = OpenLineage.toRunEvent), capacity)
+    new AsyncSink(new HttpSink(endpoint, batchSize, format = OpenLineage.toRunEventPair), capacity)
 }
 
 /** Async decorator: emits enqueue onto a bounded buffer drained by one

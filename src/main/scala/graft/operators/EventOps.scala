@@ -1337,15 +1337,24 @@ object EventOps {
     * unpartitioned frame.
     */
   def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    // FLOOR-division hour bucket (Spark's `div` truncates toward zero,
+    // DuckDB's `//` floors — they differ on pre-1970 negative micros;
+    // subtracting pmod first makes the dividend exactly divisible, where
+    // truncation and floor agree in both engines)
     val hourly = events(s, dir)
-      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .select(expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))" +
+        " div 3600000000L").as("hr"))
       .groupBy("hr").agg(count(lit(1)).as("x"))
       .localCheckpoint() // bounded; three period probes share one scan
     val d38 = "decimal(38,0)"
     val perPeriod = PGRAM_PERIODS.map { p =>
+      // pmod, not %: a negative hr under `%` yields a non-positive index
+      // — Spark element_at throws / counts from the end while DuckDB's
+      // list index returns NULL (the r12 ADVICE engine-split); pmod keeps
+      // both engines in [1, p]
       val t = hourly.select(col("x"),
-        element_at(typedLit(pgramCos(p)), (col("hr") % p).cast("int") + 1).as("c"),
-        element_at(typedLit(pgramSin(p)), (col("hr") % p).cast("int") + 1).as("s"))
+        element_at(typedLit(pgramCos(p)), pmod(col("hr"), lit(p)).cast("int") + 1).as("c"),
+        element_at(typedLit(pgramSin(p)), pmod(col("hr"), lit(p)).cast("int") + 1).as("s"))
       val m = t.agg(
         count(lit(1)).cast(d38).as("n"),
         sum(col("c")).cast(d38).as("s1"),
@@ -1403,8 +1412,8 @@ object EventOps {
          |        CAST(sum(s * x) AS HUGEINT) AS s2y, CAST(sum(x * x) AS HUGEINT) AS syy
          |      FROM (
          |        SELECT x,
-         |          CAST(($cosL)[CAST(hr % $p AS INT) + 1] AS BIGINT) AS c,
-         |          CAST(($sinL)[CAST(hr % $p AS INT) + 1] AS BIGINT) AS s
+         |          CAST(($cosL)[CAST(((hr % $p) + $p) % $p AS INT) + 1] AS BIGINT) AS c,
+         |          CAST(($sinL)[CAST(((hr % $p) + $p) % $p AS INT) + 1] AS BIGINT) AS s
          |        FROM hourly))))""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH hourly AS MATERIALIZED (

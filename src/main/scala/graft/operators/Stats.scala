@@ -1603,33 +1603,43 @@ object Stats {
     * ratio σ²ε/σ²ₓ = 1 − φ₁r₁ − φ₂r₂ — how much of the day-to-day
     * variance an AR(2) explains.
     *
-    * Determinism: r₁/r₂ come from the SAME lag-product aggregate shape
-    * as `q_autocorr` (one bounded |days| frame, exact same expression
-    * trees both engines) and are rounded 6dp BEFORE the closed form, so
-    * every downstream quotient is rational arithmetic on identical
-    * inputs — the CUSUM "round the moments, then fold" pin. The 1−r₁²
-    * denominator gets the nullif guard (degenerate perfectly-correlated
-    * series yields NULL in both engines, not ±Inf in one).
+    * Determinism (r13, the r12 ADVICE low): the series is EXACT integer
+    * cents and the centering subtracts the FLOOR-mean (`stot div n`,
+    * one integer per series) instead of the double mean — so the
+    * deviations and their lag products are exact integers end to end
+    * (per-day products reach ~1e22 at sf10: DECIMAL(38,0) sums here,
+    * HUGEINT in the oracle), and the only doubles are two casts of the
+    * same exact integers followed by identical expression trees — the
+    * q_ols_multi / q_changepoint_split moment discipline. r₁/r₂ are
+    * rounded 6dp BEFORE the closed form, so every downstream quotient
+    * is rational arithmetic on identical inputs. The 1−r₁² denominator
+    * gets the nullif guard (degenerate perfectly-correlated series
+    * yields NULL in both engines, not ±Inf in one).
     */
   def qArFit(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
-      .agg(sum("o_totalprice").as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val byD = Window.orderBy("d")
+    val d38 = "decimal(38,0)"
     val f = daily
-      .withColumn("mu", avg("x").over(all))
-      .withColumn("dx", col("x") - col("mu"))
+      .withColumn("stot", sum("cents").over(all))
+      .withColumn("nn", count(lit(1)).over(all))
+      // floor-mean centering keeps dx an exact long (a <1-cent constant
+      // offset to every term — immaterial to the fit, decisive for
+      // cross-engine hashing)
+      .withColumn("dx", col("cents") - expr("stot div nn"))
       .withColumn("dx1", lag("dx", 1).over(byD))
       .withColumn("dx2", lag("dx", 2).over(byD))
     val agg = f.agg(
       count(lit(1)).as("n_days"),
-      sum(col("dx") * col("dx")).as("den"),
-      sum(col("dx") * col("dx1")).as("num1"),
-      sum(col("dx") * col("dx2")).as("num2"))
+      sum(col("dx").cast(d38) * col("dx")).as("den"),
+      sum(col("dx").cast(d38) * col("dx1")).as("num1"),
+      sum(col("dx").cast(d38) * col("dx2")).as("num2"))
     agg.select(col("n_days"),
-        round(col("num1") / col("den"), 6).as("r1"),
-        round(col("num2") / col("den"), 6).as("r2"))
+        round(col("num1").cast("double") / col("den").cast("double"), 6).as("r1"),
+        round(col("num2").cast("double") / col("den").cast("double"), 6).as("r2"))
       .withColumn("det", col("r1") * col("r1")) // r1² — shared subterm
       .select(col("n_days"), col("r1"), col("r2"),
         round(col("r1") * (lit(1.0) - col("r2"))
@@ -1642,17 +1652,23 @@ object Stats {
 
   val oracleArFit: String =
     """WITH daily AS (
-      |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS x
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
       |  FROM orders GROUP BY 1),
-      |dev AS (SELECT d, x - avg(x) OVER () AS dx FROM daily),
+      |dev AS (SELECT d,
+      |  cents - (sum(cents) OVER () // count(*) OVER ()) AS dx FROM daily),
       |lagged AS (SELECT dx,
       |  lag(dx, 1) OVER (ORDER BY d) AS dx1,
       |  lag(dx, 2) OVER (ORDER BY d) AS dx2 FROM dev),
       |agg AS (
-      |  SELECT count(*) AS n_days, sum(dx * dx) AS den,
-      |    sum(dx * dx1) AS num1, sum(dx * dx2) AS num2 FROM lagged),
+      |  SELECT count(*) AS n_days,
+      |    sum(CAST(dx AS HUGEINT) * dx) AS den,
+      |    sum(CAST(dx AS HUGEINT) * dx1) AS num1,
+      |    sum(CAST(dx AS HUGEINT) * dx2) AS num2 FROM lagged),
       |r AS (
-      |  SELECT n_days, round(num1 / den, 6) AS r1, round(num2 / den, 6) AS r2
+      |  SELECT n_days,
+      |    round(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1,
+      |    round(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r2
       |  FROM agg),
       |phi AS (
       |  SELECT n_days, r1, r2,

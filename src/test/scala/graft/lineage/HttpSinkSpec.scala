@@ -102,6 +102,38 @@ class HttpSinkSpec extends AnyFunSpec {
       assert(sink.failedCount == 1 && sink.retriedCount == 1)
     }
 
+    it("sends configured auth headers on every request") {
+      val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      val auths = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+      server.createContext("/lineage", new HttpHandler {
+        override def handle(ex: HttpExchange): Unit = {
+          auths.add(String.valueOf(ex.getRequestHeaders.getFirst("Authorization")))
+          ex.sendResponseHeaders(200, -1); ex.close()
+        }
+      })
+      server.start()
+      try {
+        val url = s"http://127.0.0.1:${server.getAddress.getPort}/lineage"
+        val sink = new HttpSink(url, batchSize = 1,
+          headers = Map("Authorization" -> "Bearer tok-123"))
+        sink.emit(record(1))
+        sink.emit(record(2))
+        assert(auths.asScala.toList == List("Bearer tok-123", "Bearer tok-123"))
+      } finally server.stop(0)
+    }
+
+    it("derives auth headers from the environment map: bearer wins, empty values ignored") {
+      assert(HttpSink.authHeaders(Map.empty) == Map.empty)
+      assert(HttpSink.authHeaders(Map("GRAFT_CATALOG_BEARER_TOKEN" -> "t1")) ==
+        Map("Authorization" -> "Bearer t1"))
+      assert(HttpSink.authHeaders(Map("GRAFT_CATALOG_API_KEY" -> "k1")) ==
+        Map("X-API-Key" -> "k1"))
+      assert(HttpSink.authHeaders(Map(
+        "GRAFT_CATALOG_BEARER_TOKEN" -> "t1", "GRAFT_CATALOG_API_KEY" -> "k1")) ==
+        Map("Authorization" -> "Bearer t1"))
+      assert(HttpSink.authHeaders(Map("GRAFT_CATALOG_BEARER_TOKEN" -> "")) == Map.empty)
+    }
+
     it("composes with AsyncSink: emit never blocks on the wire, close drains") {
       withServer(_ => 200) { (url, lines, _) =>
         val sink = HttpSink.async(url, batchSize = 8)

@@ -69,6 +69,34 @@ class OpenLineageSpec extends AnyFunSpec {
     it("is deterministic: the same record renders byte-identical events") {
       assert(OpenLineage.toRunEvent(rich) == OpenLineage.toRunEvent(rich))
     }
+
+    it("pairs a back-dated START with the terminal event under one runId") {
+      val timed = rich.copy(durationNs = 2500000000L) // 2.5 s run
+      val Array(startLine, completeLine) =
+        OpenLineage.toRunEventPair(timed).split("\n")
+      val start = parse(startLine)
+      val complete = parse(completeLine)
+      assert((start \ "eventType") == JString("START"))
+      assert((complete \ "eventType") == JString("COMPLETE"))
+      // matching runIds — the duration-computing consumer's join key
+      assert((start \ "run" \ "runId") == (complete \ "run" \ "runId"))
+      assert((start \ "run" \ "runId") != JNothing)
+      // START is back-dated by the run duration
+      assert((start \ "eventTime") == JString("2023-11-14T22:13:17.500Z"))
+      assert((complete \ "eventTime") == JString("2023-11-14T22:13:20Z"))
+      // inputs (known at start) present; outputs empty until the run ends
+      assert((start \ "inputs").children.nonEmpty)
+      assert((start \ "outputs").children.isEmpty)
+      assert((start \ "job" \ "name") == JString("graft-app.save"))
+    }
+
+    it("pairs FAIL runs too, START at the same instant (failure records carry no duration)") {
+      val failed = rich.copy(status = "failure", error = Some("boom"), durationNs = 0L)
+      val Array(s, f) = OpenLineage.toRunEventPair(failed).split("\n")
+      assert((parse(s) \ "eventType") == JString("START"))
+      assert((parse(f) \ "eventType") == JString("FAIL"))
+      assert((parse(s) \ "run" \ "runId") == (parse(f) \ "run" \ "runId"))
+    }
   }
 
   describe("HttpSink with the OpenLineage dialect") {
@@ -90,12 +118,25 @@ class OpenLineageSpec extends AnyFunSpec {
         sink.emit(rich)
         sink.emit(rich.copy(appId = "app-2"))
         sink.close()
-        assert(lines.size() == 2)
-        lines.forEach { l =>
+        // each record ships as a START + COMPLETE pair
+        assert(lines.size() == 4)
+        val events = new java.util.ArrayList(lines)
+        val types = events.stream().map(l => (parse(l) \ "eventType"))
+          .toArray.toList
+        assert(types == List(JString("START"), JString("COMPLETE"),
+          JString("START"), JString("COMPLETE")))
+        events.forEach { l =>
           val j = parse(l)
-          assert((j \ "eventType") == JString("COMPLETE"))
           assert((j \ "schemaURL") != JNothing)
+          assert((j \ "run" \ "runId") != JNothing)
         }
+        // within each pair the runIds match across the wire
+        assert((parse(events.get(0)) \ "run" \ "runId") ==
+          (parse(events.get(1)) \ "run" \ "runId"))
+        assert((parse(events.get(2)) \ "run" \ "runId") ==
+          (parse(events.get(3)) \ "run" \ "runId"))
+        assert((parse(events.get(0)) \ "run" \ "runId") !=
+          (parse(events.get(2)) \ "run" \ "runId"))
       } finally server.stop(0)
     }
   }

@@ -93,6 +93,30 @@ class StreamReservoirSpec extends AnyFunSpec with SparkTestBase {
     assert(clean.forall(_.n_source == 60L))
   }
 
+  it("pins the replay bound: an evicted-id replay over-counts n by exactly its " +
+      "count and never perturbs the sample") {
+    // The documented O(k)-state boundary (r12 VERDICT item 8): the SAMPLE
+    // is exact min-k over distinct ids under ANY replay; `n` is exact
+    // except for replays of already-EVICTED ids, each of which re-counts
+    // once per re-delivery (exact distinct-n needs O(n) state). This test
+    // pins both halves of that contract so a future "fix" can't silently
+    // change it.
+    val docs = (1L to 60L).map(i => DocArrival("s", i))
+    val clean = lastSnapshot(Seq(docs), 5)
+    val cleanSample = clean.map(r => (r.rank, r.doc_id, r.hk)).toSet
+    val evictedIds = (1L to 60L).filterNot(clean.map(_.doc_id).toSet)
+    assert(evictedIds.size == 55)
+    // replay 3 evicted ids in a later batch
+    val replayed = lastSnapshot(
+      Seq(docs, evictedIds.take(3).map(DocArrival("s", _))), 5)
+    // the sample is untouched...
+    assert(replayed.map(r => (r.rank, r.doc_id, r.hk)).toSet == cleanSample,
+      "evicted-id replay must not perturb the sample")
+    // ...and n over-counts by EXACTLY the replayed-evicted arrivals
+    assert(replayed.forall(_.n_source == 63L),
+      s"n must over-count by exactly 3: ${replayed.map(_.n_source)}")
+  }
+
   it("keeps O(k) state: a long stream still emits exactly k rows with the true n") {
     val docs = (1L to 200L).map(i => DocArrival("s", i))
     val snap = lastSnapshot(Seq(docs.take(90), docs.slice(90, 170), docs.drop(170)), 7)

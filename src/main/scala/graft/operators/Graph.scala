@@ -75,10 +75,16 @@ object Graph {
       // checkpoint each round (qLabelProp/qHits discipline): without it,
       // round r's broadcast plan nests round r-1's broadcast and every
       // materialization replays the whole chain — 63 s at sf1 vs ~10 s
-      // for the checkpointed iterators on the same graph
-      pr = nodes.crossJoin(broadcast(nN))
-        .join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"),
+      // for the checkpointed iterators on the same graph.
+      // The edge set is SYMMETRIC (both directions unioned), so every
+      // node has in-edges and `inflow` already covers the full vertex
+      // set — the old per-round LEFT JOIN against `nodes` re-shuffled a
+      // vertex frame each round only to re-attach rows that were all
+      // already there (guide §2.4: remove the no-op shuffle). The
+      // coalesce stays as belt-and-braces for the (impossible here)
+      // no-inflow row; arithmetic is unchanged, ranks bit-identical.
+      pr = inflow.crossJoin(broadcast(nN))
+        .select(col("dst").as("node"),
           round(expr(PR_BASE) / col("n") +
             expr(PR_D) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"),
           col("n"))
@@ -128,9 +134,11 @@ object Graph {
     while (!converged && rounds < maxRounds) {
       val inflow = trans.join(pr.select(col("node").as("src"), col("pr")), "src")
         .groupBy("dst").agg(sum(col("pr") * col("p")).as("inflow"))
-      val next = nodes.crossJoin(broadcast(nN))
-        .join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"),
+      // symmetric edges ⇒ inflow covers every node; no per-round nodes
+      // join (the qPagerank/pagerankRounds shape — kept in lockstep so
+      // round r here stays BIT-IDENTICAL to the unrolled gauge's round r)
+      val next = inflow.crossJoin(broadcast(nN))
+        .select(col("dst").as("node"),
           round(expr(PR_BASE) / col("n") +
             expr(PR_D) * coalesce(col("inflow"), lit(0.0)), 9).as("pr"),
           col("n"))
@@ -200,6 +208,11 @@ object Graph {
       .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      // checkpointed (bounded ≤|nations]² rows): the mean-weight
+      // aggregate AND the threshold filter both read it — lazily the
+      // 4-way fact join ran TWICE per query (once under the broadcast
+      // 1-row mean, once on the filter side)
+      .localCheckpoint()
     val meanW = pairs.agg(avg("w").as("mean_w"))
     val edges = pairs.crossJoin(broadcast(meanW))
       .filter(col("w") >= col("mean_w"))
@@ -516,18 +529,26 @@ object Graph {
       .select(col("snode"), lit(1.0).as("a"))
     var hubs: DataFrame = null
     for (_ <- 1 to HITS_ITERS) {
+      // ONE checkpoint per iteration (was two): the h-phase stays lazy
+      // inside the a-phase's plan, so each round materializes a single
+      // DAG (join→agg→normalize→join→agg) instead of two — at sf0.1 the
+      // query is AQE-stage/job-count bound, and halving the
+      // materialization barriers is the lever (guide §1.2: fix the
+      // job shape before the per-task work). The 1-row max normalizers
+      // read the same aggregate exchange (ReuseExchange dedupes it);
+      // arithmetic (round(·/max, 9)) is unchanged, so scores are
+      // bit-identical.
       val hRaw = pairs.join(auth, "snode")
         .groupBy("cnode").agg(sum(col("w") * col("a")).as("h"))
       val hMax = hRaw.agg(max("h").as("hmax"))
       hubs = hRaw.crossJoin(broadcast(hMax))
         .select(col("cnode"), round(col("h") / col("hmax"), 9).as("h"))
-        .localCheckpoint()
       val aRaw = pairs.join(hubs, "cnode")
         .groupBy("snode").agg(sum(col("w") * col("h")).as("a"))
+        .localCheckpoint()
       val aMax = aRaw.agg(max("a").as("amax"))
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("snode"), round(col("a") / col("amax"), 9).as("a"))
-        .localCheckpoint()
     }
     val topH = hubs.select(col("cnode").as("node"), lit("hub").as("kind"),
         round(col("h"), 6).as("score"))
@@ -765,6 +786,7 @@ object Graph {
       .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // qGraphTriangles discipline: mean + filter both read it
     val meanW = pairs.agg(avg("w").as("mean_w"))
     val edges = pairs.crossJoin(broadcast(meanW))
       .filter(col("w") >= col("mean_w"))
@@ -960,6 +982,7 @@ object Graph {
       .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // qGraphTriangles discipline: mean + filter both read it
     val meanW = pairs.agg(avg("w").as("mean_w"))
     val edges = pairs.crossJoin(broadcast(meanW))
       .filter(col("w") >= col("mean_w"))

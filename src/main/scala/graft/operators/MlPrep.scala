@@ -125,19 +125,32 @@ object MlPrep {
     * rounding pin needed.
     */
   def qAssocRules(s: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(s, dir)
+    // ONE fact pass to per-basket sorted brand SETS (collect_set partial-
+    // aggregates map-side), checkpointed so the basket total, the item
+    // counts and the pair counts all read the ~|orders|-row set frame.
+    // The r12 shape self-joined the exploded (bid, brand) frame on bid —
+    // a second shuffle of the whole fact-derived frame plus a join whose
+    // output re-aggregated to the same ≤|brands|² keys. Pairs are now
+    // generated in-row from the sorted set (items-per-basket choose 2,
+    // identical fan-out bound), never through a join (guide §2.4: the
+    // equality self-join on the basket key was a removable shuffle).
+    // sort_array + slice(i+2..) emit exactly the x < y pairs the join
+    // produced, so every (x, y, n_both) count is unchanged.
+    val bsets = Tables.lineitem(s, dir)
       .join(broadcast(Tables.dim(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("bid"), col("p_brand").as("brand"))
-      .distinct()
-      .cache()
-    val nB = baskets.agg(countDistinct("bid").as("nb"))
-    val items = baskets.groupBy("brand").agg(count(lit(1)).as("ni"))
-    val pairs = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.bid") === col("b.bid") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("x"), col("b.brand").as("y"))
+      .groupBy("bid").agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .localCheckpoint()
+    val nB = bsets.agg(count(lit(1)).as("nb"))
+    val items = bsets.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("ni"))
+    val pairs = bsets
+      .select(posexplode(col("bs")).as(Seq("i", "x")), col("bs"))
+      .select(col("x"),
+        explode(slice(col("bs"), col("i") + 2, size(col("bs")))).as("y"))
+      .groupBy("x", "y")
       .agg(count(lit(1)).as("n_both"))
     val rules = pairs.select(col("x").as("ant"), col("y").as("cons"), col("n_both"))
       .unionByName(pairs.select(col("y").as("ant"), col("x").as("cons"), col("n_both")))

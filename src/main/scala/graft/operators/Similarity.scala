@@ -2406,18 +2406,29 @@ object Similarity {
     val xc = e.crossJoin(broadcast(stats.select("mu")))
       .select(transform(zip_with(col("emb"), col("mu"), (a, b) => a - b),
         v => round(v, 6)).as("x"))
-    // DIM² covariance as ONE map-side-combinable 4096-key aggregate:
-    // two chained position explodes keep the per-pair product in pure
-    // codegen (no HOF lambda on the corpus-proportional path, no
-    // self-join), and the entry sums are integer micros — exact and
-    // summation-order-free. |x·x·1e6| ≤ ~4e6 per row keeps the long
-    // sum safe past 1e12 vectors.
-    val prods = xc
+    // DIM² covariance as ONE map-side-combinable aggregate: two chained
+    // position explodes keep the per-pair product in pure codegen (no
+    // HOF lambda on the corpus-proportional path, no self-join), and the
+    // entry sums are integer micros — exact and summation-order-free.
+    // |x·x·1e6| ≤ ~4e6 per row keeps the long sum safe past 1e12 vectors.
+    // The matrix is symmetric and round(xi·xj·1e6) is commutative, so
+    // only the UPPER TRIANGLE (j ≥ i, DIM·(DIM+1)/2 keys instead of
+    // DIM²) flows through the corpus-proportional explode+aggregate —
+    // the lower triangle is mirrored afterwards from the checkpointed
+    // 2080-row half matrix (guide §2.3: halve the rows feeding the
+    // expensive aggregate; this one aggregate dominated q_embedding_pca
+    // AND q_effective_rank). Mirrored micros are the SAME longs, so
+    // every downstream value is bit-identical to the full-square fold.
+    val half = xc
       .select(posexplode(col("x")).as(Seq("i", "xi")), col("x"))
-      .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
-      .select(col("i"), col("j"),
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("x"), col("i") + 1, lit(DIM))).as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"),
         round(col("xi") * col("xj") * 1e6).cast("long").as("m"))
       .groupBy("i", "j").agg(sum("m").as("micro"))
+      .localCheckpoint() // enum-sized; read twice by the mirror union
+    val prods = half.unionByName(half.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("micro")))
     // the enum-sized (DIM×DIM) matrix collapses to a 1-row nested
     // array; checkpointed because every power step below re-reads it —
     // uncheckpointed, each step would replay the corpus pass

@@ -824,9 +824,12 @@ object Pipeline {
   private val QP_LR = "4.0" // literal text, shared by both plans
 
   /** Left-to-right double fold, matching the oracle's
-    * list_sum(list_transform(...)) order. */
+    * list_sum(list_transform(...)) order — the DotProduct codegen
+    * kernel, not an interpreted HOF (scored once per document). */
   private def qpDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(graft.functions.DotProduct(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** Bias-extended text feature vector, every derived ratio rounded 6dp
     * BEFORE training so both engines feed the GD identical doubles:

@@ -56,10 +56,16 @@ object Similarity {
   private[graft] val PQ_KSUB  = 16
   private[graft] val PQ_ITERS = 2
 
-  /** cosine(a, b) with left-to-right double summation (matches the
-    * oracle's list_sum(list_transform(...)) fold order). */
+  /** dot(a, b) with left-to-right double summation (matches the
+    * oracle's list_sum(list_transform(...)) fold order). Was the
+    * interpreted `aggregate(zip_with(...))` HOF tree — the LSH banding
+    * path evaluates PLANES of these per row, so it now builds the
+    * [[graft.functions.DotProduct]] codegen kernel directly (bit-
+    * identical fold; r13 optimization, guide §4). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(graft.functions.DotProduct(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** The §2.8 native kernel: same IEEE fold order as dot/norm above but
     * one fused codegen loop (see [[graft.functions.CosineSimilarity]]). */
@@ -728,9 +734,12 @@ object Similarity {
     * compensates recall.
     */
 
-  /** Squared L2 with left-to-right fold (oracle: list_sum, same order). */
+  /** Squared L2 with left-to-right fold (oracle: list_sum, same order);
+    * codegen kernel — see [[dot]]. */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(graft.functions.SqDist(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** Deterministic m-ordered partial-sum aggregate: collect (m, x),
     * sort by m, fold left-to-right — the 4-term double addition is

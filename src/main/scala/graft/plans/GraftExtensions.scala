@@ -20,6 +20,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.descriptor)
+    ext.injectFunction(graft.functions.DotProduct.descriptor)
+    ext.injectFunction(graft.functions.SqDist.descriptor)
     ext.injectFunction(graft.functions.HashFns.h60Descriptor)
     ext.injectFunction(graft.functions.BloomFns.bloomAggDescriptor)
     ext.injectFunction(graft.functions.BloomFns.bloomContainsDescriptor)

@@ -16,6 +16,11 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Expression → Column (private[sql] in Spark 4): lets operator code
+    * apply a custom codegen Expression to arbitrary `Column`s without a
+    * registry round-trip through SQL text. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
   /** (connection url, table-or-query) of a JDBC relation, if `rel` is
     * one — `JDBCRelation` and `JDBCOptions` are private[sql], so the
     * lineage extractor names JDBC inputs through this door. */

@@ -130,9 +130,17 @@ object Dedup {
     * occurrence list (a `count().over(partitionBy(key))` window did —
     * one straggler task per million-doc boilerplate phrase). */
   private def dropHotKeys(rows: DataFrame, key: String): DataFrame = {
-    val hot = rows.groupBy(key).count()
+    // materialize the exploded table ONCE (r13): the hot-set aggregate
+    // and the anti-join probe side both read `rows`, and lazily that ran
+    // the whole upstream pipeline (collapse → shingle explode → h60, an
+    // md5 per shingle) TWICE per query. The checkpoint is a narrow
+    // (key, doc_id) frame — still never SHUFFLED for the filter, which
+    // is the property that matters at 100 TB (no per-key window, no
+    // hot-key occurrence list in one task).
+    val mat = rows.localCheckpoint()
+    val hot = mat.groupBy(key).count()
       .filter(col("count") > MAX_SHINGLE_DF).select(key)
-    rows.join(broadcast(hot), Seq(key), "left_anti")
+    mat.join(broadcast(hot), Seq(key), "left_anti")
   }
 
   private val shingleCte =

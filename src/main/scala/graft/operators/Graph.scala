@@ -431,7 +431,12 @@ object Graph {
         .join(dist.select("v"), Seq("v"), "left_anti")
         .select(col("v"), lit(r).as("hop"))
         .localCheckpoint()
-      dist = dist.unionByName(next).localCheckpoint()
+      // dist is a UNION of already-checkpointed hop frames — re-
+      // checkpointing it copied every previously-reached vertex again
+      // each round (O(hops·reached) writes); the lazy union reads the
+      // checkpointed pieces and the plan depth is bounded by the fixed
+      // hop count
+      dist = dist.unionByName(next)
       frontier = next.select("v")
     }
     val reached = dist.groupBy("hop").agg(
@@ -1094,7 +1099,9 @@ object Graph {
         .join(dist.select("s0", "v"), Seq("s0", "v"), "left_anti")
         .select(col("s0"), col("v"), lit(r).as("hop"))
         .localCheckpoint()
-      dist = dist.unionByName(next).localCheckpoint()
+      // lazy union of checkpointed hop frames (qGraphBfs discipline):
+      // no O(hops·reached) re-checkpoint of the accumulated visited set
+      dist = dist.unionByName(next)
       frontier = next.select("s0", "v")
     }
     dist.filter(col("hop") > 0)

@@ -851,23 +851,36 @@ object TextAnalysis {
     * verdict.
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    // r13: the sketch is built DECLARATIVELY as sparse (row, bucket)
+    // counts — one codegen hash-agg — instead of the typed dense-array
+    // CountMinAggregator (non-codegen per-row update + d·w-long buffer
+    // serialization between partial and merge; the q_join_size_est
+    // lesson, measured ~10× there and one 3.2 s job here at sf0.1).
+    // A sparse count equals the dense grid cell exactly (absent bucket
+    // = 0, and every probed bucket contains at least its own term), so
+    // est_n is unchanged; the CountMinAggregator itself remains the
+    // streaming-side kernel, spec-covered by CountMinSpec.
+    def slices(c: Column): Column = posexplode(array((0 until CMS_D).map(i =>
+      conv(substring(md5(c), 1 + 7 * i, 7), 16, 10).cast("long") % CMS_W): _*))
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val cms = udaf(new graft.functions.CountMinAggregator(CMS_D, CMS_W))
-    val sketch = toks.agg(cms(col("tok")).as("cms"), count(lit(1)).as("total"))
+    val buckets = toks
+      .select(slices(col("tok")).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read by the probe join AND the total
+    // each token lands in exactly CMS_D buckets, so Σc = d·total (exact)
+    val total = buckets.agg(expr(s"sum(c) div $CMS_D").as("total"))
     val topk = toks.groupBy(col("tok").as("term"))
       .agg(count(lit(1)).as("exact_n"))
       .orderBy(desc("exact_n"), col("term"))
       .limit(10)
-    def rowEst(i: Int): Column =
-      element_at(col("cms"),
-        (lit(i * CMS_W) +
-          conv(substring(md5(col("term")), 1 + 7 * i, 7), 16, 10).cast("long") % CMS_W + 1)
-          .cast("int"))
-    val est = least((0 until CMS_D).map(rowEst): _*)
-    topk.crossJoin(broadcast(sketch))
-      .select(col("term"), col("exact_n"), est.as("est_n"),
-        (est <= col("exact_n") + ceil(lit(math.E) * col("total") / CMS_W)).as("within_eps"))
+    val est = topk
+      .select(col("term"), col("exact_n"), slices(col("term")).as(Seq("i", "bucket")))
+      .join(buckets, Seq("i", "bucket"))
+      .groupBy("term", "exact_n").agg(min("c").as("est_n"))
+    est.crossJoin(broadcast(total))
+      .select(col("term"), col("exact_n"), col("est_n"),
+        (col("est_n") <= col("exact_n") + ceil(lit(math.E) * col("total") / CMS_W)).as("within_eps"))
       .orderBy(desc("exact_n"), col("term"))
   }
 

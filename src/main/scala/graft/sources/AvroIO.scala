@@ -127,14 +127,27 @@ object AvroIO {
     val rec = new GenericData.Record(avro)
     var i = 0
     while (i < st.length) {
-      rec.put(st.fields(i).name, toAvroValue(row.get(i), st.fields(i).dataType))
+      // positional put: the record schema is derived from `st` in field
+      // order, and put-by-name re-resolves name→position per field per
+      // row (a map lookup ×|fields|×|rows| on the write hot path)
+      rec.put(i, toAvroValue(row.get(i), st.fields(i).dataType))
       i += 1
     }
     rec
   }
 
-  private def recordToRow(rec: GenericRecord, st: StructType): Row =
-    Row.fromSeq(st.fields.toSeq.map(f => fromAvroValue(rec.get(f.name), f.dataType)))
+  private def recordToRow(rec: GenericRecord, st: StructType): Row = {
+    // positional get: after Avro schema resolution the datum carries the
+    // READER schema, which is derived from `st` in field order, so
+    // position i is st field i — no per-field name lookup per row
+    val vals = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) {
+      vals(i) = fromAvroValue(rec.get(i), st.fields(i).dataType)
+      i += 1
+    }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+  }
 
   // -------------------------------------------------------------------- io
   /** Write `df` as Avro container part-files under `path` (overwrite).

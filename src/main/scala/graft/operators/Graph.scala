@@ -524,27 +524,36 @@ object Graph {
     * broadcasts are the 1-row max-normalizers. Top-K via TakeOrdered.
     */
   def qHits(s: SparkSession, dir: String): DataFrame = {
+    // The iterate runs on the RAW LONG keys (custkey / suppkey — the two
+    // sides never mix in one column, so no prefix is needed to keep them
+    // apart): 6 join+agg rounds hash and shuffle 8-byte longs instead of
+    // 'c…'/'s…' strings, and the per-fact-row concat disappears (guide
+    // §2.3: narrower keys through every exchange). Node STRINGS are
+    // constructed only in the final top-K selects, BEFORE the orderBy,
+    // so the (score DESC, node ASC) string tie-break is unchanged; the
+    // (custkey,suppkey)↔(cnode,snode) map is a bijection, so every
+    // weight, score and rounding is bit-identical.
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .select(col("o_custkey").as("cnode"), col("l_suppkey").as("snode"))
       .groupBy("cnode", "snode").agg(count(lit(1)).cast("double").as("w"))
       .localCheckpoint()
     var auth = pairs.select(col("snode")).distinct()
       .select(col("snode"), lit(1.0).as("a"))
     var hubs: DataFrame = null
     for (_ <- 1 to HITS_ITERS) {
-      // ONE checkpoint per iteration (was two): the h-phase stays lazy
-      // inside the a-phase's plan, so each round materializes a single
-      // DAG (join→agg→normalize→join→agg) instead of two — at sf0.1 the
-      // query is AQE-stage/job-count bound, and halving the
-      // materialization barriers is the lever (guide §1.2: fix the
-      // job shape before the per-task work). The 1-row max normalizers
-      // read the same aggregate exchange (ReuseExchange dedupes it);
-      // arithmetic (round(·/max, 9)) is unchanged, so scores are
+      // checkpoint each phase's RAW score (BEFORE the max-normalizer):
+      // the join+agg then runs exactly once per phase — the 1-row max
+      // branch, the normalized frame the next phase joins, and the final
+      // top-K all read the checkpointed vertex-sized result. Fusing the
+      // two phases into one barrier was measured SLOWER (the lazy
+      // h-phase re-ran under the a-phase barrier, both normalizer
+      // branches, and again in the final top-K action — cross-action
+      // exchange reuse does not exist). Arithmetic unchanged; scores
       // bit-identical.
       val hRaw = pairs.join(auth, "snode")
         .groupBy("cnode").agg(sum(col("w") * col("a")).as("h"))
+        .localCheckpoint()
       val hMax = hRaw.agg(max("h").as("hmax"))
       hubs = hRaw.crossJoin(broadcast(hMax))
         .select(col("cnode"), round(col("h") / col("hmax"), 9).as("h"))
@@ -555,11 +564,11 @@ object Graph {
       auth = aRaw.crossJoin(broadcast(aMax))
         .select(col("snode"), round(col("a") / col("amax"), 9).as("a"))
     }
-    val topH = hubs.select(col("cnode").as("node"), lit("hub").as("kind"),
-        round(col("h"), 6).as("score"))
+    val topH = hubs.select(concat(lit("c"), col("cnode")).as("node"),
+        lit("hub").as("kind"), round(col("h"), 6).as("score"))
       .orderBy(desc("score"), col("node")).limit(HITS_TOP)
-    val topA = auth.select(col("snode").as("node"), lit("authority").as("kind"),
-        round(col("a"), 6).as("score"))
+    val topA = auth.select(concat(lit("s"), col("snode")).as("node"),
+        lit("authority").as("kind"), round(col("a"), 6).as("score"))
       .orderBy(desc("score"), col("node")).limit(HITS_TOP)
     topH.unionByName(topA)
       .orderBy(col("kind"), col("score").desc, col("node"))

@@ -87,21 +87,6 @@ object AvroIO {
   }
 
   // ------------------------------------------------------------- conversion
-  private def toAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _)                      => null
-    case (ts: java.sql.Timestamp, TimestampType) =>
-      ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L // epoch micros
-    case (d: java.sql.Date, DateType)   => d.toLocalDate.toEpochDay.toInt
-    case (ldt: java.time.LocalDateTime, TimestampNTZType) =>
-      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
-    case (b: Array[Byte], BinaryType)   => ByteBuffer.wrap(b)
-    case (seq: scala.collection.Seq[_], ArrayType(elem, _)) =>
-      val out = new java.util.ArrayList[Any](seq.length)
-      seq.foreach(x => out.add(toAvroValue(x, elem)))
-      out
-    case (x, _)                         => x // primitives pass through
-  }
-
   private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _)                    => null
     case (s: CharSequence, StringType) => s.toString // Avro hands back Utf8
@@ -123,19 +108,6 @@ object AvroIO {
     case (x, _)                       => x
   }
 
-  private def rowToRecord(row: Row, st: StructType, avro: Schema): GenericRecord = {
-    val rec = new GenericData.Record(avro)
-    var i = 0
-    while (i < st.length) {
-      // positional put: the record schema is derived from `st` in field
-      // order, and put-by-name re-resolves name→position per field per
-      // row (a map lookup ×|fields|×|rows| on the write hot path)
-      rec.put(i, toAvroValue(row.get(i), st.fields(i).dataType))
-      i += 1
-    }
-    rec
-  }
-
   private def recordToRow(rec: GenericRecord, st: StructType): Row = {
     // positional get: after Avro schema resolution the datum carries the
     // READER schema, which is derived from `st` in field order, so
@@ -150,6 +122,44 @@ object AvroIO {
   }
 
   // -------------------------------------------------------------------- io
+  /** Per-field extractor from Spark's INTERNAL row format straight to the
+    * Avro value — the write path reads `queryExecution.toRdd` instead of
+    * `df.rdd`, skipping the InternalRow→external-Row encoder pass that
+    * boxed and converted every value once before [[toAvroValue]]
+    * converted it again (r13: the conversion, not the container I/O, was
+    * the write-side cost). Internal encodings line up with Avro's:
+    * TimestampType/TimestampNTZType are ALREADY epoch-micros longs and
+    * DateType epoch-day ints — identity moves here where the Row path
+    * round-tripped through java.sql/java.time objects. */
+  private def internalGetter(dt: DataType): (org.apache.spark.sql.catalyst.util.ArrayData Either org.apache.spark.sql.catalyst.InternalRow, Int) => Any = {
+    def get(ord: (org.apache.spark.sql.catalyst.util.ArrayData Either org.apache.spark.sql.catalyst.InternalRow, Int) => Any) = ord
+    dt match {
+      case BooleanType => get((r, i) => r.fold(_.getBoolean(i), _.getBoolean(i)))
+      case IntegerType | DateType => get((r, i) => r.fold(_.getInt(i), _.getInt(i)))
+      case LongType | TimestampType | TimestampNTZType =>
+        get((r, i) => r.fold(_.getLong(i), _.getLong(i)))
+      case FloatType  => get((r, i) => r.fold(_.getFloat(i), _.getFloat(i)))
+      case DoubleType => get((r, i) => r.fold(_.getDouble(i), _.getDouble(i)))
+      case StringType => get((r, i) => r.fold(_.getUTF8String(i), _.getUTF8String(i)).toString)
+      case BinaryType => get((r, i) => ByteBuffer.wrap(r.fold(_.getBinary(i), _.getBinary(i))))
+      case ArrayType(elem, _) =>
+        val eg = internalGetter(elem)
+        get { (r, i) =>
+          val ad = r.fold(_.getArray(i), _.getArray(i))
+          val n = ad.numElements()
+          val out = new java.util.ArrayList[Any](n)
+          var j = 0
+          while (j < n) {
+            out.add(if (ad.isNullAt(j)) null else eg(Left(ad), j))
+            j += 1
+          }
+          out
+        }
+      case other =>
+        throw new IllegalArgumentException(s"AvroIO: unsupported Spark type $other")
+    }
+  }
+
   /** Write `df` as Avro container part-files under `path` (overwrite).
     * One part per partition, committed through the Hadoop protocol. */
   def writeAvro(df: DataFrame, path: String): Unit = {
@@ -162,9 +172,21 @@ object AvroIO {
     if (fs.exists(p)) fs.delete(p, true)
     val job = Job.getInstance(hconf)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avroJson))
-    val pairs = df.rdd.mapPartitions { it =>
+    val getters = st.fields.map(f => internalGetter(f.dataType))
+    val nFields = st.length
+    val pairs = df.queryExecution.toRdd.mapPartitions { it =>
       val avro = new Schema.Parser().parse(avroJson) // parse once per task
-      it.map(row => (new AvroKey[GenericRecord](rowToRecord(row, st, avro)), NullWritable.get()))
+      it.map { ir =>
+        // values are extracted eagerly per row, so UnsafeRow reuse by the
+        // upstream iterator cannot corrupt the record
+        val rec = new GenericData.Record(avro)
+        var i = 0
+        while (i < nFields) {
+          rec.put(i, if (ir.isNullAt(i)) null else getters(i)(Right(ir), i))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
     }
     pairs.saveAsNewAPIHadoopFile(
       path,

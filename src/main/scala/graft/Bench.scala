@@ -160,7 +160,10 @@ object Bench {
     // truncated the detailed line and left per-query evidence
     // unrecoverable. Persist the COMPLETE detail JSON to a file the
     // round commits, so per-query comparison survives tail truncation.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_detail.json")
+    // Cpus-stamped (r13 VERDICT item 1): the driver's low-core scaling
+    // run previously OVERWROTE the 32-core detail because the path was
+    // fixed — each core count now writes its own file.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_detail_c$cpus.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     // The compact line the driver parses (emitted LAST so it always lands

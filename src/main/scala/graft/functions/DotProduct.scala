@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -84,7 +84,14 @@ object DotProduct {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_dot(a, b) takes exactly 2 array arguments")
-      DotProduct(children.head, children.last)
+      // Coerce numeric arrays (array<float>, array<int>, ...) the way the
+      // replaced aggregate(zip_with(...)) HOF form implicitly did.
+      // ImplicitCastInputTypes is unusable outside org.apache.spark.sql
+      // (AbstractDataType is private[sql] in Spark 4), so the SQL entry
+      // point casts instead; Cast(array<double> -> array<double>) is
+      // elided by SimplifyCasts, leaving typed call sites untouched.
+      val c = children.map(Cast(_, ArrayType(DoubleType)))
+      DotProduct(c.head, c.last)
     })
 
   /** Idempotent runtime registration for sessions built without

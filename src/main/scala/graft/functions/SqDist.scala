@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -81,7 +81,10 @@ object SqDist {
     new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_sqdist(a, b) takes exactly 2 array arguments")
-      SqDist(children.head, children.last)
+      // SQL entry point coerces numeric arrays like the replaced HOF form
+      // did (see DotProduct.descriptor); no-op casts are elided.
+      val c = children.map(Cast(_, ArrayType(DoubleType)))
+      SqDist(c.head, c.last)
     })
 
   /** Idempotent runtime registration for sessions built without

@@ -133,11 +133,26 @@ object Dedup {
     // materialize the exploded table ONCE (r13): the hot-set aggregate
     // and the anti-join probe side both read `rows`, and lazily that ran
     // the whole upstream pipeline (collapse → shingle explode → h60, an
-    // md5 per shingle) TWICE per query. The checkpoint is a narrow
-    // (key, doc_id) frame — still never SHUFFLED for the filter, which
-    // is the property that matters at 100 TB (no per-key window, no
-    // hot-key occurrence list in one task).
-    val mat = rows.localCheckpoint()
+    // md5 per shingle) TWICE per query. The materialized frame is a
+    // narrow (key, doc_id) frame — still never SHUFFLED for the filter,
+    // which is the property that matters at 100 TB (no per-key window,
+    // no hot-key occurrence list in one task).
+    //
+    // Storage model (r13 VERDICT/ADVICE): this is the corpus-
+    // proportional exploded table — ~shingles-per-doc × corpus rows of
+    // 16 bytes, i.e. the largest transient frame in the dedup queries.
+    // persist(MEMORY_AND_DISK) instead of localCheckpoint because (a) it
+    // PRESERVES LINEAGE: on a real cluster an executor loss recomputes
+    // the lost partitions (embarrassingly parallel scan+md5) instead of
+    // failing the job, which a truncated-lineage localCheckpoint would;
+    // (b) blocks that exceed executor memory spill to local disk as
+    // serialized columnar batches rather than pinning the corpus in
+    // memory; (c) it is lazy, so the hot-set broadcast build is the
+    // materializing pass — no extra eager copy job. Consumers read the
+    // single cached copy; callers do NOT additionally cache the filtered
+    // output (the anti-join probe over this cache is a scan + broadcast
+    // hash probe — cheaper than storing the corpus twice).
+    val mat = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = mat.groupBy(key).count()
       .filter(col("count") > MAX_SHINGLE_DF).select(key)
     mat.join(broadcast(hot), Seq(key), "left_anti")
@@ -164,7 +179,7 @@ object Dedup {
     // never shuffles the exploded table; the oracle keeps the
     // equivalent HAVING formulation, so hashes cannot move.
     val sh = dropHotKeys(
-      shingleTable(collapseExact(Tables.documents(s, dir))), "sh").cache()
+      shingleTable(collapseExact(Tables.documents(s, dir))), "sh")
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -213,7 +228,7 @@ object Dedup {
   /** The containment pair generator over any (doc_id, text) frame —
     * shared with the spec's synthetic subset-corpus check. */
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
-    val sh = dropHotKeys(shingleTable(collapseExact(docs)), "sh").cache()
+    val sh = dropHotKeys(shingleTable(collapseExact(docs)), "sh")
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -274,7 +289,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("gh", TA.gramHashes(col("w"), TA.WIN_K))
       .select(col("doc_id"), explode(TA.winnowFromGrams(col("gh"), TA.WIN_W)).as("fp"))
-    val fp = dropHotKeys(fp0, "fp").cache()
+    val fp = dropHotKeys(fp0, "fp")
     val cnt = fp.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
     val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
     val b = fp.select(col("doc_id").as("doc_b"), col("fp"))

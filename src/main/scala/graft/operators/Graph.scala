@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Rebuild the 'c<id>'/'s<id>' node label from the parity-coded long
+    * node key (customer = custkey·2, supplier = suppkey·2+1 — the r14
+    * long-key discipline: iterates hash/shuffle 8-byte longs, strings
+    * exist only at the output edge, and the (custkey,suppkey)↔node map
+    * is a bijection so every count, weight and rounding is
+    * bit-identical). */
+  private def nodeStr(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(when(k % 2 === 0, lit("c")).otherwise(lit("s")), shiftright(k, 1))
+
   private[graft] val PR_ITERS = 3
   private val PR_D     = "0.85" // damping, literal text shared with the oracle
   private val PR_BASE  = "0.15" // 1 - d
@@ -44,11 +53,19 @@ object Graph {
   /** The rank frame after exactly `iters` rounds of the gauge's
     * recurrence — [[pageRankConverged]]'s fixpoint spec replays it. */
   private[graft] def pagerankRounds(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    // r14 long-key iterate (the q_hits discipline, guide §2.3): the fact
+    // aggregate groups on the raw integer keys — the lineitem-scale
+    // map-side hash-agg keys 16 bytes instead of two strings and the
+    // per-fact-row concat disappears — and the iterate joins/aggregates
+    // parity-coded longs (custkey·2 / suppkey·2+1; the two sides SHARE
+    // the src/dst columns, so parity keeps them apart). Node strings are
+    // rebuilt only in the final select ([[nodeStr]] bijection), so every
+    // group, weight and 9dp rounding is bit-identical to the string form.
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
-      .groupBy("cnode", "snode").agg(count(lit(1)).cast("double").as("w"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .groupBy("ck", "sk").agg(count(lit(1)).cast("double").as("w"))
+      .select((col("ck") * 2).as("cnode"), (col("sk") * 2 + 1).as("snode"), col("w"))
     // localCheckpoint (eager) instead of cache: every round references
     // these frames under new broadcasts, and a cached-but-lazy plan made
     // each round's broadcast re-plan the whole upstream lineage
@@ -90,7 +107,9 @@ object Graph {
           col("n"))
         .localCheckpoint()
     }
-    pr
+    // strings only at the output edge (consumers order/tie-break on the
+    // node STRING, so it must exist before any orderBy downstream)
+    pr.select(nodeStr(col("node")).as("node"), col("pr"), col("n"))
   }
 
   /** Tolerance-driven PageRank (r11 VERDICT item 6): the production
@@ -112,11 +131,13 @@ object Graph {
     */
   def pageRankConverged(s: SparkSession, dir: String,
       eps: Double = 1e-6, maxRounds: Int = 100): (DataFrame, Int, Boolean) = {
+    // long-key iterate, kept in LOCKSTEP with [[pagerankRounds]] (the
+    // fixpoint spec replays it round-for-round)
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
-      .groupBy("cnode", "snode").agg(count(lit(1)).cast("double").as("w"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .groupBy("ck", "sk").agg(count(lit(1)).cast("double").as("w"))
+      .select((col("ck") * 2).as("cnode"), (col("sk") * 2 + 1).as("snode"), col("w"))
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"), col("w"))
       .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst"), col("w")))
       .localCheckpoint()
@@ -151,7 +172,7 @@ object Graph {
       rounds += 1
       converged = delta < eps
     }
-    (pr, rounds, converged)
+    (pr.select(nodeStr(col("node")).as("node"), col("pr"), col("n")), rounds, converged)
   }
 
   val oraclePagerank: String = {
@@ -301,19 +322,23 @@ object Graph {
     * never leaves the executors.
     */
   def qKcore(s: SparkSession, dir: String): DataFrame = {
+    // r14 long-key peel: the fact aggregate groups raw integer keys, the
+    // peel joins parity-coded longs (custkey·2 / suppkey·2+1), and node
+    // strings never exist — the census only needs the SIDE, which is the
+    // key's parity. Bijection ⇒ identical pair set, degrees and counts.
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
-      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .groupBy("ck", "sk").agg(count(lit(1)).as("w"))
       .filter(col("w") >= KCORE_T)
+      .select((col("ck") * 2).as("cnode"), (col("sk") * 2 + 1).as("snode"))
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
     def census(alive: DataFrame, round: Int): DataFrame =
       alive.agg(
-        sum(when(col("v").startsWith("c"), 1L).otherwise(0L)).as("n_alive_cust"),
-        sum(when(col("v").startsWith("s"), 1L).otherwise(0L)).as("n_alive_supp"))
+        sum(when(col("v") % 2 === 0, 1L).otherwise(0L)).as("n_alive_cust"),
+        sum(when(col("v") % 2 =!= 0, 1L).otherwise(0L)).as("n_alive_supp"))
         .select(lit(round).as("peel_round"),
           coalesce(col("n_alive_cust"), lit(0L)).as("n_alive_cust"),
           coalesce(col("n_alive_supp"), lit(0L)).as("n_alive_supp"))
@@ -405,12 +430,16 @@ object Graph {
     * (`min(d)` per vertex = BFS distance, depth-capped).
     */
   def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
+    // r14 long-key frontier sweep (qKcore discipline): parity-coded long
+    // nodes end-to-end — the census needs only the key's parity, so node
+    // strings never exist anywhere in this query. Bijection ⇒ identical
+    // reach sets and counts.
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
-      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .groupBy("ck", "sk").agg(count(lit(1)).as("w"))
       .filter(col("w") >= KCORE_T)
+      .select((col("ck") * 2).as("cnode"), (col("sk") * 2 + 1).as("snode"))
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
@@ -420,7 +449,7 @@ object Graph {
     val seeds = nodes.join(
       Tables.dim(s, dir, "customer")
         .filter(col("c_nationkey") === BFS_SEED_NATION)
-        .select(concat(lit("c"), col("c_custkey")).as("v")),
+        .select((col("c_custkey") * 2).as("v")),
       "v", "left_semi")
     var dist = seeds.select(col("v"), lit(0).as("hop")).localCheckpoint()
     var frontier = dist.select("v")
@@ -440,11 +469,11 @@ object Graph {
       frontier = next.select("v")
     }
     val reached = dist.groupBy("hop").agg(
-      sum(when(col("v").startsWith("c"), 1L).otherwise(0L)).as("n_cust"),
-      sum(when(col("v").startsWith("s"), 1L).otherwise(0L)).as("n_supp"))
+      sum(when(col("v") % 2 === 0, 1L).otherwise(0L)).as("n_cust"),
+      sum(when(col("v") % 2 =!= 0, 1L).otherwise(0L)).as("n_supp"))
     val unreached = nodes.join(dist.select("v"), Seq("v"), "left_anti")
-      .agg(coalesce(sum(when(col("v").startsWith("c"), 1L).otherwise(0L)), lit(0L)).as("n_cust"),
-        coalesce(sum(when(col("v").startsWith("s"), 1L).otherwise(0L)), lit(0L)).as("n_supp"))
+      .agg(coalesce(sum(when(col("v") % 2 === 0, 1L).otherwise(0L)), lit(0L)).as("n_cust"),
+        coalesce(sum(when(col("v") % 2 =!= 0, 1L).otherwise(0L)), lit(0L)).as("n_supp"))
       .select(lit(-1).as("hop"), col("n_cust"), col("n_supp"))
     reached.unionByName(unreached)
       .select(col("hop"), col("n_cust"), col("n_supp"),
@@ -472,12 +501,19 @@ object Graph {
     * bounded census leaves the executors.
     */
   def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    // The ITERATE stays on string labels — the MIN-label tie-break is a
+    // STRING ordering, so long keys would change results — but the fact
+    // aggregate groups raw integer keys and builds the strings AFTER the
+    // groupBy, at quotient-pair scale instead of per lineitem row
+    // (bijection ⇒ identical pairs and counts; guide §2.3 narrower keys
+    // through the corpus-scale exchange).
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
-      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .groupBy("ck", "sk").agg(count(lit(1)).as("w"))
       .filter(col("w") >= KCORE_T)
+      .select(concat(lit("c"), col("ck")).as("cnode"),
+        concat(lit("s"), col("sk")).as("snode"))
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
@@ -626,12 +662,16 @@ object Graph {
     * aggregates over the |edges| frame onto |communities| then 1 row.
     */
   def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    // qLabelProp discipline: string labels in the iterate (MIN tie-break
+    // is string-ordered), raw-long fact aggregate with the concat moved
+    // AFTER the groupBy (quotient-pair scale, not per fact row).
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
-      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .groupBy("ck", "sk").agg(count(lit(1)).as("w"))
       .filter(col("w") >= KCORE_T)
+      .select(concat(lit("c"), col("ck")).as("cnode"),
+        concat(lit("s"), col("sk")).as("snode"))
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
@@ -876,15 +916,17 @@ object Graph {
     * sides distinguishable in one frame.
     */
   def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    // r14 long keys: the fact-scale distinct and the degree aggregate
+    // key parity-coded longs; the output only needs the SIDE letter,
+    // which is the key's parity. Bijection ⇒ identical degrees/bins.
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .select((col("o_custkey") * 2).as("cnode"), (col("l_suppkey") * 2 + 1).as("snode"))
       .distinct()
     val deg = pairs.select(col("cnode").as("node"))
       .unionByName(pairs.select(col("snode").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .withColumn("side", substring(col("node"), 1, 1))
+      .withColumn("side", when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")))
     deg
       .withColumn("bin", (length(conv(col("deg"), 10, 2)) - 1).cast("long"))
       .groupBy("side", "bin")
@@ -1079,19 +1121,24 @@ object Graph {
     * not |sources| separate sweeps. Only the bounded top-20 leaves.
     */
   def qClosenessSample(s: SparkSession, dir: String): DataFrame = {
+    // r14 long-key sweep (qGraphBfs discipline): the (source, v) frontier
+    // iterate joins parity-coded longs; node strings are rebuilt only in
+    // the final select, BEFORE the orderBy, so the
+    // (harmonic DESC, node ASC) string tie-break is unchanged. Source
+    // selection order is preserved: key = custkey·2 is monotone in
+    // custkey, so orderBy(key) picks the same CLOSE_SOURCES customers.
     val pairs = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
-      .groupBy("cnode", "snode").agg(count(lit(1)).as("w"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .groupBy("ck", "sk").agg(count(lit(1)).as("w"))
       .filter(col("w") >= KCORE_T)
+      .select((col("ck") * 2).as("cnode"), (col("sk") * 2 + 1).as("snode"))
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
       .localCheckpoint()
     val sources = edges.select(col("src").as("v")).distinct()
-      .filter(col("v").startsWith("c"))
-      .withColumn("ck", substring(col("v"), 2, 30).cast("long"))
-      .orderBy("ck").limit(CLOSE_SOURCES) // TakeOrdered: bounded driver-side
+      .filter(col("v") % 2 === 0)
+      .orderBy("v").limit(CLOSE_SOURCES) // TakeOrdered: bounded driver-side
       .select(col("v").as("s0"))
     var dist = sources.select(col("s0"), col("s0").as("v"), lit(0).as("hop"))
       .localCheckpoint()
@@ -1117,9 +1164,11 @@ object Graph {
       .groupBy("v")
       .agg(count(lit(1)).as("n_sources_reached"),
         sum(expr("1000000L div hop")).as("harmonic_micros"))
-      .orderBy(desc("harmonic_micros"), col("v"))
+      // node string BEFORE the orderBy: the tie-break is string-ordered
+      .select(nodeStr(col("v")).as("node"), col("n_sources_reached"),
+        col("harmonic_micros"))
+      .orderBy(desc("harmonic_micros"), col("node"))
       .limit(20)
-      .select(col("v").as("node"), col("n_sources_reached"), col("harmonic_micros"))
   }
 
   val oracleClosenessSample: String =

@@ -43,9 +43,17 @@ object Ranks {
   def avgRank2(s: SparkSession, values: DataFrame): DataFrame = {
     import s.implicits._
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // persist the distinct-count frame (r14): repartitionByRange's
+    // RangePartitioner SAMPLING job runs the whole upstream (corpus scan
+    // + join + distinct agg) once, and the range shuffle then computed it
+    // AGAIN — the r13 lazy double-compute pattern, one full corpus pass
+    // per avgRank2 call (two in q_spearman). The frame is the
+    // |distinct values| reduction, bounded by the value domain, and
+    // MEMORY_AND_DISK preserves lineage (executor loss recomputes).
     val counts = values.toDF("raw")
       .groupBy(col("raw").cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranged = counts.repartitionByRange(parts, col("v"))
       .sortWithinPartitions("v")
       .as[(Double, Long)]

@@ -835,20 +835,24 @@ object TextAnalysis {
   private[graft] val CMS_D = 4
   private[graft] val CMS_W = 8192
 
-  /** Heavy hitters via count-min sketch ([[graft.functions.CountMinAggregator]]),
-    * gauged against exact counts — the frequency member of the sketch
-    * family (HLL++ distincts, GK quantiles, bloom membership, CMS
-    * frequencies).
+  /** Heavy hitters via count-min sketch, gauged against exact counts —
+    * the frequency member of the sketch family (HLL++ distincts, GK
+    * quantiles, bloom membership, CMS frequencies).
     *
-    * Plan: ONE pass over the token stream builds the sketch (fixed
-    * d·w-long grid per task, map-side combined — the token stream never
-    * shuffles for the sketch); the exact top-10 branch is the gauge,
-    * exactly like `q_sketch_distinct`'s exact branch. The probe side is
-    * declarative md5-slice arithmetic over the broadcast 1-row sketch —
-    * bounded nested loop BY CONSTRUCTION — and, because the hash rows
-    * are md5 slices (no JVM-private seed), the DuckDB oracle REBUILDS
-    * the identical sketch and pins `est_n` exactly, not just the
-    * verdict.
+    * Plan (r13 shape): the sketch is built DECLARATIVELY as sparse
+    * (row, bucket) counts — each token explodes into its CMS_D md5-slice
+    * buckets and one codegen hash-agg counts them (map-side combined, so
+    * the shuffle carries at most d·w = 32k rows). The top-10 terms then
+    * probe the bucket frame with an equi-join + min(c); a sparse count
+    * equals the dense grid cell exactly (absent bucket = 0, and every
+    * probed bucket contains at least its own term), so `est_n` matches
+    * the dense-grid sketch bit-for-bit. The exact top-10 branch is the
+    * gauge, exactly like `q_sketch_distinct`'s exact branch. Because the
+    * hash rows are md5 slices (no JVM-private seed), the DuckDB oracle
+    * REBUILDS the identical sketch and pins `est_n` exactly, not just
+    * the verdict. The typed dense-grid
+    * [[graft.functions.CountMinAggregator]] remains the STREAMING-side
+    * kernel (CountMinSpec-covered); this batch path no longer uses it.
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     // r13: the sketch is built DECLARATIVELY as sparse (row, bucket)

@@ -776,8 +776,14 @@ object Dedup {
   /** [[ccLabels]] plus the number of rounds it ran (spec hook). */
   private[graft] def ccLabelsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     ccRuns.incrementAndGet()
+    // r14: cache the edge list PRE-PARTITIONED on the join key — every
+    // round equality-joins edges on `dst`, and a plain cache re-shuffled
+    // the (largest) edge frame once per round; the cached partitioning
+    // satisfies the join's distribution, so rounds reuse it (guide §2.4:
+    // operations keyed the same way share one exchange).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -786,9 +792,16 @@ object Dedup {
     while (!converged && rounds < CC_MAX_ITERS) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy("src").agg(min("label").as("nl"))
+      // checkpoint the PROPAGATE phase before the shortcut self-join
+      // (r14, the q_hits phase discipline): lazily, `prop` appeared on
+      // BOTH sides of the shortcut join and its whole subtree
+      // (edges⨝labels + min-agg + left join) ran twice per round —
+      // exchange reuse dedupes the shuffles but not the reduce-side
+      // join/agg compute. Checkpointed, each phase runs exactly once.
       val prop = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
       // localCheckpoint (eager) TRUNCATES lineage each round: `labels`
       // appears several times per round, so without truncation the
       // logical plan doubles per iteration — 2^rounds nodes — and
